@@ -1,0 +1,56 @@
+"""Engine configuration dataclasses.
+
+Mirrors the reference CLI surface (tokenizer in {english, whitespace};
+token filters in {lowercase, stopwords, porter2}; scorer params;
+block/codec choices) — see reference ``tools/app.hpp:88-101`` and
+``include/pisa/scorer/scorer.hpp:17-22`` for the knobs being modeled.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+# BM25 defaults match the reference: scorer/scorer.hpp:17-22 (b=0.4, k1=0.9).
+@dataclass(frozen=True)
+class BM25Params:
+    k1: float = 0.9
+    b: float = 0.4
+
+
+@dataclass(frozen=True)
+class AnalyzerConfig:
+    """Text analysis pipeline: filters -> tokenizer -> token filters.
+
+    Reference: src/text_analyzer.cpp:10-58 (composition),
+    src/tokenizer.cpp:36-79 (tokenizers), src/token_filter.cpp (filters).
+    """
+
+    tokenizer: str = "english"  # "english" | "whitespace"
+    lowercase: bool = True
+    stopwords: frozenset[str] = field(default_factory=frozenset)
+    stemmer: str | None = None  # None | "porter2"
+    strip_html: bool = False  # apply HTML text extraction before tokenizing
+
+
+@dataclass(frozen=True)
+class IndexConfig:
+    """Physical layout of the inverted index segments.
+
+    block_size mirrors the reference's 128-int codec blocks
+    (codec/simdbp.hpp:13); salt_bucket_docs is the head-term-skew
+    bucket width (docID range per salt bucket) — our addition, the
+    reference is single-node and has no skew problem (SURVEY §4 row 11).
+    """
+
+    block_size: int = 128
+    codec: str = "varint"  # "varint" | "bitpack"
+    salt_bucket_docs: int = 1 << 20  # docID range per salt bucket
+    quantize_bits: int | None = None  # None, or 8 for impact quantization
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    analyzer: AnalyzerConfig = field(default_factory=AnalyzerConfig)
+    bm25: BM25Params = field(default_factory=BM25Params)
+    index: IndexConfig = field(default_factory=IndexConfig)
