@@ -1,0 +1,95 @@
+"""Forward-index stage: pages -> docs(doc_id, url, terms, doc_len).
+
+Replaces the reference's batch-pipelined ``Forward_Index_Builder``
+(src/forward_index_builder.cpp:29-71,208-267): Spark partitions
+replace the 100k-doc batches, the Spark scheduler replaces the TBB
+producer/consumer queue, and the global-lexicon merge
+(``collect_terms`` + remap, :85-206) becomes a distributed distinct +
+sort in build_lexicon — no serial merge stage exists.
+
+Tokenization runs in one Arrow-batched ``mapInPandas`` kernel
+(analyze_series), emitting term *strings*; term->id conversion is a
+broadcast join against the lexicon at invert time (Spark-native,
+instead of the reference's per-batch local-ID + remap dance).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from pisa_spark.analysis import analyze_series, strip_html_series
+from pisa_spark.build.ids import assign_global_ids
+from pisa_spark.config import AnalyzerConfig
+
+
+def extract_text(pages: DataFrame, cfg: AnalyzerConfig) -> DataFrame:
+    """Text extraction. The input table already carries extracted
+    ``text`` (per-url byte-identity invariant, BASELINE.json
+    input_hint) so default is identity; ``strip_html`` derives it from
+    the ``html`` binary column instead (src/parsing/html.cpp:7-40)."""
+    if not cfg.strip_html:
+        return pages
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            html = b["html"].apply(lambda x: bytes(x).decode("utf-8", "replace"))
+            b = b.copy()
+            b["text"] = strip_html_series(html)
+            yield b
+
+    return pages.mapInPandas(kernel, pages.schema.simpleString()[7:-1])
+
+
+def tokenize_pages(
+    pages: DataFrame,
+    cfg: AnalyzerConfig | None = None,
+    lang_filter: str | None = None,
+    assign_doc_ids: bool = True,
+) -> DataFrame:
+    """pages -> docs(doc_id long, url string, terms array<string>,
+    doc_len int).
+
+    doc_id: dense rank of url (deterministic; doubles as the
+    reference's recommended URL reordering for web corpora,
+    reorder_docids.hpp:240-266). If the input already has a ``doc_id``
+    column it is kept verbatim (the driver's ``documents`` table path).
+    """
+    cfg = cfg or AnalyzerConfig()
+    if lang_filter:
+        pages = pages.filter(F.col("lang") == lang_filter)
+    pages = extract_text(pages, cfg)
+
+    has_doc_id = "doc_id" in pages.columns
+    cols = "url string, terms array<string>, doc_len int" + (
+        ", doc_id long" if has_doc_id else ""
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            terms = analyze_series(
+                b["text"],
+                tokenizer=cfg.tokenizer,
+                lowercase=cfg.lowercase,
+                stopwords=cfg.stopwords,
+                stemmer=cfg.stemmer,
+            )
+            out = pd.DataFrame(
+                {
+                    "url": b["url"],
+                    "terms": terms,
+                    "doc_len": terms.str.len().astype("int32"),
+                }
+            )
+            if has_doc_id:
+                out["doc_id"] = b["doc_id"]
+            yield out
+
+    docs = pages.mapInPandas(kernel, cols)
+    if has_doc_id:
+        return docs.select("doc_id", "url", "terms", "doc_len")
+    if assign_doc_ids:
+        docs = assign_global_ids(docs, "url", "doc_id")
+    return docs.select("doc_id", "url", "terms", "doc_len")

@@ -1,0 +1,193 @@
+"""Segment stage: postings -> block-encoded immutable index segments.
+
+Physical layout (per FIXTURES.md §3, modeled on the reference's
+``block_posting_list`` writer, block_posting_list.hpp:12-50):
+
+  segments(term_id long, block_id long, count int, max_doc_id long,
+           max_score float, doc_bytes binary, tf_bytes binary)
+
+- 128-posting blocks (codec/simdbp.hpp:13 block size);
+- ``doc_bytes``: the block's first docID *absolute*, then gaps-1 —
+  unlike the reference (whose first gap chains from the previous
+  block via the block-max array) every block here is self-contained,
+  which lets BMW skip straight into any block without touching its
+  neighbor and lets buckets encode independently;
+- ``tf_bytes``: tf-1 per posting (same trick as the reference);
+- ``max_score``: per-block BM25 upper bound (the WAND/BMW block-max
+  metadata, wand_utils.hpp:23-54), computed in float64 and rounded
+  *up* into float32 so pruning bounds stay sound under either score
+  precision.
+
+Head-term skew (north rule): Zipf head terms have posting lists far
+bigger than one task. Postings are salted into ``doc_id //
+salt_bucket_docs`` buckets *before* the groupBy, so no single task
+ever materializes a full head-term list; buckets cover disjoint
+ordered docID ranges, so concatenating their blocks in (bucket,
+position) order yields exactly the docID-sorted list — this replaces
+the reference's serial ``merge_batches`` (invert.cpp:167-238) with a
+shuffle-parallel merge.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from pisa_spark.codecs import CODECS
+from pisa_spark.config import BM25Params, IndexConfig
+from pisa_spark.functions.scoring import bm25_score_np
+
+
+def _round_up_f32(x: np.ndarray) -> np.ndarray:
+    f = x.astype(np.float32)
+    lower = f.astype(np.float64) < x
+    f[lower] = np.nextafter(f[lower], np.float32(np.inf))
+    return f
+
+
+def scored_postings(
+    postings: DataFrame,
+    doc_sizes: DataFrame,
+    lexicon: DataFrame,
+    num_docs: int,
+    avg_len: float,
+) -> DataFrame:
+    """postings + the per-posting columns BM25 needs (df, doc_len).
+
+    doc_sizes join co-partitions on doc_id (big-big, AQE-planned);
+    lexicon df join broadcasts.
+    """
+    return (
+        postings.join(doc_sizes.select("doc_id", "doc_len"), "doc_id")
+        .join(F.broadcast(lexicon.select("term_id", "df")), "term_id")
+        .select("term_id", "doc_id", "tf", "doc_len", "df")
+    )
+
+
+def build_segments(
+    scored: DataFrame,
+    num_docs: int,
+    avg_len: float,
+    index_cfg: IndexConfig | None = None,
+    bm25: BM25Params | None = None,
+) -> DataFrame:
+    """scored postings -> segments (see module docstring for layout)."""
+    cfg = index_cfg or IndexConfig()
+    params = bm25 or BM25Params()
+    encode, _ = CODECS[cfg.codec]
+    block = cfg.block_size
+    bucket_docs = cfg.salt_bucket_docs
+    blocks_per_bucket = bucket_docs // block + 2  # block_id stride per bucket
+
+    out_schema = (
+        "term_id long, block_id long, count int, max_doc_id long, "
+        "max_score float, doc_bytes binary, tf_bytes binary"
+    )
+
+    def encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        term_id = int(pdf["term_id"].iloc[0])
+        bucket = int(pdf["bucket"].iloc[0])
+        docs = pdf["doc_id"].to_numpy(dtype=np.uint64)
+        tfs = pdf["tf"].to_numpy(dtype=np.uint64)
+        scores = bm25_score_np(
+            pdf["tf"].to_numpy(np.float64),
+            pdf["df"].to_numpy(np.float64),
+            pdf["doc_len"].to_numpy(np.float64),
+            float(num_docs),
+            float(avg_len),
+            k1=params.k1,
+            b=params.b,
+        )
+        n = len(docs)
+        rows = []
+        base_block_id = bucket * blocks_per_bucket
+        for bi, start in enumerate(range(0, n, block)):
+            end = min(start + block, n)
+            d = docs[start:end]
+            t = tfs[start:end]
+            payload = d.copy()
+            payload[1:] = d[1:] - d[:-1] - 1  # gaps-1; payload[0] absolute
+            rows.append(
+                (
+                    term_id,
+                    base_block_id + bi,
+                    end - start,
+                    int(d[-1]),
+                    float(_round_up_f32(np.array([scores[start:end].max()]))[0]),
+                    encode(payload),
+                    encode(t - 1),
+                )
+            )
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "term_id", "block_id", "count", "max_doc_id",
+                "max_score", "doc_bytes", "tf_bytes",
+            ],
+        )
+
+    salted = scored.withColumn(
+        "bucket", (F.col("doc_id") / F.lit(bucket_docs)).cast("long")
+    )
+    return salted.groupBy("term_id", "bucket").applyInPandas(encode_group, out_schema)
+
+
+def build_term_meta(scored: DataFrame, num_docs: int, avg_len: float,
+                    bm25: BM25Params | None = None) -> DataFrame:
+    """Per-term WAND metadata (wand_data.hpp:159-169): df,
+    occurrence_count, max BM25 score. Small (|vocab| rows) —
+    broadcastable to query kernels."""
+    params = bm25 or BM25Params()
+    from pisa_spark.functions.scoring import bm25_sql_expr
+
+    expr = bm25_sql_expr(
+        tf="tf", df="df", doc_len="doc_len",
+        num_docs=str(float(num_docs)), avg_len=str(float(avg_len)),
+        k1=params.k1, b=params.b,
+    )
+    return (
+        scored.withColumn("score", F.expr(expr))
+        .groupBy("term_id")
+        .agg(
+            F.max("df").alias("df"),
+            F.sum("tf").cast("long").alias("occurrence_count"),
+            F.max("score").alias("max_score"),
+        )
+    )
+
+
+def decode_segments(segments: DataFrame, index_cfg: IndexConfig | None = None) -> DataFrame:
+    """segments -> postings(term_id, doc_id, tf): the verification
+    decode pass (util/verify_collection.hpp, compress.cpp:108-110).
+    Every block is self-contained, so this is a stateless mapInPandas."""
+    from typing import Iterator
+
+    cfg = index_cfg or IndexConfig()
+    _, decode = CODECS[cfg.codec]
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            outs = []
+            for row in b.itertuples(index=False):
+                n = int(row.count)
+                payload = decode(bytes(row.doc_bytes), n).astype(np.uint64)
+                docs = payload.copy()
+                docs[1:] += 1
+                docs = np.cumsum(docs)
+                tfs = decode(bytes(row.tf_bytes), n).astype(np.int64) + 1
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "term_id": np.full(n, row.term_id, dtype=np.int64),
+                            "doc_id": docs.astype(np.int64),
+                            "tf": tfs.astype(np.int32),
+                        }
+                    )
+                )
+            yield pd.concat(outs) if outs else pd.DataFrame(
+                {"term_id": [], "doc_id": [], "tf": []}
+            )
+
+    return segments.mapInPandas(kernel, "term_id long, doc_id long, tf int")

@@ -20,24 +20,24 @@ import numpy as np
 
 
 def bitpack_encode(values: np.ndarray) -> bytes:
-    """uint32 array -> 1-byte width + packed bits."""
-    v = np.ascontiguousarray(values, dtype=np.uint32)
+    """uint array -> 1-byte width + packed bits (width up to 64)."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
     if v.size == 0:
         return b""
     width = max(1, int(v.max()).bit_length())
-    shifts = np.arange(width, dtype=np.uint32)
-    bits = ((v[:, None] >> shifts[None, :]) & 1).astype(np.uint8)
+    shifts = np.arange(width, dtype=np.uint64)
+    bits = ((v[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.uint8)
     packed = np.packbits(bits.reshape(-1), bitorder="little")
     return bytes([width]) + packed.tobytes()
 
 
 def bitpack_decode(data: bytes, n: int) -> np.ndarray:
-    """1-byte width + packed bits -> uint32 array of length ``n``."""
+    """1-byte width + packed bits -> uint64 array of length ``n``."""
     if n == 0 or not data:
-        return np.empty(0, dtype=np.uint32)
+        return np.empty(0, dtype=np.uint64)
     width = data[0]
     raw = np.frombuffer(data, dtype=np.uint8, offset=1)
     bits = np.unpackbits(raw, bitorder="little", count=n * width)
     bits = bits.reshape(n, width).astype(np.uint64)
     weights = (np.uint64(1) << np.arange(width, dtype=np.uint64))
-    return (bits @ weights).astype(np.uint32)
+    return (bits @ weights).astype(np.uint64)

@@ -15,11 +15,12 @@ from __future__ import annotations
 
 import numpy as np
 
-_MAX_BYTES = 5  # ceil(32 / 7)
+_MAX_BYTES = 10  # ceil(64 / 7) — u64-capable (docIDs exceed u32 at 10^12 docs);
+# for u32 values the wire bytes are identical to the 5-byte reference layout.
 
 
 def varint_encode(values: np.ndarray) -> bytes:
-    """uint32 array -> varint bytes."""
+    """uint array -> varint bytes."""
     v = np.ascontiguousarray(values, dtype=np.uint64)
     if v.size == 0:
         return b""
@@ -42,10 +43,10 @@ def varint_encode(values: np.ndarray) -> bytes:
 
 
 def varint_decode(data: bytes, n: int | None = None) -> np.ndarray:
-    """varint bytes -> uint32 array (``n`` optional sanity check)."""
+    """varint bytes -> uint64 array (``n`` optional sanity check)."""
     raw = np.frombuffer(data, dtype=np.uint8)
     if raw.size == 0:
-        return np.empty(0, dtype=np.uint32)
+        return np.empty(0, dtype=np.uint64)
     term = (raw & 0x80) != 0
     ends = np.flatnonzero(term)  # index of last byte of each value
     starts = np.empty_like(ends)
@@ -61,4 +62,4 @@ def varint_decode(data: bytes, n: int | None = None) -> np.ndarray:
         vals[mask] |= payload[starts[mask] + i] << np.uint64(7 * i)
     if n is not None and vals.size != n:
         raise ValueError(f"varint_decode: expected {n} values, got {vals.size}")
-    return vals.astype(np.uint32)
+    return vals

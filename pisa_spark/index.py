@@ -1,0 +1,104 @@
+"""Index artifact bundle + end-to-end build orchestration.
+
+The Spark-side equivalents of the reference's on-disk artifacts
+(SURVEY §1.3): lexicon, doc map/sizes, long-format postings, block
+segments, per-term WAND metadata, global stats. ``build_index`` wires
+the full pipeline (parse -> invert -> segment/wand encode), i.e. the
+reference's parse_collection → invert → create_wand_data →
+compress_inverted_index chain (docs/source/indexing_pipeline.md:1-60)
+as three shuffle stages with no serial section.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+
+from pisa_spark.build import (
+    build_doc_sizes,
+    build_lexicon,
+    build_postings,
+    build_segments,
+    build_term_meta,
+    collection_stats,
+    tokenize_pages,
+)
+from pisa_spark.build.segments import scored_postings
+from pisa_spark.config import EngineConfig
+
+
+@dataclass
+class InvertedIndex:
+    lexicon: DataFrame  # (term, term_id, df)
+    docmap: DataFrame  # (doc_id, url)
+    doc_sizes: DataFrame  # (doc_id, doc_len)
+    postings: DataFrame  # (term_id, doc_id, tf) — long format
+    segments: DataFrame  # block-encoded (segments.py layout)
+    term_meta: DataFrame  # (term_id, df, occurrence_count, max_score)
+    num_docs: int
+    avg_len: float
+    collection_len: int
+    config: EngineConfig
+
+    def doc_lens_array(self) -> np.ndarray:
+        """Dense doc_id -> doc_len lookup for query kernels (the
+        reference mmaps the .sizes file, wand_data.hpp:38-117; at
+        test scale we broadcast; the range executor partitions it)."""
+        rows = self.doc_sizes.collect()
+        arr = np.zeros(self.num_docs, dtype=np.int32)
+        for r in rows:
+            arr[r["doc_id"]] = r["doc_len"]
+        return arr
+
+
+def build_index(
+    spark: SparkSession,
+    pages: DataFrame,
+    config: EngineConfig | None = None,
+    lang_filter: str | None = None,
+    cache: bool = True,
+) -> InvertedIndex:
+    """pages(url, warc_ts, html, text, lang[, doc_id]) -> InvertedIndex.
+
+    Stage layout (each boundary is a shuffle, not a serial merge):
+      1. tokenize (mapInPandas) + docID assignment (distributed sort)
+      2. lexicon (distinct+sort), postings (explode + broadcast join +
+         hash agg with map-side combine)
+      3. segments (salted groupBy + Arrow-batched numpy block encode)
+    """
+    config = config or EngineConfig()
+    docs = tokenize_pages(pages, config.analyzer, lang_filter=lang_filter)
+    if cache:
+        docs = docs.persist()
+
+    lexicon = build_lexicon(docs)
+    if cache:
+        lexicon = lexicon.persist()
+    doc_sizes = build_doc_sizes(docs)
+    postings = build_postings(docs, lexicon)
+    if cache:
+        postings = postings.persist()
+
+    stats = collection_stats(doc_sizes).collect()[0]
+    num_docs = int(stats["num_docs"])
+    avg_len = float(stats["avg_len"] or 0.0)
+    collection_len = int(stats["collection_len"] or 0)
+
+    scored = scored_postings(postings, doc_sizes, lexicon, num_docs, avg_len)
+    segments = build_segments(scored, num_docs, avg_len, config.index, config.bm25)
+    term_meta = build_term_meta(scored, num_docs, avg_len, config.bm25)
+
+    return InvertedIndex(
+        lexicon=lexicon,
+        docmap=docs.select("doc_id", "url"),
+        doc_sizes=doc_sizes,
+        postings=postings,
+        segments=segments,
+        term_meta=term_meta,
+        num_docs=num_docs,
+        avg_len=avg_len,
+        collection_len=collection_len,
+        config=config,
+    )

@@ -1,0 +1,200 @@
+"""Distributed query execution: fan kernels out with applyInPandas.
+
+Two physical strategies, mirroring the reference's two processing
+modes:
+
+- ``topk_search`` (query-major, mirrors tools/queries.cpp:175-288):
+  each query is one task; its terms' segments are shuffled/broadcast
+  to it and a numpy kernel runs the whole query. Right when posting
+  lists fit a task (the query side broadcasts, so Catalyst plans a
+  broadcast-hash join against the big segment table — segments never
+  move).
+- ``topk_range`` (doc-range-major, mirrors range_query.hpp:8-37):
+  kernels run per (query, docID-bucket) partition producing partial
+  top-k, then a window merges heaps. This is the 10^12-doc path: no
+  task ever sees a full head-term posting list, and doc lengths
+  co-partition with the doc range instead of broadcasting.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, Window
+
+from pisa_spark.codecs import CODECS
+from pisa_spark.config import EngineConfig
+from pisa_spark.index import InvertedIndex
+from pisa_spark.query.kernels import (
+    Stats,
+    TermPostings,
+    and_kernel,
+    block_max_wand_kernel,
+    maxscore_kernel,
+    or_kernel,
+    ranked_and_kernel,
+    ranked_or_kernel,
+    wand_kernel,
+)
+
+RANKED_KERNELS = {
+    "ranked_or": ranked_or_kernel,
+    "ranked_and": ranked_and_kernel,
+    "wand": wand_kernel,
+    "block_max_wand": block_max_wand_kernel,
+    "maxscore": maxscore_kernel,
+}
+BOOLEAN_KERNELS = {"and": and_kernel, "or": or_kernel}
+
+
+def _group_to_terms(pdf: pd.DataFrame, decode) -> list[TermPostings]:
+    terms = []
+    for term_id, g in pdf.groupby("term_id", sort=True):
+        g = g.sort_values("block_id")
+        weight = float(g["weight"].iloc[0])
+        # Upper bounds scaled to MICRO units (+1 covers the <=0.5-micro
+        # quantization shift) so they stay sound vs micro-int scores.
+        from pisa_spark.functions.scoring import MICRO
+
+        terms.append(
+            TermPostings(
+                term_id=int(term_id),
+                df=float(g["df"].iloc[0]),
+                weight=weight,
+                max_score=weight * float(g["term_max_score"].iloc[0]) * MICRO + 1.0,
+                block_max_doc=g["max_doc_id"].to_numpy(np.uint64),
+                block_max_score=weight * g["max_score"].to_numpy(np.float64) * MICRO
+                + 1.0,
+                block_count=g["count"].to_numpy(np.int64),
+                doc_payloads=[bytes(x) for x in g["doc_bytes"]],
+                tf_payloads=[bytes(x) for x in g["tf_bytes"]],
+                decode=decode,
+            )
+        )
+    return terms
+
+
+def _query_segments(index: InvertedIndex, parsed: DataFrame) -> DataFrame:
+    """parsed(query_id, k, term_id, weight) ⨝ term_meta ⨝ segments.
+
+    The parsed-query side is tiny -> broadcast, so the segment table
+    (the 100TB side) is scanned once with a broadcast-hash join and
+    never shuffled."""
+    qt = parsed.join(
+        F.broadcast(
+            index.term_meta.select(
+                "term_id", "df", F.col("max_score").alias("term_max_score")
+            )
+        ),
+        "term_id",
+    )
+    return index.segments.join(F.broadcast(qt), "term_id")
+
+
+def topk_search(
+    index: InvertedIndex,
+    parsed: DataFrame,
+    algorithm: str = "block_max_wand",
+    k: int = 10,
+) -> DataFrame:
+    """(query_id, rank, doc_id, score) — query-major execution."""
+    kernel = RANKED_KERNELS[algorithm]
+    decode = CODECS[index.config.index.codec][1]
+    doc_lens_b = index.segments.sparkSession.sparkContext.broadcast(
+        index.doc_lens_array()
+    )
+    stats = Stats(
+        num_docs=float(index.num_docs),
+        avg_len=float(index.avg_len),
+        k1=index.config.bm25.k1,
+        b=index.config.bm25.b,
+    )
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        terms = _group_to_terms(pdf, decode)
+        kk = int(pdf["k"].iloc[0]) if "k" in pdf else k
+        docs, scores = kernel(terms, kk, doc_lens_b.value, stats)
+        return pd.DataFrame(
+            {
+                "query_id": pdf["query_id"].iloc[0],
+                "rank": np.arange(1, len(docs) + 1, dtype=np.int32),
+                "doc_id": docs,
+                "score": scores,
+            }
+        )
+
+    rows = _query_segments(index, parsed)
+    return rows.groupBy("query_id").applyInPandas(
+        run, "query_id string, rank int, doc_id long, score double"
+    )
+
+
+def boolean_query(index: InvertedIndex, parsed: DataFrame, op: str = "and") -> DataFrame:
+    """(query_id, doc_id) Boolean AND/OR result sets."""
+    kernel = BOOLEAN_KERNELS[op]
+    decode = CODECS[index.config.index.codec][1]
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        docs = kernel(_group_to_terms(pdf, decode))
+        return pd.DataFrame({"query_id": pdf["query_id"].iloc[0], "doc_id": docs})
+
+    rows = _query_segments(index, parsed)
+    return rows.groupBy("query_id").applyInPandas(
+        run, "query_id string, doc_id long"
+    )
+
+
+def topk_range(
+    index: InvertedIndex,
+    parsed: DataFrame,
+    algorithm: str = "maxscore",
+    k: int = 10,
+    blocks_per_range: int | None = None,
+) -> DataFrame:
+    """(query_id, rank, doc_id, score) — doc-range-major execution
+    (range_query.hpp: run the algorithm per docID range with a shared
+    heap; Spark shape = partial top-k per range + window merge).
+
+    Doc lengths are NOT broadcast whole: each (query, bucket) group
+    only scores docs inside its salt bucket, so the doc-length lookup
+    ships per range. Here the bucket granularity reuses the segment
+    salt buckets (segments never re-shuffle across buckets)."""
+    kernel = RANKED_KERNELS[algorithm]
+    decode = CODECS[index.config.index.codec][1]
+    cfg = index.config.index
+    blocks_per_bucket = cfg.salt_bucket_docs // cfg.block_size + 2
+    doc_lens_b = index.segments.sparkSession.sparkContext.broadcast(
+        index.doc_lens_array()
+    )
+    stats = Stats(
+        num_docs=float(index.num_docs),
+        avg_len=float(index.avg_len),
+        k1=index.config.bm25.k1,
+        b=index.config.bm25.b,
+    )
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        terms = _group_to_terms(pdf, decode)
+        kk = int(pdf["k"].iloc[0])
+        docs, scores = kernel(terms, kk, doc_lens_b.value, stats)
+        return pd.DataFrame(
+            {
+                "query_id": pdf["query_id"].iloc[0],
+                "doc_id": docs,
+                "score": scores,
+            }
+        )
+
+    rows = _query_segments(index, parsed).withColumn(
+        "bucket", (F.col("block_id") / F.lit(blocks_per_bucket)).cast("long")
+    )
+    partial = rows.groupBy("query_id", "bucket").applyInPandas(
+        run, "query_id string, doc_id long, score double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    merged = partial.withColumn("rank", F.row_number().over(w))
+    return merged.filter(F.col("rank") <= k).select(
+        "query_id", F.col("rank").cast("int"), "doc_id", "score"
+    )

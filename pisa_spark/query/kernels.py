@@ -1,0 +1,439 @@
+"""numpy query kernels over block-encoded posting lists.
+
+These are the engine's custom operators — the part of the reference
+Spark genuinely lacks (cursor-based dynamic pruning,
+query/algorithm/*.hpp). They run inside ``applyInPandas`` groups
+(executor.py), one query per group, all array math vectorized.
+
+Result semantics (every kernel, pinned by tests vs the SQL oracle,
+mirroring the reference's own agreement tests
+test/test_ranked_queries.cpp:99-144):
+
+- score(doc) = Σ_terms weight_t * bm25(tf, df_t, dl_doc)  (float64;
+  weight = query-term multiplicity, src/query/queries.cpp:107-120)
+- rank by (round(score, 6) DESC, doc_id ASC); drop score <= 0
+  (topk_queue finalize semantics, topk_queue.hpp:73-83, with a
+  deterministic docID tie-break — the reference's heap order on ties
+  is unspecified, so both our kernels and our oracle pin doc_id ASC)
+- return at most k rows.
+
+Kernel inventory:
+- ranked_or_kernel    exhaustive disjunction (TAAT-vectorized; the
+                      reference's ranked_or/taat, ranked_or_query.hpp)
+- ranked_and_kernel   exhaustive conjunction (ranked_and_query.hpp)
+- and_kernel/or_kernel  Boolean (and_query.hpp / or_query.hpp)
+- wand_kernel         WAND dynamic pruning (wand_query.hpp:10-93)
+- block_max_wand_kernel  BMW (block_max_wand_query.hpp:8-167)
+- maxscore_kernel     batch-vectorized MaxScore (maxscore_query.hpp:
+                      13-143): essential/non-essential split by
+                      max-score suffix sums, vectorized lookup phase —
+                      the bench fast path (prunes while staying in
+                      numpy instead of a per-doc Python loop)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from pisa_spark.functions.scoring import MICRO, bm25_score_np, to_micro_np
+
+
+@dataclass
+class TermPostings:
+    """One query term's posting data, block-encoded.
+
+    Arrays are per-block, ordered by block_id; payloads decode lazily
+    (decode_block), mirroring the reference cursor's lazy freq-block
+    decode (block_posting_list.hpp:101-159).
+    """
+
+    term_id: int
+    df: float
+    weight: float
+    max_score: float  # term upper bound in MICRO units, weight-multiplied
+    block_max_doc: np.ndarray  # u64 per block
+    block_max_score: np.ndarray  # f64 per block, MICRO units, weight-multiplied
+    block_count: np.ndarray  # int per block
+    doc_payloads: list[bytes]
+    tf_payloads: list[bytes]
+    decode: object  # codec decode fn
+
+    def decode_block(self, bi: int) -> tuple[np.ndarray, np.ndarray]:
+        n = int(self.block_count[bi])
+        payload = self.decode(self.doc_payloads[bi], n).astype(np.int64)
+        docs = payload.copy()
+        docs[1:] += 1
+        docs = np.cumsum(docs)
+        tfs = self.decode(self.tf_payloads[bi], n).astype(np.int64) + 1
+        return docs, tfs
+
+    def decode_all(self) -> tuple[np.ndarray, np.ndarray]:
+        if len(self.doc_payloads) == 0:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        parts = [self.decode_block(i) for i in range(len(self.doc_payloads))]
+        return (
+            np.concatenate([p[0] for p in parts]),
+            np.concatenate([p[1] for p in parts]),
+        )
+
+
+@dataclass
+class Stats:
+    num_docs: float
+    avg_len: float
+    k1: float = 0.9
+    b: float = 0.4
+
+
+def _score(tp: TermPostings, tfs: np.ndarray, docs: np.ndarray,
+           doc_lens: np.ndarray, stats: Stats) -> np.ndarray:
+    """Per-posting weighted score in int64 MICRO units (see
+    scoring.micro_sql — identical quantization in every engine)."""
+    raw = bm25_score_np(
+        tfs, np.full(len(tfs), tp.df), doc_lens[docs],
+        stats.num_docs, stats.avg_len, k1=stats.k1, b=stats.b,
+    )
+    return to_micro_np(raw, tp.weight)
+
+
+def _finalize(docs: np.ndarray, micros: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """(micro desc, doc asc) top-k, positive scores only; returns
+    double scores = micros / 1e6 (exact, deterministic)."""
+    micros = np.asarray(micros, dtype=np.int64)
+    keep = micros > 0
+    docs, micros = docs[keep], micros[keep]
+    order = np.lexsort((docs, -micros))[:k]
+    return docs[order], micros[order].astype(np.float64) / MICRO
+
+
+def _aggregate(all_docs: np.ndarray, all_scores: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    if all_docs.size == 0:
+        return all_docs, all_scores
+    uniq, inv = np.unique(all_docs, return_inverse=True)
+    sums = np.zeros(len(uniq), dtype=np.int64)
+    np.add.at(sums, inv, all_scores)
+    return uniq, sums
+
+
+# ---------------------------------------------------------------- exhaustive
+
+def ranked_or_kernel(terms: list[TermPostings], k: int, doc_lens: np.ndarray,
+                     stats: Stats) -> tuple[np.ndarray, np.ndarray]:
+    parts_d, parts_s = [], []
+    for tp in terms:
+        docs, tfs = tp.decode_all()
+        parts_d.append(docs)
+        parts_s.append(_score(tp, tfs, docs, doc_lens, stats))
+    if not parts_d:
+        return np.empty(0, np.int64), np.empty(0, np.float64)
+    docs, micros = _aggregate(np.concatenate(parts_d), np.concatenate(parts_s))
+    return _finalize(docs, micros, k)
+
+
+def ranked_and_kernel(terms: list[TermPostings], k: int, doc_lens: np.ndarray,
+                      stats: Stats) -> tuple[np.ndarray, np.ndarray]:
+    if not terms:
+        return np.empty(0, np.int64), np.empty(0, np.float64)
+    decoded = [tp.decode_all() for tp in terms]
+    common = decoded[0][0]
+    for docs, _ in decoded[1:]:
+        common = np.intersect1d(common, docs, assume_unique=True)
+    if common.size == 0:
+        return np.empty(0, np.int64), np.empty(0, np.float64)
+    total = np.zeros(common.size, dtype=np.int64)
+    for tp, (docs, tfs) in zip(terms, decoded):
+        pos = np.searchsorted(docs, common)
+        total += _score(tp, tfs[pos], common, doc_lens, stats)
+    return _finalize(common, total, k)
+
+
+def and_kernel(terms: list[TermPostings]) -> np.ndarray:
+    """Boolean AND -> sorted docID array (and_query.hpp:12-59)."""
+    if not terms:
+        return np.empty(0, np.int64)
+    common = terms[0].decode_all()[0]
+    for tp in terms[1:]:
+        common = np.intersect1d(common, tp.decode_all()[0], assume_unique=True)
+    return common
+
+
+def or_kernel(terms: list[TermPostings]) -> np.ndarray:
+    """Boolean OR -> sorted docID array (or_query.hpp:8-44)."""
+    if not terms:
+        return np.empty(0, np.int64)
+    return np.unique(np.concatenate([tp.decode_all()[0] for tp in terms]))
+
+
+# ------------------------------------------------------------------ pruned
+
+class _Cursor:
+    """DAAT cursor with block skipping (block_posting_list.hpp:80-319)."""
+
+    __slots__ = ("tp", "bi", "pos", "docs", "tfs", "done")
+
+    SENTINEL = np.iinfo(np.int64).max
+
+    def __init__(self, tp: TermPostings):
+        self.tp = tp
+        self.bi = -1
+        self.done = len(tp.doc_payloads) == 0
+        self.docs = self.tfs = None
+        self._load(0)
+
+    def _load(self, bi: int):
+        if bi >= len(self.tp.doc_payloads):
+            self.done = True
+            return
+        self.bi = bi
+        self.docs, self.tfs = self.tp.decode_block(bi)
+        self.pos = 0
+
+    @property
+    def docid(self) -> int:
+        return self.SENTINEL if self.done else int(self.docs[self.pos])
+
+    @property
+    def freq(self) -> int:
+        return int(self.tfs[self.pos])
+
+    def next(self):
+        if self.done:
+            return
+        self.pos += 1
+        if self.pos >= len(self.docs):
+            self._load(self.bi + 1)
+
+    def next_geq(self, target: int):
+        if self.done:
+            return
+        # Block skip via block-max docIDs (next_geq, :115-137).
+        if int(self.tp.block_max_doc[self.bi]) < target:
+            nbi = int(np.searchsorted(self.tp.block_max_doc, target, side="left"))
+            if nbi >= len(self.tp.doc_payloads):
+                self.done = True
+                return
+            self._load(nbi)
+        self.pos = int(np.searchsorted(self.docs, target, side="left"))
+        if self.pos >= len(self.docs):  # can't happen if block_max >= target
+            self._load(self.bi + 1)
+
+    def block_max_score(self) -> float:
+        return float(self.tp.block_max_score[self.bi]) if not self.done else 0.0
+
+    def block_last_doc(self) -> int:
+        return int(self.tp.block_max_doc[self.bi]) if not self.done else self.SENTINEL
+
+
+# Pruning margin in MICRO units: per-posting quantization moves a
+# score by <= 0.5 micro, so bounds computed from unquantized maxima
+# get 2-micro slack before any candidate is pruned.
+PRUNE_EPS = 2
+
+
+class _TopK:
+    """k-heap with threshold (topk_queue.hpp:19-139): pruning decisions
+    use strict ``> threshold`` (:67) with an epsilon slack; every doc
+    actually scored is retained so the final (round desc, doc asc)
+    selection is exact regardless of heap tie order."""
+
+    def __init__(self, k: int):
+        import heapq
+
+        self.heapq = heapq
+        self.k = k
+        self.heap: list[int] = []  # k highest micro scores seen
+        self.docs: list[int] = []
+        self.scores: list[int] = []
+
+    def would_enter(self, bound: float) -> bool:
+        return bound > self.threshold
+
+    def insert(self, micro: int, doc: int):
+        self.docs.append(doc)
+        self.scores.append(micro)
+        if len(self.heap) < self.k:
+            self.heapq.heappush(self.heap, micro)
+        elif micro > self.heap[0]:
+            self.heapq.heapreplace(self.heap, micro)
+
+    @property
+    def threshold(self) -> float:
+        if len(self.heap) < self.k:
+            return 0.0
+        return self.heap[0] - PRUNE_EPS
+
+    def finalize(self, k: int) -> tuple[np.ndarray, np.ndarray]:
+        docs = np.array(self.docs, dtype=np.int64)
+        scores = np.array(self.scores, dtype=np.float64)
+        return _finalize(docs, scores, k)
+
+
+def _cursor_score(c: _Cursor, doc_lens: np.ndarray, stats: Stats) -> int:
+    tp = c.tp
+    raw = bm25_score_np(
+        np.array([c.freq]), np.array([tp.df]),
+        doc_lens[np.array([c.docid])],
+        stats.num_docs, stats.avg_len, k1=stats.k1, b=stats.b,
+    )
+    return int(to_micro_np(raw, tp.weight)[0])
+
+
+def wand_kernel(terms: list[TermPostings], k: int, doc_lens: np.ndarray,
+                stats: Stats) -> tuple[np.ndarray, np.ndarray]:
+    """WAND (wand_query.hpp:10-93): pivot by cumulative max-score."""
+    cursors = [_Cursor(tp) for tp in terms if len(tp.doc_payloads)]
+    topk = _TopK(k)
+    while True:
+        cursors = [c for c in cursors if not c.done]
+        if not cursors:
+            break
+        cursors.sort(key=lambda c: c.docid)
+        ub, pivot = 0.0, -1
+        for i, c in enumerate(cursors):
+            ub += c.tp.max_score
+            if topk.would_enter(ub):
+                pivot = i
+                break
+        if pivot < 0:
+            break
+        pivot_doc = cursors[pivot].docid
+        if cursors[0].docid == pivot_doc:
+            score = 0
+            for c in cursors:
+                if c.docid != pivot_doc:
+                    break
+                score += _cursor_score(c, doc_lens, stats)
+            topk.insert(score, pivot_doc)
+            for c in cursors:
+                if c.docid == pivot_doc:
+                    c.next()
+        else:
+            # Advance the highest-impact lagging list (correctness is
+            # independent of the choice; only the trace differs).
+            lag = max(
+                (c for c in cursors[:pivot] if c.docid < pivot_doc),
+                key=lambda c: c.tp.max_score,
+            )
+            lag.next_geq(pivot_doc)
+    return topk.finalize(k)
+
+
+def block_max_wand_kernel(terms: list[TermPostings], k: int,
+                          doc_lens: np.ndarray, stats: Stats) -> tuple[np.ndarray, np.ndarray]:
+    """BMW (block_max_wand_query.hpp:8-167): WAND pivot + block-max
+    refinement + jump to min block boundary when the shallow check
+    fails."""
+    cursors = [_Cursor(tp) for tp in terms if len(tp.doc_payloads)]
+    topk = _TopK(k)
+    while True:
+        cursors = [c for c in cursors if not c.done]
+        if not cursors:
+            break
+        cursors.sort(key=lambda c: c.docid)
+        ub, pivot = 0.0, -1
+        for i, c in enumerate(cursors):
+            ub += c.tp.max_score
+            if topk.would_enter(ub):
+                pivot = i
+                break
+        if pivot < 0:
+            break
+        pivot_doc = cursors[pivot].docid
+        # Extend pivot over cursors tied at pivot_doc so the shallow
+        # check bounds the doc's FULL score (reference does the same,
+        # block_max_wand_query.hpp pivot extension) — without this the
+        # jump skips docs whose extra tied lists push them over θ.
+        while pivot + 1 < len(cursors) and cursors[pivot + 1].docid == pivot_doc:
+            pivot += 1
+        if cursors[0].docid == pivot_doc:
+            # Shallow check: blocks already contain pivot_doc (cursors
+            # 0..pivot are positioned AT pivot_doc); sum block maxes.
+            block_ub = 0.0
+            for c in cursors[: pivot + 1]:
+                block_ub += c.block_max_score()
+            if topk.would_enter(block_ub):
+                score = 0
+                for c in cursors:
+                    if c.docid != pivot_doc:
+                        break
+                    score += _cursor_score(c, doc_lens, stats)
+                topk.insert(score, pivot_doc)
+                for c in cursors:
+                    if c.docid == pivot_doc:
+                        c.next()
+            else:
+                # Jump past the limiting block boundary (:120-156).
+                nxt = min(c.block_last_doc() for c in cursors[: pivot + 1]) + 1
+                if pivot + 1 < len(cursors):
+                    nxt = min(nxt, cursors[pivot + 1].docid)
+                nxt = max(nxt, pivot_doc + 1)
+                for c in cursors[: pivot + 1]:
+                    if c.docid < nxt:
+                        c.next_geq(nxt)
+        else:
+            lag = max(
+                (c for c in cursors[:pivot] if c.docid < pivot_doc),
+                key=lambda c: c.tp.max_score,
+            )
+            lag.next_geq(pivot_doc)
+    return topk.finalize(k)
+
+
+def maxscore_kernel(terms: list[TermPostings], k: int, doc_lens: np.ndarray,
+                    stats: Stats) -> tuple[np.ndarray, np.ndarray]:
+    """Batch-vectorized MaxScore (maxscore_query.hpp:13-143).
+
+    Phase 0: seed threshold θ from fully scoring the highest-impact
+    term (vectorized). Phase 1: essential lists = minimal suffix of
+    the max-score-ascending order whose prefix of non-essential upper
+    bounds can't reach θ; aggregate essential postings TAAT-style.
+    Phase 2: for surviving candidates (partial + non-essential bound >
+    θ), add non-essential contributions via vectorized searchsorted
+    lookups; final exact top-k. Produces exactly the exhaustive
+    result — pruning only skips docs provably below the k-th score.
+    """
+    if not terms:
+        return np.empty(0, np.int64), np.empty(0, np.float64)
+    order = sorted(terms, key=lambda t: t.max_score)  # ascending
+    prefix_ub = np.cumsum([t.max_score for t in order])  # bound of lists 0..i
+
+    # Phase 0: θ seed from the top-impact list alone (a lower bound on
+    # the true k-th score), slackened by the rounding margin.
+    top = order[-1]
+    docs_t, tfs_t = top.decode_all()
+    scores_t = _score(top, tfs_t, docs_t, doc_lens, stats)
+    if len(scores_t) >= k:
+        theta = float(np.partition(scores_t, -k)[-k]) - PRUNE_EPS
+    else:
+        theta = 0.0  # micro units throughout
+
+    # Non-essential = maximal prefix whose combined upper bound stays
+    # strictly below θ: a doc appearing ONLY there can never reach the
+    # top-k (not even as a rounding tie, thanks to the θ slack).
+    split = int(np.searchsorted(prefix_ub, theta, side="left"))
+    split = min(split, len(order) - 1)  # top list is always essential
+    non_essential, essential = order[:split], order[split:]
+
+    parts_d, parts_s = [], []
+    for tp in essential:
+        docs, tfs = tp.decode_all()
+        parts_d.append(docs)
+        parts_s.append(_score(tp, tfs, docs, doc_lens, stats))
+    docs, partial = _aggregate(np.concatenate(parts_d), np.concatenate(parts_s))
+
+    ne_bound = float(prefix_ub[split - 1]) if split > 0 else 0.0
+    alive = partial + ne_bound >= theta
+    docs, partial = docs[alive], partial[alive]
+    for tp in non_essential:
+        t_docs, t_tfs = tp.decode_all()
+        if len(t_docs) == 0 or len(docs) == 0:
+            continue
+        pos = np.searchsorted(t_docs, docs)
+        pos_c = np.minimum(pos, len(t_docs) - 1)
+        hit = t_docs[pos_c] == docs
+        if hit.any():
+            sc = _score(tp, t_tfs[pos_c[hit]], docs[hit], doc_lens, stats)
+            partial[hit] += sc
+    return _finalize(docs, partial, k)

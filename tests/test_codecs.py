@@ -52,3 +52,10 @@ def test_varint_wire_format():
     assert varint_encode(np.array([127], dtype=np.uint32)) == bytes([0xFF])
     # 128 = 0b1000_0000 -> chunks [0, 1] -> bytes [0x00, 0x81]
     assert varint_encode(np.array([128], dtype=np.uint32)) == bytes([0x00, 0x81])
+
+
+@pytest.mark.parametrize("codec", list(CODECS))
+def test_roundtrip_u64(codec):
+    enc, dec = CODECS[codec]
+    vals = np.array([0, 2**32, 2**40 + 7, 2**63 - 1, 10**12], dtype=np.uint64)
+    np.testing.assert_array_equal(dec(enc(vals), len(vals)), vals)

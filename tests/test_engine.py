@@ -1,0 +1,232 @@
+"""End-to-end build + query tests on the synthetic pages corpus.
+
+Mirrors the reference's algorithm-agreement strategy
+(test/test_ranked_queries.cpp:99-144): every pruned kernel must be
+rank-identical to the exhaustive oracle on the same index, across the
+whole query set — here with EXACT equality (same rounding + docID
+tie-break on both sides), which is stricter than the reference's
+relative-epsilon check.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from pisa_spark.config import EngineConfig, IndexConfig
+from pisa_spark.corpus import synth_pages, synth_queries
+from pisa_spark.index import build_index
+from pisa_spark.query.executor import boolean_query, topk_range, topk_search
+from pisa_spark.query.parser import parse_queries
+
+N_DOCS = 400
+N_QUERIES = 30
+
+
+@pytest.fixture(scope="module")
+def index(spark):
+    pages = synth_pages(spark, N_DOCS, vocab_size=800, max_len=120)
+    # Tiny salt buckets so multi-bucket stitching is actually exercised.
+    cfg = EngineConfig(index=IndexConfig(salt_bucket_docs=128))
+    return build_index(spark, pages, cfg)
+
+
+@pytest.fixture(scope="module")
+def parsed(spark, index):
+    qdf = spark.createDataFrame(synth_queries(N_QUERIES, vocab_size=800))
+    return parse_queries(qdf, index.lexicon, pre_tokenized=True).persist()
+
+
+@pytest.fixture(scope="module")
+def oracle_topk(spark, index, parsed):
+    """Exhaustive ranked_or as a pure Spark SQL plan over long postings."""
+    from pisa_spark.functions.scoring import bm25_sql_expr, dlit, micro_sql
+
+    scored = (
+        parsed.join(index.postings, "term_id")
+        .join(index.doc_sizes, "doc_id")
+        .join(index.lexicon.select("term_id", "df"), "term_id")
+        .withColumn(
+            "s",
+            F.expr(
+                micro_sql(
+                    bm25_sql_expr(
+                        num_docs=dlit(index.num_docs),
+                        avg_len=dlit(index.avg_len),
+                    ),
+                    weight="weight",
+                )
+            ),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg((F.sum("s") / F.lit(1e6)).alias("score"))
+        .filter(F.col("score") > 0)
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "rank", "doc_id", "score")
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+
+
+def _fetch(df) -> pd.DataFrame:
+    return (
+        df.toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+        .astype({"rank": "int64", "doc_id": "int64"})
+    )
+
+
+def test_index_invariants(index):
+    # Σ tf per doc == doc_len; postings per term == df
+    # (mirrors test/cli/test_count_postings.sh:9-19 invariants).
+    tf_per_doc = index.postings.groupBy("doc_id").agg(
+        F.sum("tf").alias("s")
+    )
+    joined = tf_per_doc.join(index.doc_sizes, "doc_id")
+    bad = joined.filter(F.col("s") != F.col("doc_len")).count()
+    assert bad == 0
+    df_check = index.postings.groupBy("term_id").count()
+    bad2 = (
+        df_check.join(index.lexicon, "term_id")
+        .filter(F.col("count") != F.col("df"))
+        .count()
+    )
+    assert bad2 == 0
+
+
+def test_segment_roundtrip(index):
+    # Decode-and-compare every posting (the --check pass,
+    # src/compress.cpp:108-110 / util/verify_collection.hpp).
+    from pisa_spark.build import decode_segments
+
+    decoded = decode_segments(index.segments, index.config.index)
+    diff = decoded.exceptAll(index.postings).count()
+    diff2 = index.postings.exceptAll(decoded).count()
+    assert diff == 0 and diff2 == 0
+
+
+@pytest.mark.parametrize(
+    "algorithm", ["ranked_or", "wand", "block_max_wand", "maxscore"]
+)
+def test_kernels_match_oracle(index, parsed, oracle_topk, algorithm):
+    got = _fetch(topk_search(index, parsed, algorithm=algorithm, k=10))
+    exp = oracle_topk.astype({"rank": "int64", "doc_id": "int64"})
+    pd.testing.assert_frame_equal(
+        got[["query_id", "rank", "doc_id"]], exp[["query_id", "rank", "doc_id"]]
+    )
+    np.testing.assert_allclose(got["score"], exp["score"], rtol=0, atol=1e-6)
+
+
+def test_range_executor_matches_oracle(index, parsed, oracle_topk):
+    got = _fetch(topk_range(index, parsed, algorithm="maxscore", k=10))
+    exp = oracle_topk.astype({"rank": "int64", "doc_id": "int64"})
+    pd.testing.assert_frame_equal(
+        got[["query_id", "rank", "doc_id"]], exp[["query_id", "rank", "doc_id"]]
+    )
+
+
+def test_ranked_and_matches_sql(spark, index, parsed):
+    got = (
+        topk_search(index, parsed, algorithm="ranked_and", k=10)
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    # SQL conjunction: docs containing ALL query terms.
+    from pisa_spark.functions.scoring import bm25_sql_expr, dlit, micro_sql
+    from pyspark.sql import Window
+
+    nterms = parsed.groupBy("query_id").agg(F.count("*").alias("n_terms"))
+    scored = (
+        parsed.join(index.postings, "term_id")
+        .join(index.doc_sizes, "doc_id")
+        .join(index.lexicon.select("term_id", "df"), "term_id")
+        .withColumn(
+            "s",
+            F.expr(
+                micro_sql(
+                    bm25_sql_expr(
+                        num_docs=dlit(index.num_docs),
+                        avg_len=dlit(index.avg_len),
+                    ),
+                    weight="weight",
+                )
+            ),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg((F.sum("s") / F.lit(1e6)).alias("score"), F.count("*").alias("nt"))
+        .join(nterms, "query_id")
+        .filter(F.col("nt") == F.col("n_terms"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    exp = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "rank", "doc_id", "score")
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[["query_id", "rank", "doc_id"]].astype({"doc_id": "int64"}),
+        exp[["query_id", "rank", "doc_id"]].astype({"doc_id": "int64"}),
+    )
+
+
+def test_boolean_and_or(spark, index, parsed):
+    got_and = boolean_query(index, parsed, "and").groupBy("query_id").count()
+    got_or = boolean_query(index, parsed, "or").groupBy("query_id").count()
+    nterms = parsed.groupBy("query_id").agg(F.count("*").alias("n_terms"))
+    exp_and = (
+        parsed.join(index.postings, "term_id")
+        .groupBy("query_id", "doc_id")
+        .agg(F.count("*").alias("nt"))
+        .join(nterms, "query_id")
+        .filter(F.col("nt") == F.col("n_terms"))
+        .groupBy("query_id")
+        .count()
+    )
+    exp_or = (
+        parsed.join(index.postings, "term_id")
+        .select("query_id", "doc_id")
+        .distinct()
+        .groupBy("query_id")
+        .count()
+    )
+    assert sorted(got_and.collect()) == sorted(exp_and.collect())
+    assert sorted(got_or.collect()) == sorted(exp_or.collect())
+
+
+def test_weighted_query_duplicates(spark, index):
+    # Duplicate term => weight 2 (query_freqs, src/query/queries.cpp:107-120).
+    lex_row = index.lexicon.orderBy(F.col("df").desc()).first()
+    term = lex_row["term"]
+    qdf = spark.createDataFrame(
+        pd.DataFrame({"query_id": ["qq"], "terms": [[term, term]], "k": [5]})
+    )
+    parsed = parse_queries(qdf, index.lexicon, pre_tokenized=True)
+    assert parsed.collect()[0]["weight"] == 2.0
+    got = topk_search(index, parsed, algorithm="block_max_wand", k=5).toPandas()
+    single = spark.createDataFrame(
+        pd.DataFrame({"query_id": ["qq"], "terms": [[term]], "k": [5]})
+    )
+    got1 = topk_search(
+        index, parse_queries(single, index.lexicon, pre_tokenized=True),
+        algorithm="block_max_wand", k=5,
+    ).toPandas()
+    merged = got.merge(got1, on="doc_id", suffixes=("_2", "_1"))
+    np.testing.assert_allclose(
+        merged["score_2"], (2 * merged["score_1"]).round(6), atol=2e-6
+    )
