@@ -3,8 +3,11 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+All implementations live in ``pisa_spark``; this module is a thin
+registry. See SURVEY.md §2 for the operator inventory each entry
+maps to.
 """
 
 from __future__ import annotations
@@ -15,24 +18,34 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: top-k BM25 disjunction (the exhaustive
+    ranked_or oracle plan) over sf0.001 documents — pure Spark SQL."""
+    from pisa_spark.gated import gated_queries
+
+    return gated_queries()["ranked_or_topk"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from pisa_spark.gated import gated_queries
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    q = dict(gated_queries())
+    try:
+        from pisa_spark.datapipe.entries import datapipe_queries
+
+        q.update(datapipe_queries())
+    except ImportError:
+        pass
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from pisa_spark.gated import gated_oracle_sql
+
+    o = dict(gated_oracle_sql())
+    try:
+        from pisa_spark.datapipe.entries import datapipe_oracle_sql
+
+        o.update(datapipe_oracle_sql())
+    except ImportError:
+        pass
+    return o

@@ -1,0 +1,135 @@
+"""Driver-gate callables: Spark queries + DuckDB oracle SQL.
+
+Two kinds of entries:
+
+- **SQL-native**: the Spark side executes the SAME generated SQL
+  (spark dialect) over a temp view of ``documents.parquet`` — pure
+  Catalyst, whole-stage codegen; the oracle is the DuckDB dialect of
+  the identical skeleton. Agreement is by construction.
+- **Kernel-path**: the Spark side runs the REAL engine — tokenize ->
+  invert -> salted block segments -> numpy kernel via applyInPandas —
+  and the oracle is the exhaustive ranked_or SQL. These entries are
+  the driver-visible form of the reference's algorithm-agreement
+  tests (test/test_ranked_queries.cpp:99-144): BMW/WAND/MaxScore over
+  compressed postings must reproduce the exhaustive top-k
+  rank-identically, cross-engine.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from pisa_spark.config import AnalyzerConfig, EngineConfig, IndexConfig
+from pisa_spark.gated.sql import (
+    DIALECT_DUCKDB,
+    DIALECT_SPARK,
+    GATED_QUERIES,
+    K,
+    core_sql_entries,
+)
+
+_SPARK_SQL = core_sql_entries(DIALECT_SPARK)
+_DUCK_SQL = core_sql_entries(DIALECT_DUCKDB)
+
+# Engine config for the documents corpus: whitespace tokenizer +
+# lowercase (matches the SQL tokenization exactly); small salt buckets
+# so the gate exercises multi-bucket segment stitching even at 500 docs.
+_GATE_CONFIG = EngineConfig(
+    analyzer=AnalyzerConfig(tokenizer="whitespace"),
+    index=IndexConfig(salt_bucket_docs=256),
+)
+
+_INDEX_CACHE: dict[str, object] = {}
+
+
+def _register_documents(spark: SparkSession, sf_dir: str) -> None:
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
+        "documents"
+    )
+
+
+def _run_sql(name: str):
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _register_documents(spark, sf_dir)
+        return spark.sql(_SPARK_SQL[name])
+
+    fn.__name__ = f"gated_{name}"
+    return fn
+
+
+def _get_index(spark: SparkSession, sf_dir: str):
+    if sf_dir not in _INDEX_CACHE:
+        from pisa_spark.corpus import pages_from_documents
+        from pisa_spark.index import build_index
+
+        pages = pages_from_documents(spark, sf_dir)
+        _INDEX_CACHE[sf_dir] = build_index(spark, pages, _GATE_CONFIG)
+    return _INDEX_CACHE[sf_dir]
+
+
+def _queries_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "query_id": [q for q, _ in GATED_QUERIES],
+                "terms": [t for _, t in GATED_QUERIES],
+                "k": [K] * len(GATED_QUERIES),
+            }
+        ),
+        schema="query_id string, terms array<string>, k int",
+    )
+
+
+def _run_kernel(algorithm: str, range_mode: bool = False):
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pisa_spark.query.executor import topk_range, topk_search
+        from pisa_spark.query.parser import parse_queries
+
+        index = _get_index(spark, sf_dir)
+        parsed = parse_queries(
+            _queries_df(spark), index.lexicon, pre_tokenized=True
+        )
+        if range_mode:
+            return topk_range(index, parsed, algorithm=algorithm, k=K)
+        return topk_search(index, parsed, algorithm=algorithm, k=K)
+
+    fn.__name__ = f"gated_{'range_' if range_mode else ''}{algorithm}"
+    return fn
+
+
+def _decode_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment round-trip decode (compress --check): the engine's
+    block-compressed segments decoded back to long-format postings
+    must equal the SQL-derived postings table."""
+    from pisa_spark.build import decode_segments
+
+    index = _get_index(spark, sf_dir)
+    return decode_segments(index.segments, index.config.index).orderBy(
+        "term_id", "doc_id"
+    )
+
+
+def gated_queries():
+    q = {name: _run_sql(name) for name in _SPARK_SQL}
+    q["bmw_topk"] = _run_kernel("block_max_wand")
+    q["wand_topk"] = _run_kernel("wand")
+    q["maxscore_topk"] = _run_kernel("maxscore")
+    q["taat_ranked_or_topk"] = _run_kernel("ranked_or")
+    q["range_maxscore_topk"] = _run_kernel("maxscore", range_mode=True)
+    q["segments_decode_check"] = _decode_check
+    return q
+
+
+def gated_oracle_sql():
+    o = dict(_DUCK_SQL)
+    for name in (
+        "bmw_topk",
+        "wand_topk",
+        "maxscore_topk",
+        "taat_ranked_or_topk",
+        "range_maxscore_topk",
+    ):
+        o[name] = _DUCK_SQL["ranked_or_topk"]
+    o["segments_decode_check"] = _DUCK_SQL["postings"]
+    return o
