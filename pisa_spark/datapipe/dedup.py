@@ -1,0 +1,279 @@
+"""Deduplication operators over the documents corpus.
+
+Five dedup families, each an idiomatic DataFrame job plus a DuckDB
+oracle generator producing value-identical output (all scores are
+integer-quantized; all hashing goes through md5 — hashing.py):
+
+- exact_dedup            hash-groupBy on md5(text): canonical doc per
+                         content hash (the 100 TB baseline dedup)
+- ngram_jaccard_pairs    exhaustive k-token-shingle Jaccard >= tau
+- minhash_lsh_pairs      MinHash signatures -> banded LSH candidate
+                         pairs -> exact-Jaccard verification
+- simhash_pairs          60-bit SimHash fingerprints -> chunk-join
+                         candidates -> Hamming <= max_hamming
+- embedding_dup_pairs    near-duplicate embedding pairs by quantized
+                         cosine (similarity.py does the matrix math)
+
+Scale notes (100 TB):
+- exact: single hash-shuffle with map-side combine; skew-free (md5
+  keys are uniform).
+- ngram Jaccard's shingle self-join explodes on ubiquitous shingles;
+  at scale drop shingles with document frequency above a cap before
+  the join (stopword-shingle pruning) — the MinHash path is the
+  intended scale path, this operator is its exact oracle.
+- MinHash: signature aggregation is 1 shuffle on doc_id with partial
+  min-aggs; band join groups by 4-int band keys — giant buckets
+  (boilerplate text) need a bucket-size cap, then pair generation is
+  bounded. Verification joins only candidate pairs.
+- SimHash: fingerprint = 60 conditional sums (one shuffle, partial
+  aggs); candidates via 4x 15-bit-chunk equi-joins (pigeonhole: any
+  pair with Hamming <= 3 shares at least one chunk) — no cross join
+  at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from pisa_spark.datapipe.hashing import M31, minhash_coeffs
+from pisa_spark.datapipe.tokens import shingle_cte, shingles_df
+from pisa_spark.functions.scoring import dlit
+
+TAU_MICRO = 800_000  # Jaccard threshold 0.8 in micro units
+SIM_BITS = 60
+SIM_CHUNKS = 4  # 15-bit chunks; pigeonhole covers Hamming <= SIM_CHUNKS-1
+MAX_HAMMING = 3
+
+
+# ------------------------------------------------------------------- exact
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """(text_md5, keeper_doc_id, n_docs): one canonical doc per
+    distinct text; n_docs > 1 rows are the duplicate groups."""
+    return (
+        docs.groupBy(F.md5("text").alias("text_md5"))
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count("*").alias("n_docs"),
+        )
+    )
+
+
+def exact_dedup_oracle() -> str:
+    return (
+        "SELECT md5(text) AS text_md5, MIN(doc_id) AS keeper_doc_id,\n"
+        "       CAST(COUNT(*) AS BIGINT) AS n_docs\n"
+        "FROM documents GROUP BY md5(text)"
+    )
+
+
+# ----------------------------------------------------------- n-gram Jaccard
+
+def _jaccard_from_shingles(shd: DataFrame, pairs: DataFrame | None = None) -> DataFrame:
+    """shd(doc_id, sh) -> (doc_a, doc_b, jaccard_micro >= tau).
+
+    ``pairs`` restricts to candidate (doc_a, doc_b) pairs (the LSH
+    verification path); None means exhaustive shared-shingle pairs.
+    """
+    cnt = shd.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = shd.alias("a")
+    b = shd.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("i"))
+    )
+    if pairs is not None:
+        inter = inter.join(pairs, ["doc_a", "doc_b"])
+    joined = (
+        inter.join(cnt.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+        .join(cnt.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+    )
+    jac = F.expr(
+        f"CAST(FLOOR(CAST(i AS DOUBLE) * {dlit(1e6)} / (na + nb - i) + {dlit(0.5)}) AS BIGINT)"
+    )
+    return (
+        joined.withColumn("jaccard_micro", jac)
+        .filter(F.col("jaccard_micro") >= TAU_MICRO)
+        .select("doc_a", "doc_b", "jaccard_micro")
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, k: int = 3) -> DataFrame:
+    return _jaccard_from_shingles(shingles_df(docs, k))
+
+
+def _jaccard_tail_sql(inter_src: str) -> str:
+    """Shared SQL tail: intersection counts -> thresholded pairs."""
+    return f"""cnt AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+  FROM shd a JOIN shd b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+){inter_src}
+SELECT i.doc_a, i.doc_b,
+       CAST(FLOOR(CAST(i.i AS DOUBLE) * {dlit(1e6)} / (ca.n + cb.n - i.i)
+                  + {dlit(0.5)}) AS BIGINT) AS jaccard_micro
+FROM inter i
+JOIN cnt ca ON ca.doc_id = i.doc_a
+JOIN cnt cb ON cb.doc_id = i.doc_b"""
+
+
+def ngram_jaccard_oracle(k: int = 3) -> str:
+    return f"""WITH {shingle_cte(k)},
+{_jaccard_tail_sql('')}
+WHERE CAST(FLOOR(CAST(i.i AS DOUBLE) * {dlit(1e6)} / (ca.n + cb.n - i.i)
+                 + {dlit(0.5)}) AS BIGINT) >= {TAU_MICRO}"""
+
+
+# -------------------------------------------------------------- MinHash LSH
+
+NUM_PERM = 32
+BAND_ROWS = 4  # 8 bands x 4 rows
+
+
+def minhash_signatures(docs: DataFrame, k: int = 3, num_perm: int = NUM_PERM) -> DataFrame:
+    """(doc_id, s0..s{num_perm-1}) MinHash signature columns — one
+    shuffle on doc_id, num_perm partial min-aggregations."""
+    a, b = minhash_coeffs(num_perm)
+    shd = shingles_df(docs, k)
+    aggs = [
+        F.min(F.expr(f"({a[j]} * sh + {b[j]}) % {M31}")).alias(f"s{j}")
+        for j in range(num_perm)
+    ]
+    return shd.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(docs: DataFrame, k: int = 3, num_perm: int = NUM_PERM,
+                      band_rows: int = BAND_ROWS) -> DataFrame:
+    """Banded-LSH candidates, then exact-Jaccard verification: output
+    equals ngram_jaccard_pairs restricted to LSH-recalled pairs."""
+    sig = minhash_signatures(docs, k, num_perm).persist()
+    n_bands = num_perm // band_rows
+    cands = None
+    for band in range(n_bands):
+        cols = [f"s{band * band_rows + r}" for r in range(band_rows)]
+        x = sig.select(F.col("doc_id").alias("doc_a"), *cols)
+        y = sig.select(F.col("doc_id").alias("doc_b"), *cols)
+        c = x.join(y, cols).filter(F.col("doc_a") < F.col("doc_b")).select("doc_a", "doc_b")
+        cands = c if cands is None else cands.unionByName(c)
+    pairs = cands.distinct()
+    return _jaccard_from_shingles(shingles_df(docs, k), pairs)
+
+
+def minhash_lsh_oracle(k: int = 3, num_perm: int = NUM_PERM,
+                       band_rows: int = BAND_ROWS) -> str:
+    a, b = minhash_coeffs(num_perm)
+    sig_cols = ",\n         ".join(
+        f"MIN(({a[j]} * sh + {b[j]}) % {M31}) AS s{j}" for j in range(num_perm)
+    )
+    n_bands = num_perm // band_rows
+    band_conds = []
+    for band in range(n_bands):
+        cols = [f"s{band * band_rows + r}" for r in range(band_rows)]
+        band_conds.append("(" + " AND ".join(f"x.{c} = y.{c}" for c in cols) + ")")
+    bands_or = "\n        OR ".join(band_conds)
+    cand_cte = f""",
+sig AS (SELECT doc_id, {sig_cols} FROM shd GROUP BY doc_id),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM sig x JOIN sig y ON x.doc_id < y.doc_id
+  WHERE {bands_or}
+),
+inter0 AS (
+  SELECT i0.doc_a, i0.doc_b, i0.i FROM (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+    FROM shd a JOIN shd b ON a.sh = b.sh AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+  ) i0 JOIN cand c ON c.doc_a = i0.doc_a AND c.doc_b = i0.doc_b
+)"""
+    return f"""WITH {shingle_cte(k)}{cand_cte},
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY doc_id)
+SELECT i.doc_a, i.doc_b,
+       CAST(FLOOR(CAST(i.i AS DOUBLE) * {dlit(1e6)} / (ca.n + cb.n - i.i)
+                  + {dlit(0.5)}) AS BIGINT) AS jaccard_micro
+FROM inter0 i
+JOIN cnt ca ON ca.doc_id = i.doc_a
+JOIN cnt cb ON cb.doc_id = i.doc_b
+WHERE CAST(FLOOR(CAST(i.i AS DOUBLE) * {dlit(1e6)} / (ca.n + cb.n - i.i)
+                 + {dlit(0.5)}) AS BIGINT) >= {TAU_MICRO}"""
+
+
+# ------------------------------------------------------------------ SimHash
+
+def _hash60_term_spark() -> F.Column:
+    from pisa_spark.datapipe.hashing import hash60_sql
+
+    return F.expr(hash60_sql("term", "spark"))
+
+
+def simhash_fingerprints(docs: DataFrame) -> DataFrame:
+    """(doc_id, fp): 60-bit SimHash — per-occurrence token hashes
+    vote +1/-1 per bit; fp bit b set iff the sum is >= 0.
+
+    One shuffle (groupBy doc_id) with 60 partial conditional sums —
+    no per-row Python anywhere.
+    """
+    from pisa_spark.datapipe.tokens import tokens_df
+
+    tokh = tokens_df(docs).select("doc_id", _hash60_term_spark().alias("h"))
+    aggs = [
+        F.sum(
+            F.when(F.expr(f"(h >> {b}) & 1") == 1, 1).otherwise(-1)
+        ).alias(f"c{b}")
+        for b in range(SIM_BITS)
+    ]
+    sums = tokh.groupBy("doc_id").agg(*aggs)
+    fp = " + ".join(
+        f"(CASE WHEN c{b} >= 0 THEN CAST({1 << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for b in range(SIM_BITS)
+    )
+    return sums.select("doc_id", F.expr(fp).alias("fp"))
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = MAX_HAMMING) -> DataFrame:
+    """(doc_a, doc_b, hamming <= max_hamming).
+
+    Candidates come from {SIM_CHUNKS} 15-bit-chunk equi-joins: any
+    pair within Hamming {SIM_CHUNKS}-1 must agree on >= 1 chunk
+    (pigeonhole), so the union of chunk joins has perfect recall for
+    max_hamming <= {SIM_CHUNKS}-1 with NO cross join.
+    """
+    assert max_hamming < SIM_CHUNKS
+    fps = simhash_fingerprints(docs).persist()
+    chunk_w = SIM_BITS // SIM_CHUNKS
+    cands = None
+    for ci in range(SIM_CHUNKS):
+        ch = F.expr(f"(fp >> {ci * chunk_w}) & {(1 << chunk_w) - 1}")
+        x = fps.select(F.col("doc_id").alias("doc_a"), F.col("fp").alias("fa"), ch.alias("ch"))
+        y = fps.select(F.col("doc_id").alias("doc_b"), F.col("fp").alias("fb"), ch.alias("ch"))
+        c = x.join(y, "ch").filter(F.col("doc_a") < F.col("doc_b")).select("doc_a", "doc_b", "fa", "fb")
+        cands = c if cands is None else cands.unionByName(c)
+    return (
+        cands.distinct()
+        .withColumn("hamming", F.expr("CAST(bit_count(fa ^ fb) AS BIGINT)"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def simhash_oracle(max_hamming: int = MAX_HAMMING) -> str:
+    from pisa_spark.datapipe.hashing import hash60_sql
+    from pisa_spark.datapipe.tokens import TOK_CTE
+
+    sums = ",\n         ".join(
+        f"SUM(CASE WHEN ((h >> {b}) & 1) = 1 THEN 1 ELSE -1 END) AS c{b}"
+        for b in range(SIM_BITS)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN c{b} >= 0 THEN CAST({1 << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for b in range(SIM_BITS)
+    )
+    return f"""WITH {TOK_CTE},
+tokh AS (SELECT doc_id, {hash60_sql('term', 'duckdb')} AS h FROM tok),
+sums AS (SELECT doc_id, {sums} FROM tokh GROUP BY doc_id),
+fps AS (SELECT doc_id, {fp} AS fp FROM sums)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.fp, b.fp)) <= {max_hamming}"""

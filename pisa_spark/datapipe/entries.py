@@ -1,0 +1,79 @@
+"""Driver-gate entries for the training-data pipeline operators.
+
+Every entry pairs an idiomatic Spark job (DataFrame API / pandas
+kernels) with a DuckDB oracle that reproduces the result
+value-exactly (integer-quantized math throughout — see the module
+docstrings). ``dedup_minhash_lsh`` and ``ann_ivf_topk`` are
+approximate ALGORITHMS, but their oracles implement the identical
+algorithm, so agreement is still exact; their recall vs the
+exhaustive operators is pinned separately in tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from pisa_spark.datapipe import dedup, multimodal, similarity, textstats
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pisa_spark.corpus import pages_from_documents
+
+    return pages_from_documents(spark, sf_dir)
+
+
+def datapipe_queries():
+    return {
+        "dedup_exact": lambda s, d: dedup.exact_dedup(_docs(s, d)),
+        "dedup_ngram_jaccard": lambda s, d: dedup.ngram_jaccard_pairs(_docs(s, d)),
+        "dedup_minhash_lsh": lambda s, d: dedup.minhash_lsh_pairs(_docs(s, d)),
+        "dedup_simhash": lambda s, d: dedup.simhash_pairs(_docs(s, d)),
+        "dedup_embedding_cosine": lambda s, d: similarity.embedding_dup_pairs(_emb(s, d)),
+        "ann_cosine_topk": lambda s, d: similarity.ann_topk(_emb(s, d)),
+        "ann_ivf_topk": lambda s, d: similarity.ivf_topk(_emb(s, d)),
+        "lang_id": lambda s, d: textstats.lang_id(_docs(s, d)),
+        "quality_score": lambda s, d: textstats.quality_score(_docs(s, d)),
+        "token_counts": lambda s, d: textstats.token_counts(_docs(s, d)),
+        "doc_fingerprints": lambda s, d: textstats.doc_fingerprints(_docs(s, d)),
+        "mm_blob_meta": lambda s, d: multimodal.blob_meta(_pages(s, d)),
+        "mm_frame_sample": lambda s, d: multimodal.frame_sample(_pages(s, d)),
+        "mm_decode_stub": lambda s, d: multimodal.decode_blobs(_pages(s, d)),
+    }
+
+
+def datapipe_oracle_sql():
+    return {
+        "dedup_exact": dedup.exact_dedup_oracle(),
+        "dedup_ngram_jaccard": dedup.ngram_jaccard_oracle(),
+        "dedup_minhash_lsh": dedup.minhash_lsh_oracle(),
+        "dedup_simhash": dedup.simhash_oracle(),
+        "dedup_embedding_cosine": similarity.embedding_dup_oracle(),
+        "ann_cosine_topk": similarity.ann_topk_oracle(),
+        "ann_ivf_topk": similarity.ivf_topk_oracle(),
+        "lang_id": textstats.lang_id_oracle(),
+        "quality_score": textstats.quality_score_oracle(),
+        "token_counts": textstats.token_counts_oracle(),
+        "doc_fingerprints": textstats.doc_fingerprints_oracle(),
+        "mm_blob_meta": multimodal.blob_meta_oracle(),
+        "mm_frame_sample": multimodal.frame_sample_oracle(),
+        # mm_decode_stub: fake-decoder output is not SQL-expressible
+        # (byte-level mean over binary) -> rows-only check by design.
+    }
+
+
+def bench_jobs():
+    """Headline datapipe jobs timed by bench.py (count() forces)."""
+    return {
+        "dedup_minhash_lsh": lambda s, d: dedup.minhash_lsh_pairs(_docs(s, d)).count(),
+        "dedup_simhash": lambda s, d: dedup.simhash_pairs(_docs(s, d)).count(),
+        "ann_cosine_topk": lambda s, d: similarity.ann_topk(_emb(s, d)).count(),
+        "quality_score": lambda s, d: textstats.quality_score(_docs(s, d)).count(),
+    }

@@ -1,0 +1,328 @@
+"""Embedding similarity: near-dup pairs + ANN top-k (brute force & IVF).
+
+Cross-engine exactness: every embedding component is quantized to an
+int (``q = FLOOR(x*1e4 + 0.5)``) BEFORE any arithmetic, so dot
+products and squared norms are order-independent int64 sums that
+DuckDB reproduces exactly; the only float ops are one SQRT and one
+division on exact integers (IEEE-identical everywhere):
+
+    cos_micro = FLOOR(dot_q / (SQRT(na_q) * SQRT(nb_q)) * 1e6 + 0.5)
+
+Spark side: the embedding matrix rides a broadcast into
+``mapInPandas`` numpy kernels (int64 GEMM) — the brute-force scale
+pattern is "broadcast the small query side, stream the 100 TB base
+side per partition, emit partial top-k, merge with a window", which
+is exactly what ``ann_topk`` does. ``ivf_topk`` adds the
+coarse-quantizer scale path: assign base vectors to centroid cells,
+probe only the closest cells per query.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+
+from pisa_spark.functions.scoring import dlit
+
+QSCALE = 10_000.0  # per-component quantization
+# Near-dup threshold. The synthetic embeddings are not L2-clustered
+# tightly (max pairwise cosine ~0.51 at sf0.01), so the gate uses a
+# threshold that yields a non-trivial pair set; a production run
+# would use ~0.95.
+COS_TAU_MICRO = 400_000
+N_QUERIES = 10  # vec_id < N_QUERIES are the ANN query vectors
+N_CENTROIDS = 8  # vec_id < N_CENTROIDS seed the IVF coarse quantizer
+N_PROBE = 2
+
+
+def _quantize(mat: np.ndarray) -> np.ndarray:
+    return np.floor(mat.astype(np.float64) * QSCALE + 0.5).astype(np.int64)
+
+
+def _collect_matrix(emb: DataFrame) -> tuple[np.ndarray, np.ndarray]:
+    """(vec_ids, quantized matrix) sorted by vec_id. The collected
+    side must be the SMALL side (queries/centroids/near-dup base at
+    test scale); at 100 TB the base side streams through mapInPandas
+    and is never collected."""
+    rows = emb.select("vec_id", "embedding").orderBy("vec_id").collect()
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    return ids, _quantize(mat)
+
+
+def _cos_micro(dot_q: np.ndarray, na: np.ndarray, nb: np.ndarray) -> np.ndarray:
+    denom = np.sqrt(na.astype(np.float64)) * np.sqrt(nb.astype(np.float64))
+    return np.floor(dot_q / denom * 1e6 + 0.5).astype(np.int64)
+
+
+# ------------------------------------------------------------ near-dup pairs
+
+def embedding_dup_pairs(emb: DataFrame, tau_micro: int = COS_TAU_MICRO) -> DataFrame:
+    """(vec_a, vec_b, cos_micro >= tau): quantized-cosine near-dups.
+
+    Streams base partitions against a broadcast copy; each task does
+    one int64 GEMM block. (At 100 TB the broadcast side becomes an
+    LSH/IVF prefilter; this exhaustive form is its oracle.)"""
+    spark = emb.sparkSession
+    ids, q = _collect_matrix(emb)
+    norms = (q * q).sum(axis=1)
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_q = spark.sparkContext.broadcast(q)
+    b_norms = spark.sparkContext.broadcast(norms)
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            a_ids = pdf["vec_id"].to_numpy(np.int64)
+            a_q = _quantize(np.array(list(pdf["embedding"]), dtype=np.float64))
+            a_n = (a_q * a_q).sum(axis=1)
+            dots = a_q @ b_q.value.T  # int64 GEMM
+            cm = _cos_micro(dots, a_n[:, None], b_norms.value[None, :])
+            ai, bi = np.nonzero(
+                (cm >= tau_micro) & (a_ids[:, None] < b_ids.value[None, :])
+            )
+            yield pd.DataFrame(
+                {
+                    "vec_a": a_ids[ai],
+                    "vec_b": b_ids.value[bi],
+                    "cos_micro": cm[ai, bi],
+                }
+            )
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        kernel, "vec_a long, vec_b long, cos_micro long"
+    )
+
+
+def _quant_dot_cte(left: str, right: str) -> str:
+    """DuckDB CTE body: quantized components + pairwise dot/norms."""
+    return f"""qc AS (
+  SELECT vec_id,
+         CAST(FLOOR(e.val * {dlit(QSCALE)} + {dlit(0.5)}) AS BIGINT) AS q,
+         e.pos
+  FROM (
+    SELECT vec_id, unnest(embedding) AS val,
+           generate_subscripts(embedding, 1) AS pos
+    FROM embeddings
+  ) e
+),
+nrm AS (SELECT vec_id, SUM(q * q) AS n2 FROM qc GROUP BY vec_id),
+dots AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb, SUM(a.q * b.q) AS dot
+  FROM qc a JOIN qc b ON a.pos = b.pos AND {left} AND {right}
+  GROUP BY a.vec_id, b.vec_id
+)"""
+
+
+_COS_EXPR = (
+    f"CAST(FLOOR(CAST(d.dot AS DOUBLE) / (SQRT(CAST(na.n2 AS DOUBLE)) *"
+    f" SQRT(CAST(nb.n2 AS DOUBLE))) * {dlit(1e6)} + {dlit(0.5)}) AS BIGINT)"
+)
+
+
+def embedding_dup_oracle(tau_micro: int = COS_TAU_MICRO) -> str:
+    return f"""WITH {_quant_dot_cte('a.vec_id < b.vec_id', 'TRUE')}
+SELECT d.va AS vec_a, d.vb AS vec_b, {_COS_EXPR} AS cos_micro
+FROM dots d
+JOIN nrm na ON na.vec_id = d.va
+JOIN nrm nb ON nb.vec_id = d.vb
+WHERE {_COS_EXPR} >= {tau_micro}"""
+
+
+# ----------------------------------------------------------------- ANN topk
+
+def ann_topk(emb: DataFrame, k: int = 10, n_queries: int = N_QUERIES) -> DataFrame:
+    """(q_vec_id, rank, vec_id, cos_micro): exact cosine top-k of each
+    query vector (vec_id < n_queries) over the base set, self
+    excluded. Partial scoring per base partition + window merge."""
+    spark = emb.sparkSession
+    queries = emb.filter(F.col("vec_id") < n_queries)
+    q_ids, q_mat = _collect_matrix(queries)
+    q_norms = (q_mat * q_mat).sum(axis=1)
+    bq = spark.sparkContext.broadcast((q_ids, q_mat, q_norms))
+
+    def kernel(batches):
+        q_ids_, q_mat_, q_norms_ = bq.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            b_ids = pdf["vec_id"].to_numpy(np.int64)
+            b_qm = _quantize(np.array(list(pdf["embedding"]), dtype=np.float64))
+            b_n = (b_qm * b_qm).sum(axis=1)
+            dots = q_mat_ @ b_qm.T
+            cm = _cos_micro(dots, q_norms_[:, None], b_n[None, :])
+            qi, bi = np.nonzero(q_ids_[:, None] != b_ids[None, :])
+            yield pd.DataFrame(
+                {
+                    "q_vec_id": q_ids_[qi],
+                    "vec_id": b_ids[bi],
+                    "cos_micro": cm[qi, bi],
+                }
+            )
+
+    scored = emb.select("vec_id", "embedding").mapInPandas(
+        kernel, "q_vec_id long, vec_id long, cos_micro long"
+    )
+    w = Window.partitionBy("q_vec_id").orderBy(
+        F.col("cos_micro").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_vec_id", F.col("rank").cast("long"), "vec_id", "cos_micro")
+    )
+
+
+def ann_topk_oracle(k: int = 10, n_queries: int = N_QUERIES) -> str:
+    return f"""WITH {_quant_dot_cte(f'a.vec_id < {n_queries}', 'a.vec_id <> b.vec_id')},
+scored AS (
+  SELECT d.va AS q_vec_id, d.vb AS vec_id, {_COS_EXPR} AS cos_micro
+  FROM dots d
+  JOIN nrm na ON na.vec_id = d.va
+  JOIN nrm nb ON nb.vec_id = d.vb
+),
+ranked AS (
+  SELECT q_vec_id, vec_id, cos_micro,
+         CAST(ROW_NUMBER() OVER (PARTITION BY q_vec_id
+                                 ORDER BY cos_micro DESC, vec_id ASC) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT q_vec_id, rank, vec_id, cos_micro FROM ranked WHERE rank <= {k}"""
+
+
+# ------------------------------------------------------------------ IVF ANN
+
+def ivf_topk(emb: DataFrame, k: int = 5, n_queries: int = N_QUERIES,
+             n_centroids: int = N_CENTROIDS, n_probe: int = N_PROBE) -> DataFrame:
+    """IVF coarse quantizer: cells seeded by the first n_centroids
+    vectors (deterministic, no training loop); every base vector is
+    assigned to its max-cosine cell; each query probes its n_probe
+    closest cells and ranks only those cells' members.
+
+    The scale path: base assignment is one broadcast-GEMM pass;
+    probing reads ~n_probe/n_centroids of the base. Top-k semantics
+    identical to ann_topk but restricted to probed cells.
+    """
+    spark = emb.sparkSession
+    c_ids, c_mat = _collect_matrix(emb.filter(F.col("vec_id") < n_centroids))
+    c_norms = (c_mat * c_mat).sum(axis=1)
+    bc = spark.sparkContext.broadcast((c_ids, c_mat, c_norms))
+
+    def assign(batches):
+        c_ids_, c_mat_, c_norms_ = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["vec_id"].to_numpy(np.int64)
+            q = _quantize(np.array(list(pdf["embedding"]), dtype=np.float64))
+            n2 = (q * q).sum(axis=1)
+            cm = _cos_micro(q @ c_mat_.T, n2[:, None], c_norms_[None, :])
+            # max cosine, tie -> lowest centroid index (argmax = first max)
+            cell = np.argmax(cm == cm.max(axis=1, keepdims=True), axis=1)
+            yield pd.DataFrame({"vec_id": ids, "cell": cell.astype(np.int64)})
+
+    assigned = emb.select("vec_id", "embedding").mapInPandas(
+        assign, "vec_id long, cell long"
+    )
+    base = emb.join(assigned, "vec_id")
+
+    # Queries probe their n_probe best cells (computed the same way).
+    queries = emb.filter(F.col("vec_id") < n_queries)
+    q_ids, q_mat = _collect_matrix(queries)
+    q_norms = (q_mat * q_mat).sum(axis=1)
+    qcm = _cos_micro(q_mat @ c_mat.T, q_norms[:, None], c_norms[None, :])
+    probe_rows = []
+    for qi, qid in enumerate(q_ids):
+        order = np.lexsort((np.arange(qcm.shape[1]), -qcm[qi]))[:n_probe]
+        for cell in order:
+            probe_rows.append((int(qid), int(cell)))
+    probes = spark.createDataFrame(
+        pd.DataFrame(probe_rows, columns=["q_vec_id", "cell"]),
+        schema="q_vec_id long, cell long",
+    )
+
+    bq = spark.sparkContext.broadcast((q_ids, q_mat, q_norms))
+
+    def score(batches):
+        q_ids_, q_mat_, q_norms_ = bq.value
+        pos = {int(v): i for i, v in enumerate(q_ids_)}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            b_ids = pdf["vec_id"].to_numpy(np.int64)
+            b_qm = _quantize(np.array(list(pdf["embedding"]), dtype=np.float64))
+            b_n = (b_qm * b_qm).sum(axis=1)
+            qrow = np.array([pos[int(x)] for x in pdf["q_vec_id"]], dtype=np.int64)
+            dots = np.einsum("ij,ij->i", q_mat_[qrow], b_qm)
+            cm = _cos_micro(dots, q_norms_[qrow], b_n)
+            keep = pdf["q_vec_id"].to_numpy(np.int64) != b_ids
+            yield pd.DataFrame(
+                {
+                    "q_vec_id": pdf["q_vec_id"].to_numpy(np.int64)[keep],
+                    "vec_id": b_ids[keep],
+                    "cos_micro": cm[keep],
+                }
+            )
+
+    cand = base.join(probes, "cell").select("q_vec_id", "vec_id", "embedding")
+    scored = cand.mapInPandas(score, "q_vec_id long, vec_id long, cos_micro long")
+    w = Window.partitionBy("q_vec_id").orderBy(
+        F.col("cos_micro").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_vec_id", F.col("rank").cast("long"), "vec_id", "cos_micro")
+    )
+
+
+def ivf_topk_oracle(k: int = 5, n_queries: int = N_QUERIES,
+                    n_centroids: int = N_CENTROIDS, n_probe: int = N_PROBE) -> str:
+    """Same IVF semantics in pure SQL: assignment = rank-1 cosine vs
+    centroid set; probes = rank<=n_probe cells; then windowed top-k."""
+    return f"""WITH {_quant_dot_cte('TRUE', f'b.vec_id < {n_centroids}')},
+cos_all AS (
+  SELECT d.va AS vec_id, d.vb AS centroid, {_COS_EXPR} AS cm
+  FROM dots d
+  JOIN nrm na ON na.vec_id = d.va
+  JOIN nrm nb ON nb.vec_id = d.vb
+),
+assign AS (
+  SELECT vec_id, centroid AS cell FROM (
+    SELECT vec_id, centroid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cm DESC, centroid ASC) AS r
+    FROM cos_all
+  ) WHERE r = 1
+),
+probes AS (
+  SELECT vec_id AS q_vec_id, centroid AS cell FROM (
+    SELECT vec_id, centroid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cm DESC, centroid ASC) AS r
+    FROM cos_all WHERE vec_id < {n_queries}
+  ) WHERE r <= {n_probe}
+),
+qc2 AS (SELECT * FROM qc),
+pairdots AS (
+  SELECT p.q_vec_id, a.vec_id, SUM(qa.q * qb.q) AS dot
+  FROM probes p
+  JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.q_vec_id
+  JOIN qc qa ON qa.vec_id = p.q_vec_id
+  JOIN qc2 qb ON qb.vec_id = a.vec_id AND qb.pos = qa.pos
+  GROUP BY p.q_vec_id, a.vec_id
+),
+scored AS (
+  SELECT pd.q_vec_id, pd.vec_id,
+         CAST(FLOOR(CAST(pd.dot AS DOUBLE) / (SQRT(CAST(na.n2 AS DOUBLE)) *
+              SQRT(CAST(nb.n2 AS DOUBLE))) * {dlit(1e6)} + {dlit(0.5)}) AS BIGINT) AS cos_micro
+  FROM pairdots pd
+  JOIN nrm na ON na.vec_id = pd.q_vec_id
+  JOIN nrm nb ON nb.vec_id = pd.vec_id
+)
+SELECT q_vec_id, rank, vec_id, cos_micro FROM (
+  SELECT q_vec_id, vec_id, cos_micro,
+         CAST(ROW_NUMBER() OVER (PARTITION BY q_vec_id
+                                 ORDER BY cos_micro DESC, vec_id ASC) AS BIGINT) AS rank
+  FROM scored
+) WHERE rank <= {k}"""

@@ -38,7 +38,10 @@ def normalize(df: pd.DataFrame) -> tuple[int, list[str], str]:
             df[c] = df[c].apply(
                 lambda v: bytes(v).hex() if isinstance(v, (bytes, bytearray)) else v
             )
-    rows = sorted(df.astype(str).agg("|".join, axis=1).tolist())
+    if len(df) == 0 or len(cols) == 0:
+        rows: list[str] = []
+    else:
+        rows = sorted(df.astype(str).agg("|".join, axis=1).tolist())
     h = hashlib.sha256("\n".join(rows).encode()).hexdigest()[:16]
     return len(df), cols, h
 

@@ -1,0 +1,225 @@
+"""Training-data pipeline operator tests (datapipe module).
+
+Mirrors the reference's agreement-test pattern (SURVEY §5.1): each
+approximate algorithm is checked against its exhaustive counterpart
+on the same corpus — MinHash-LSH vs exhaustive n-gram Jaccard,
+IVF-ANN vs brute-force ANN, SimHash chunk-join vs cross-join.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").persist()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").persist()
+
+
+# ------------------------------------------------------------------- dedup
+
+def test_exact_dedup_partitions_corpus(docs):
+    from pisa_spark.datapipe.dedup import exact_dedup
+
+    out = exact_dedup(docs).toPandas()
+    assert out["n_docs"].sum() == docs.count()
+    # keeper is always the smallest doc_id of its group
+    assert (out["keeper_doc_id"] >= 0).all()
+
+
+def test_exact_dedup_finds_planted_duplicates(spark):
+    from pisa_spark.datapipe.dedup import exact_dedup
+
+    base = spark.read.parquet(f"{SF}/documents.parquet").limit(20)
+    dup = base.withColumn("doc_id", F.col("doc_id") + 10_000)
+    out = exact_dedup(base.unionByName(dup)).toPandas()
+    assert (out["n_docs"] == 2).sum() == 20
+    assert (out.loc[out["n_docs"] == 2, "keeper_doc_id"] < 10_000).all()
+
+
+def test_minhash_lsh_agrees_with_exhaustive_jaccard(spark):
+    """On planted near-duplicates, banded LSH must recall the pairs
+    the exhaustive shingle-Jaccard operator finds (J=1 pairs have
+    identical signatures -> guaranteed; high-J pairs w.h.p.)."""
+    from pisa_spark.datapipe.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    base = spark.read.parquet(f"{SF}/documents.parquet").limit(30)
+    dup = base.withColumn("doc_id", F.col("doc_id") + 10_000)
+    corpus = base.unionByName(dup)
+    exact = ngram_jaccard_pairs(corpus).toPandas()
+    lsh = minhash_lsh_pairs(corpus).toPandas()
+    key = lambda df: set(map(tuple, df[["doc_a", "doc_b", "jaccard_micro"]].values))
+    assert key(lsh) <= key(exact)
+    # identical-text pairs are always recalled
+    exact_dups = {(a, b) for a, b, j in key(exact) if j == 1_000_000}
+    lsh_pairs = {(a, b) for a, b, _ in key(lsh)}
+    assert exact_dups <= lsh_pairs
+    assert len(exact_dups) == 30
+
+
+def test_simhash_chunk_join_equals_cross_join(spark, docs):
+    """Pigeonhole exactness: the 4x15-bit chunk-join candidate set
+    must yield exactly the cross-join Hamming<=3 pairs."""
+    from pisa_spark.datapipe.dedup import simhash_fingerprints, simhash_pairs
+
+    sub = docs.limit(80)
+    out = simhash_pairs(sub).toPandas()
+    fps = simhash_fingerprints(sub).toPandas()
+    f = dict(zip(fps["doc_id"], fps["fp"]))
+    expect = set()
+    ids = sorted(f)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            h = bin(f[a] ^ f[b]).count("1")
+            if h <= 3:
+                expect.add((a, b, h))
+    assert set(map(tuple, out[["doc_a", "doc_b", "hamming"]].values)) == expect
+
+
+def test_embedding_dup_pairs_symmetric_threshold(emb):
+    from pisa_spark.datapipe.similarity import COS_TAU_MICRO, embedding_dup_pairs
+
+    out = embedding_dup_pairs(emb).toPandas()
+    assert (out["cos_micro"] >= COS_TAU_MICRO).all()
+    assert (out["vec_a"] < out["vec_b"]).all()
+
+
+# --------------------------------------------------------------------- ANN
+
+def test_ann_topk_matches_numpy_bruteforce(emb):
+    from pisa_spark.datapipe.similarity import (
+        N_QUERIES, _collect_matrix, _cos_micro, ann_topk,
+    )
+
+    out = ann_topk(emb, k=10).toPandas()
+    ids, q = _collect_matrix(emb)
+    norms = (q * q).sum(axis=1)
+    cm = _cos_micro(q @ q.T, norms[:, None], norms[None, :])
+    for qi in range(N_QUERIES):
+        row = cm[qi].copy()
+        mask = ids != ids[qi]
+        cand = sorted(
+            zip(-row[mask], ids[mask]), key=lambda t: (t[0], t[1])
+        )[:10]
+        expect = [(int(v), int(-c)) for c, v in cand]
+        got = out[out["q_vec_id"] == ids[qi]].sort_values("rank")
+        assert list(map(tuple, got[["vec_id", "cos_micro"]].values)) == expect
+
+
+def test_ivf_topk_subset_of_bruteforce(emb):
+    """IVF results are drawn from probed cells only; every reported
+    neighbor must appear in the brute-force ranking with the same
+    cos_micro, and ranks must be consistent."""
+    from pisa_spark.datapipe.similarity import ann_topk, ivf_topk
+
+    bf = ann_topk(emb, k=500).toPandas()
+    ivf = ivf_topk(emb, k=5).toPandas()
+    bf_scores = {(r.q_vec_id, r.vec_id): r.cos_micro for r in bf.itertuples()}
+    for r in ivf.itertuples():
+        assert bf_scores[(r.q_vec_id, r.vec_id)] == r.cos_micro
+    # per query: ranks 1..n contiguous and scores non-increasing
+    for q, g in ivf.groupby("q_vec_id"):
+        g = g.sort_values("rank")
+        assert list(g["rank"]) == list(range(1, len(g) + 1))
+        assert (np.diff(g["cos_micro"]) <= 0).all()
+
+
+# -------------------------------------------------------------- text stats
+
+def test_lang_id_votes(spark):
+    from pisa_spark.datapipe.textstats import lang_id
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    "the cat is on the mat",
+                    "der hund ist nicht mit",
+                    "zzz qqq xxx",
+                ],
+            }
+        )
+    )
+    out = lang_id(df).toPandas().set_index("doc_id")
+    assert out.loc[1, "pred_lang"] == "en"
+    assert out.loc[2, "pred_lang"] == "de"
+    assert out.loc[3, "pred_lang"] == "und"
+    assert out.loc[3, "n_hits"] == 0
+
+
+def test_quality_and_token_counts(spark):
+    from pisa_spark.datapipe.textstats import quality_score, token_counts
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "text": ["The quick fox. The fox!"]})
+    )
+    q = quality_score(df).toPandas().iloc[0]
+    assert q["n_tokens"] == 5  # the quick fox. the fox!
+    assert q["n_types"] == 4
+    t = token_counts(df).toPandas().iloc[0]
+    assert t["ws_tokens"] == 5
+    # [a-z]+ units: the,quick,fox,the,fox + '.' '!' punct
+    assert t["bpe_ish_tokens"] == 7
+    assert t["n_chars"] == len("The quick fox. The fox!")
+
+
+def test_fingerprints_detect_shared_passages(spark):
+    from pisa_spark.datapipe.textstats import doc_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    f"intro words {shared} closing remark",
+                    f"other opening {shared} different tail",
+                    "completely unrelated text with no overlap at all",
+                ],
+            }
+        )
+    )
+    fp = doc_fingerprints(df).toPandas()
+    s1 = set(fp[fp.doc_id == 1]["fingerprint"])
+    s2 = set(fp[fp.doc_id == 2]["fingerprint"])
+    s3 = set(fp[fp.doc_id == 3]["fingerprint"])
+    assert len(s1 & s2) > 0  # shared passage -> shared fingerprints
+    assert len(s1 & s3) == 0
+
+
+# -------------------------------------------------------------- multimodal
+
+def test_decode_blobs_plumbing(spark):
+    from pisa_spark.corpus import pages_from_documents
+    from pisa_spark.datapipe.multimodal import decode_blobs, real_decode
+
+    pages = pages_from_documents(spark, SF).limit(10)
+    out = decode_blobs(pages).toPandas()
+    assert len(out) == 10
+    assert set(out["format"]) == {"fake/html"}
+    assert (out["n_bytes"] > 0).all()
+    assert out["mean_byte"].between(0, 255).all()
+    with pytest.raises(NotImplementedError):
+        real_decode(b"\x89PNG")
+
+
+def test_frame_sample_deterministic(spark):
+    from pisa_spark.corpus import pages_from_documents
+    from pisa_spark.datapipe.multimodal import FRAME_MOD, frame_sample
+
+    pages = pages_from_documents(spark, SF).limit(5)
+    a = frame_sample(pages).toPandas().sort_values(["doc_id", "frame_id"])
+    b = frame_sample(pages).toPandas().sort_values(["doc_id", "frame_id"])
+    pd.testing.assert_frame_equal(a.reset_index(drop=True), b.reset_index(drop=True))
+    assert a.groupby("doc_id")["frame_id"].count().between(1, FRAME_MOD).all()
