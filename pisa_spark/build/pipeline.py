@@ -1,0 +1,220 @@
+"""Checkpointed, resumable index-build pipeline with lineage + metrics.
+
+North-rule requirement: the build must be "resumable from
+per-partition checkpoints with lineage and row/byte metrics recorded
+per partition". The reference's analogue is its batch-spill files
+(`.batch.N.{docs,freqs,sizes}`, src/invert.cpp:139-165) which let a
+crashed invert restart from finished batches; here each STAGE is a
+parquet checkpoint directory and each written part-file is the
+per-partition unit:
+
+    out_dir/<stage>/part-*.parquet      stage output, partitioned
+    out_dir/<stage>/_MANIFEST.json      lineage + per-partition metrics
+
+A manifest records: the stage's config fingerprint, its parents'
+manifest fingerprints (lineage chain), wall seconds, and per
+part-file rows/bytes (read from parquet footers — no extra scan).
+``run`` skips any stage whose manifest exists and whose fingerprint
+(config + parents) is unchanged — so a killed build resumes from the
+last finished stage, and a config change invalidates exactly the
+stages downstream of it.
+
+Stage DAG (each arrow is a shuffle boundary, SURVEY §3.1):
+
+    pages -> docs -> lexicon -> postings -> segments
+                  \\-> doc_sizes -> stats      \\-> term_meta
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import time
+from dataclasses import asdict
+from pathlib import Path
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from pisa_spark.config import EngineConfig
+
+MANIFEST = "_MANIFEST.json"
+
+
+def _fingerprint(payload: dict) -> str:
+    return hashlib.sha256(
+        json.dumps(payload, sort_keys=True).encode()
+    ).hexdigest()[:16]
+
+
+def _partition_metrics(stage_dir: Path) -> list[dict]:
+    """Per part-file (rows, bytes) from parquet footers only."""
+    import pyarrow.parquet as pq
+
+    out = []
+    for f in sorted(stage_dir.glob("*.parquet")):
+        out.append(
+            {
+                "file": f.name,
+                "rows": pq.ParquetFile(f).metadata.num_rows,
+                "bytes": f.stat().st_size,
+            }
+        )
+    return out
+
+
+class BuildPipeline:
+    """Drives the build DAG with per-stage checkpoints.
+
+    >>> pipe = BuildPipeline(spark, out_dir, config)
+    >>> index = pipe.run(pages)        # full build or resume
+    >>> pipe.report()                  # lineage + metrics per stage
+    """
+
+    def __init__(self, spark: SparkSession, out_dir: str,
+                 config: EngineConfig | None = None):
+        self.spark = spark
+        self.out = Path(out_dir)
+        self.config = config or EngineConfig()
+        self.cfg_fp = _fingerprint(
+            {
+                "analyzer": asdict(self.config.analyzer) | {"stopwords": sorted(self.config.analyzer.stopwords)},
+                "bm25": asdict(self.config.bm25),
+                "index": asdict(self.config.index),
+            }
+        )
+        self.executed: list[str] = []  # stages actually computed this run
+        self.skipped: list[str] = []
+
+    # ------------------------------------------------------------- stages
+
+    def _manifest_path(self, stage: str) -> Path:
+        return self.out / stage / MANIFEST
+
+    def _load_manifest(self, stage: str) -> dict | None:
+        p = self._manifest_path(stage)
+        if p.exists():
+            return json.loads(p.read_text())
+        return None
+
+    def _stage(self, stage: str, parents: list[str],
+               compute: Callable[[], DataFrame],
+               partition_by: list[str] | None = None) -> DataFrame:
+        """Run-or-resume one stage; returns the checkpointed DataFrame."""
+        parent_fps = {
+            p: (self._load_manifest(p) or {}).get("fingerprint", "?")
+            for p in parents
+        }
+        want_fp = _fingerprint({"config": self.cfg_fp, "parents": parent_fps})
+        man = self._load_manifest(stage)
+        stage_dir = self.out / stage
+        if man and man.get("fingerprint") == want_fp:
+            self.skipped.append(stage)
+            return self.spark.read.parquet(str(stage_dir))
+
+        t0 = time.perf_counter()
+        df = compute()
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(str(stage_dir))
+        wall = time.perf_counter() - t0
+        parts = _partition_metrics(stage_dir)
+        manifest = {
+            "stage": stage,
+            "fingerprint": want_fp,
+            "config": self.cfg_fp,
+            "parents": parent_fps,
+            "wall_s": round(wall, 3),
+            "n_rows": sum(p["rows"] for p in parts),
+            "n_bytes": sum(p["bytes"] for p in parts),
+            "n_partitions": len(parts),
+            "partitions": parts,
+            "finished_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        }
+        self._manifest_path(stage).write_text(json.dumps(manifest, indent=1))
+        self.executed.append(stage)
+        return self.spark.read.parquet(str(stage_dir))
+
+    # ---------------------------------------------------------------- run
+
+    def run(self, pages: DataFrame):
+        """Build (or resume) the full index; returns InvertedIndex
+        backed by the checkpoint parquet (every artifact re-readable
+        without recompute)."""
+        from pyspark.sql import functions as F
+
+        from pisa_spark.build import (
+            build_doc_sizes, build_lexicon, build_postings,
+            build_segments, build_term_meta, collection_stats, tokenize_pages,
+        )
+        from pisa_spark.build.segments import scored_postings
+        from pisa_spark.index import InvertedIndex
+
+        docs = self._stage(
+            "docs", [], lambda: tokenize_pages(pages, self.config.analyzer)
+        )
+        lexicon = self._stage("lexicon", ["docs"], lambda: build_lexicon(docs))
+        doc_sizes = self._stage(
+            "doc_sizes", ["docs"], lambda: build_doc_sizes(docs)
+        )
+        stats_df = self._stage(
+            "stats", ["doc_sizes"], lambda: collection_stats(doc_sizes)
+        )
+        stats = stats_df.collect()[0]
+        num_docs = int(stats["num_docs"])
+        avg_len = float(stats["avg_len"] or 0.0)
+        collection_len = int(stats["collection_len"] or 0)
+
+        postings = self._stage(
+            "postings", ["docs", "lexicon"],
+            lambda: build_postings(docs, lexicon),
+        )
+        scored = scored_postings(postings, doc_sizes, lexicon, num_docs, avg_len)
+        segments = self._stage(
+            "segments", ["postings", "doc_sizes", "stats"],
+            lambda: build_segments(
+                scored, num_docs, avg_len, self.config.index, self.config.bm25
+            ),
+        )
+        term_meta = self._stage(
+            "term_meta", ["postings", "doc_sizes", "stats"],
+            lambda: build_term_meta(scored, num_docs, avg_len, self.config.bm25),
+        )
+        docmap = self._stage(
+            "docmap", ["docs"], lambda: docs.select("doc_id", "url")
+        )
+        return InvertedIndex(
+            lexicon=lexicon,
+            docmap=docmap,
+            doc_sizes=doc_sizes,
+            postings=postings,
+            segments=segments,
+            term_meta=term_meta,
+            num_docs=num_docs,
+            avg_len=avg_len,
+            collection_len=collection_len,
+            config=self.config,
+        )
+
+    # ------------------------------------------------------------- report
+
+    def report(self) -> dict:
+        """Lineage + metrics summary across all stage manifests."""
+        stages = {}
+        for p in sorted(self.out.glob(f"*/{MANIFEST}")):
+            m = json.loads(p.read_text())
+            stages[m["stage"]] = {
+                "fingerprint": m["fingerprint"],
+                "parents": m["parents"],
+                "wall_s": m["wall_s"],
+                "n_rows": m["n_rows"],
+                "n_bytes": m["n_bytes"],
+                "n_partitions": m["n_partitions"],
+            }
+        return {
+            "config": self.cfg_fp,
+            "executed": self.executed,
+            "skipped": self.skipped,
+            "stages": stages,
+        }

@@ -1,0 +1,106 @@
+#!/usr/bin/env python
+"""spark-submit entry point: end-to-end build + query batch.
+
+Run on a cluster (master from spark-submit):
+
+    spark-submit --py-files pisa_spark.zip scripts/run_pipeline.py \
+        --out /data/index --n-docs 1000000
+
+or locally in this sandbox (the scaling protocol, BASELINE.md):
+
+    python scripts/run_pipeline.py --local 8  --n-docs 40000 --out /tmp/i8
+    python scripts/run_pipeline.py --local 32 --n-docs 40000 --out /tmp/i32
+
+Prints one JSON line: build/query wall seconds, docs/sec, queries/sec,
+and the checkpoint lineage report. The input corpus is the
+deterministic synthetic pages table (corpus.synth_pages) generated
+with a FIXED partition count so the work is identical at any
+parallelism — only the executor count varies, which is exactly the
+north-rule N-vs-4N measurement.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", required=True, help="checkpoint/index dir")
+    ap.add_argument("--n-docs", type=int, default=40_000)
+    ap.add_argument("--n-queries", type=int, default=200)
+    ap.add_argument("--partitions", type=int, default=64,
+                    help="fixed input/shuffle partitioning (parallelism-independent)")
+    ap.add_argument("--local", type=int, default=None,
+                    help="run on local[N] (omit under spark-submit)")
+    ap.add_argument("--algorithm", default="maxscore")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    b = SparkSession.builder.appName("pisa-spark-pipeline")
+    if args.local:
+        b = b.master(f"local[{args.local}]")
+    spark = (
+        b.config("spark.sql.shuffle.partitions", str(args.partitions))
+        .config("spark.sql.adaptive.enabled", "false")  # fixed plan for scaling runs
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import pandas as pd
+
+    from pisa_spark.build.pipeline import BuildPipeline
+    from pisa_spark.config import EngineConfig
+    from pisa_spark.corpus import synth_pages, synth_queries
+    from pisa_spark.query.executor import topk_search
+    from pisa_spark.query.parser import parse_queries
+
+    pages = synth_pages(spark, args.n_docs, partitions=args.partitions)
+
+    t0 = time.perf_counter()
+    pipe = BuildPipeline(spark, args.out, EngineConfig())
+    index = pipe.run(pages)
+    index.segments.count()
+    build_wall = time.perf_counter() - t0
+
+    qpdf = synth_queries(args.n_queries)
+    qdf = spark.createDataFrame(
+        qpdf, schema="query_id string, terms array<string>, k int"
+    )
+    parsed = parse_queries(qdf, index.lexicon, pre_tokenized=True).persist()
+    parsed.count()
+
+    t1 = time.perf_counter()
+    n_rows = topk_search(index, parsed, algorithm=args.algorithm, k=10).count()
+    query_wall = time.perf_counter() - t1
+
+    print(
+        json.dumps(
+            {
+                "n_docs": args.n_docs,
+                "partitions": args.partitions,
+                "parallelism": spark.sparkContext.defaultParallelism,
+                "build_wall_s": round(build_wall, 3),
+                "build_docs_per_sec": round(args.n_docs / build_wall, 2),
+                "n_queries": args.n_queries,
+                "query_wall_s": round(query_wall, 3),
+                "queries_per_sec": round(args.n_queries / query_wall, 2),
+                "result_rows": n_rows,
+                "stages_executed": pipe.executed,
+                "lineage": pipe.report()["stages"],
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

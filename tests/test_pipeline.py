@@ -1,0 +1,119 @@
+"""Resumable-build pipeline tests (build/pipeline.py).
+
+Pins the north-rule behavior: checkpoint manifests with lineage +
+per-partition metrics; resume skips finished stages; invalidation
+cascades from a changed stage/config.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from pisa_spark.build.pipeline import MANIFEST, BuildPipeline
+from pisa_spark.config import AnalyzerConfig, EngineConfig, IndexConfig
+
+SF = "/root/testdata/sf0.001"
+
+CFG = EngineConfig(
+    analyzer=AnalyzerConfig(tokenizer="whitespace"),
+    index=IndexConfig(salt_bucket_docs=256),
+)
+
+
+@pytest.fixture()
+def pages(spark):
+    from pisa_spark.corpus import pages_from_documents
+
+    return pages_from_documents(spark, SF).limit(100)
+
+
+def test_build_checkpoint_resume_and_metrics(spark, pages, tmp_path):
+    out = str(tmp_path / "index")
+
+    pipe1 = BuildPipeline(spark, out, CFG)
+    idx1 = pipe1.run(pages)
+    n_seg = idx1.segments.count()
+    assert n_seg > 0
+    all_stages = {"docs", "lexicon", "doc_sizes", "stats", "postings",
+                  "segments", "term_meta", "docmap"}
+    assert set(pipe1.executed) == all_stages
+
+    # Manifests carry lineage + per-partition rows/bytes.
+    man = json.loads((tmp_path / "index" / "segments" / MANIFEST).read_text())
+    assert man["parents"].keys() == {"postings", "doc_sizes", "stats"}
+    assert man["n_rows"] == n_seg
+    assert man["n_partitions"] >= 1
+    for p in man["partitions"]:
+        assert p["rows"] >= 0 and p["bytes"] > 0
+
+    # Second run: everything resumes from checkpoints.
+    pipe2 = BuildPipeline(spark, out, CFG)
+    idx2 = pipe2.run(pages)
+    assert pipe2.executed == []
+    assert set(pipe2.skipped) == all_stages
+    assert idx2.segments.count() == n_seg
+
+    report = pipe2.report()
+    assert set(report["stages"]) == all_stages
+    assert report["stages"]["postings"]["n_rows"] == idx2.postings.count()
+
+
+def test_deleted_stage_recomputes_only_downstream(spark, pages, tmp_path):
+    import shutil
+
+    out = tmp_path / "index"
+    pipe1 = BuildPipeline(spark, str(out), CFG)
+    pipe1.run(pages)
+
+    # Wipe the segments checkpoint: only it must recompute.
+    shutil.rmtree(out / "segments")
+    pipe2 = BuildPipeline(spark, str(out), CFG)
+    pipe2.run(pages)
+    assert pipe2.executed == ["segments"]
+
+    # Wipe lexicon: it recomputes; because stage fingerprints are
+    # recipe-derived (config + parent recipes) and stages are
+    # deterministic, the recomputed lexicon has the same fingerprint,
+    # so downstream checkpoints remain valid and are NOT rebuilt.
+    shutil.rmtree(out / "lexicon")
+    pipe3 = BuildPipeline(spark, str(out), CFG)
+    pipe3.run(pages)
+    assert pipe3.executed == ["lexicon"]
+    assert "postings" in pipe3.skipped and "docs" in pipe3.skipped
+
+
+def test_config_change_invalidates_all(spark, pages, tmp_path):
+    out = str(tmp_path / "index")
+    BuildPipeline(spark, out, CFG).run(pages)
+
+    cfg2 = EngineConfig(
+        analyzer=AnalyzerConfig(tokenizer="whitespace"),
+        index=IndexConfig(salt_bucket_docs=128),  # changed layout
+    )
+    pipe = BuildPipeline(spark, out, cfg2)
+    pipe.run(pages)
+    assert "segments" in pipe.executed  # stale under new config
+
+
+def test_resumed_index_answers_queries(spark, pages, tmp_path):
+    import pandas as pd
+
+    from pisa_spark.query.executor import topk_search
+    from pisa_spark.query.parser import parse_queries
+
+    out = str(tmp_path / "index")
+    BuildPipeline(spark, out, CFG).run(pages)
+    # Fresh pipeline object = cold resume purely from disk.
+    idx = BuildPipeline(spark, out, CFG).run(pages)
+
+    terms = [r["term"] for r in idx.lexicon.limit(3).collect()]
+    qdf = spark.createDataFrame(
+        pd.DataFrame({"query_id": ["q0"], "terms": [terms], "k": [5]}),
+        schema="query_id string, terms array<string>, k int",
+    )
+    parsed = parse_queries(qdf, idx.lexicon, pre_tokenized=True)
+    res = topk_search(idx, parsed, algorithm="maxscore", k=5).toPandas()
+    assert len(res) > 0
+    assert (res["score"] > 0).all()
