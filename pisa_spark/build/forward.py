@@ -90,6 +90,7 @@ def tokenize_pages(
     docs = pages.mapInPandas(kernel, cols)
     if has_doc_id:
         return docs.select("doc_id", "url", "terms", "doc_len")
-    if assign_doc_ids:
-        docs = assign_global_ids(docs, "url", "doc_id")
+    if not assign_doc_ids:
+        return docs.select("url", "terms", "doc_len")
+    docs = assign_global_ids(docs, "url", "doc_id")
     return docs.select("doc_id", "url", "terms", "doc_len")

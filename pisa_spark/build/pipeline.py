@@ -72,7 +72,12 @@ class BuildPipeline:
     """
 
     def __init__(self, spark: SparkSession, out_dir: str,
-                 config: EngineConfig | None = None):
+                 config: EngineConfig | None = None,
+                 input_desc: dict | None = None):
+        """``input_desc`` identifies the input corpus (e.g. source
+        path / doc count / generator seed) and is part of every stage
+        fingerprint — without it a checkpoint dir reused with a
+        different input would wrongly resume."""
         self.spark = spark
         self.out = Path(out_dir)
         self.config = config or EngineConfig()
@@ -81,6 +86,7 @@ class BuildPipeline:
                 "analyzer": asdict(self.config.analyzer) | {"stopwords": sorted(self.config.analyzer.stopwords)},
                 "bm25": asdict(self.config.bm25),
                 "index": asdict(self.config.index),
+                "input": input_desc or {},
             }
         )
         self.executed: list[str] = []  # stages actually computed this run
@@ -151,9 +157,32 @@ class BuildPipeline:
         from pisa_spark.build.segments import scored_postings
         from pisa_spark.index import InvertedIndex
 
-        docs = self._stage(
-            "docs", [], lambda: tokenize_pages(pages, self.config.analyzer)
+        # Tokenize ONCE into a checkpoint, then assign docIDs over the
+        # checkpointed parquet: the range-partitioner's sampling pass
+        # then reads only the (column-pruned) url column from parquet
+        # instead of recomputing the whole tokenize kernel — without
+        # this split the docs stage tokenizes the corpus twice.
+        has_ids = "doc_id" in pages.columns
+        tokens = self._stage(
+            "tokens", [],
+            lambda: tokenize_pages(
+                pages, self.config.analyzer, assign_doc_ids=False
+            ),
         )
+        if has_ids:
+            docs = self._stage(
+                "docs", ["tokens"],
+                lambda: tokens.select("doc_id", "url", "terms", "doc_len"),
+            )
+        else:
+            from pisa_spark.build.ids import assign_global_ids
+
+            docs = self._stage(
+                "docs", ["tokens"],
+                lambda: assign_global_ids(tokens, "url", "doc_id").select(
+                    "doc_id", "url", "terms", "doc_len"
+                ),
+            )
         lexicon = self._stage("lexicon", ["docs"], lambda: build_lexicon(docs))
         doc_sizes = self._stage(
             "doc_sizes", ["docs"], lambda: build_doc_sizes(docs)

@@ -98,6 +98,29 @@ def _run_kernel(algorithm: str, range_mode: bool = False):
     return fn
 
 
+def _run_bootstrapped(algorithm: str):
+    """Kernel run with kth-threshold bootstrapping (the fork's
+    threshold-estimation pipeline end-to-end): build the single-term
+    k-th-score cache, estimate per-query lower bounds, and start the
+    heaps there. Result must still be rank-identical to ranked_or."""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pisa_spark.query.executor import topk_search
+        from pisa_spark.query.parser import parse_queries
+        from pisa_spark.query.thresholds import estimate_thresholds, kth_score_cache
+
+        index = _get_index(spark, sf_dir)
+        parsed = parse_queries(
+            _queries_df(spark), index.lexicon, pre_tokenized=True
+        )
+        cache = kth_score_cache(index, k=K)
+        est = estimate_thresholds(parsed, cache)
+        return topk_search(index, parsed, algorithm=algorithm, k=K, thresholds=est)
+
+    fn.__name__ = f"gated_bootstrap_{algorithm}"
+    return fn
+
+
 def _decode_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Segment round-trip decode (compress --check): the engine's
     block-compressed segments decoded back to long-format postings
@@ -113,10 +136,12 @@ def _decode_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 def gated_queries():
     q = {name: _run_sql(name) for name in _SPARK_SQL}
     q["bmw_topk"] = _run_kernel("block_max_wand")
+    q["bmm_topk"] = _run_kernel("block_max_maxscore")
     q["wand_topk"] = _run_kernel("wand")
     q["maxscore_topk"] = _run_kernel("maxscore")
     q["taat_ranked_or_topk"] = _run_kernel("ranked_or")
     q["range_maxscore_topk"] = _run_kernel("maxscore", range_mode=True)
+    q["bmw_bootstrap_topk"] = _run_bootstrapped("block_max_wand")
     q["segments_decode_check"] = _decode_check
     return q
 
@@ -125,10 +150,12 @@ def gated_oracle_sql():
     o = dict(_DUCK_SQL)
     for name in (
         "bmw_topk",
+        "bmm_topk",
         "wand_topk",
         "maxscore_topk",
         "taat_ranked_or_topk",
         "range_maxscore_topk",
+        "bmw_bootstrap_topk",
     ):
         o[name] = _DUCK_SQL["ranked_or_topk"]
     o["segments_decode_check"] = _DUCK_SQL["postings"]

@@ -205,6 +205,33 @@ SELECT query_id, MIN(score) AS threshold
 FROM ranked WHERE rank <= {K}
 GROUP BY query_id ORDER BY query_id"""
 
+    # Threshold estimation from single-term top-k caches
+    # (tools/kth_threshold.cpp:52-154, the fork's research focus):
+    # estimate = max over query terms of the term's cached k-th best
+    # (weight-scaled) single-term score; a term with df < k
+    # contributes 0. Sound lower bound on the true k-th final score,
+    # so kernels can bootstrap their heap threshold with it safely.
+    e["kth_threshold_estimate"] = f"""{base}
+SELECT q.query_id,
+       MAX(COALESCE(kth.kth_micro, 0)) AS threshold_micro
+FROM qterms q
+LEFT JOIN (
+  SELECT query_id, term_id, micro AS kth_micro FROM (
+    SELECT qt.query_id, p.term_id,
+           {micro_sql(bm25_tm, weight="qt.weight")} AS micro,
+           ROW_NUMBER() OVER (
+             PARTITION BY qt.query_id, p.term_id
+             ORDER BY {micro_sql(bm25_tm, weight="qt.weight")} DESC, p.doc_id ASC
+           ) AS rn
+    FROM qterms qt
+    JOIN postings p ON p.term_id = qt.term_id
+    JOIN sizes s ON s.doc_id = p.doc_id
+    JOIN lex l ON l.term_id = p.term_id
+    CROSS JOIN stats st
+  ) r WHERE rn = {K}
+) kth ON kth.query_id = q.query_id AND kth.term_id = q.term_id
+GROUP BY q.query_id ORDER BY q.query_id"""
+
     # Posting-list lengths per query (tools/count_postings.cpp:10-40).
     e["count_postings"] = f"""{base}
 SELECT qt.query_id,

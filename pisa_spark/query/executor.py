@@ -26,9 +26,11 @@ from pisa_spark.codecs import CODECS
 from pisa_spark.config import EngineConfig
 from pisa_spark.index import InvertedIndex
 from pisa_spark.query.kernels import (
+    PRUNE_EPS,
     Stats,
     TermPostings,
     and_kernel,
+    block_max_maxscore_kernel,
     block_max_wand_kernel,
     maxscore_kernel,
     or_kernel,
@@ -42,6 +44,7 @@ RANKED_KERNELS = {
     "ranked_and": ranked_and_kernel,
     "wand": wand_kernel,
     "block_max_wand": block_max_wand_kernel,
+    "block_max_maxscore": block_max_maxscore_kernel,
     "maxscore": maxscore_kernel,
 }
 BOOLEAN_KERNELS = {"and": and_kernel, "or": or_kernel}
@@ -96,8 +99,14 @@ def topk_search(
     parsed: DataFrame,
     algorithm: str = "block_max_wand",
     k: int = 10,
+    thresholds: DataFrame | None = None,
 ) -> DataFrame:
-    """(query_id, rank, doc_id, score) — query-major execution."""
+    """(query_id, rank, doc_id, score) — query-major execution.
+
+    ``thresholds``: optional (query_id, threshold_micro) sound lower
+    bounds (thresholds.estimate_thresholds) that bootstrap each
+    kernel's heap threshold — the fork's kth_threshold pipeline, but
+    safe by construction (no --safe rerun needed)."""
     kernel = RANKED_KERNELS[algorithm]
     decode = CODECS[index.config.index.codec][1]
     doc_lens_b = index.segments.sparkSession.sparkContext.broadcast(
@@ -109,11 +118,20 @@ def topk_search(
         k1=index.config.bm25.k1,
         b=index.config.bm25.b,
     )
+    if thresholds is not None:
+        parsed = parsed.join(F.broadcast(thresholds), "query_id", "left")
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         terms = _group_to_terms(pdf, decode)
         kk = int(pdf["k"].iloc[0]) if "k" in pdf else k
-        docs, scores = kernel(terms, kk, doc_lens_b.value, stats)
+        init = 0.0
+        if "threshold_micro" in pdf and pd.notna(pdf["threshold_micro"].iloc[0]):
+            # estimate is a true lower bound; keep the quantization
+            # slack so boundary ties are never pruned
+            init = float(pdf["threshold_micro"].iloc[0]) - PRUNE_EPS
+        docs, scores = kernel(
+            terms, kk, doc_lens_b.value, stats, init_threshold=init
+        )
         return pd.DataFrame(
             {
                 "query_id": pdf["query_id"].iloc[0],

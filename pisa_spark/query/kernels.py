@@ -120,7 +120,7 @@ def _aggregate(all_docs: np.ndarray, all_scores: np.ndarray) -> tuple[np.ndarray
 # ---------------------------------------------------------------- exhaustive
 
 def ranked_or_kernel(terms: list[TermPostings], k: int, doc_lens: np.ndarray,
-                     stats: Stats) -> tuple[np.ndarray, np.ndarray]:
+                     stats: Stats, init_threshold: float = 0.0) -> tuple[np.ndarray, np.ndarray]:
     parts_d, parts_s = [], []
     for tp in terms:
         docs, tfs = tp.decode_all()
@@ -133,7 +133,7 @@ def ranked_or_kernel(terms: list[TermPostings], k: int, doc_lens: np.ndarray,
 
 
 def ranked_and_kernel(terms: list[TermPostings], k: int, doc_lens: np.ndarray,
-                      stats: Stats) -> tuple[np.ndarray, np.ndarray]:
+                      stats: Stats, init_threshold: float = 0.0) -> tuple[np.ndarray, np.ndarray]:
     if not terms:
         return np.empty(0, np.int64), np.empty(0, np.float64)
     decoded = [tp.decode_all() for tp in terms]
@@ -238,11 +238,12 @@ class _TopK:
     actually scored is retained so the final (round desc, doc asc)
     selection is exact regardless of heap tie order."""
 
-    def __init__(self, k: int):
+    def __init__(self, k: int, init_threshold: float = 0.0):
         import heapq
 
         self.heapq = heapq
         self.k = k
+        self.init = float(init_threshold)  # sound lower bound - eps
         self.heap: list[int] = []  # k highest micro scores seen
         self.docs: list[int] = []
         self.scores: list[int] = []
@@ -261,8 +262,8 @@ class _TopK:
     @property
     def threshold(self) -> float:
         if len(self.heap) < self.k:
-            return 0.0
-        return self.heap[0] - PRUNE_EPS
+            return self.init
+        return max(self.init, self.heap[0] - PRUNE_EPS)
 
     def finalize(self, k: int) -> tuple[np.ndarray, np.ndarray]:
         docs = np.array(self.docs, dtype=np.int64)
@@ -281,10 +282,10 @@ def _cursor_score(c: _Cursor, doc_lens: np.ndarray, stats: Stats) -> int:
 
 
 def wand_kernel(terms: list[TermPostings], k: int, doc_lens: np.ndarray,
-                stats: Stats) -> tuple[np.ndarray, np.ndarray]:
+                stats: Stats, init_threshold: float = 0.0) -> tuple[np.ndarray, np.ndarray]:
     """WAND (wand_query.hpp:10-93): pivot by cumulative max-score."""
     cursors = [_Cursor(tp) for tp in terms if len(tp.doc_payloads)]
-    topk = _TopK(k)
+    topk = _TopK(k, init_threshold)
     while True:
         cursors = [c for c in cursors if not c.done]
         if not cursors:
@@ -321,12 +322,13 @@ def wand_kernel(terms: list[TermPostings], k: int, doc_lens: np.ndarray,
 
 
 def block_max_wand_kernel(terms: list[TermPostings], k: int,
-                          doc_lens: np.ndarray, stats: Stats) -> tuple[np.ndarray, np.ndarray]:
+                          doc_lens: np.ndarray, stats: Stats,
+                          init_threshold: float = 0.0) -> tuple[np.ndarray, np.ndarray]:
     """BMW (block_max_wand_query.hpp:8-167): WAND pivot + block-max
     refinement + jump to min block boundary when the shallow check
     fails."""
     cursors = [_Cursor(tp) for tp in terms if len(tp.doc_payloads)]
-    topk = _TopK(k)
+    topk = _TopK(k, init_threshold)
     while True:
         cursors = [c for c in cursors if not c.done]
         if not cursors:
@@ -381,8 +383,86 @@ def block_max_wand_kernel(terms: list[TermPostings], k: int,
     return topk.finalize(k)
 
 
+def block_max_maxscore_kernel(terms: list[TermPostings], k: int,
+                              doc_lens: np.ndarray, stats: Stats,
+                              init_threshold: float = 0.0) -> tuple[np.ndarray, np.ndarray]:
+    """Batch-vectorized BMM (block_max_maxscore_query.hpp:9-99).
+
+    Same essential/non-essential split as MaxScore, plus the BMM
+    refinement: before touching a non-essential list, each surviving
+    candidate's upper bound is tightened with the BLOCK max score of
+    the block that would contain it (searchsorted into the per-block
+    last-docID array — the wand_data_raw next_geq,
+    wand_data_raw.hpp:85-123); candidates whose bound falls below the
+    threshold are dropped, and only blocks still containing live
+    candidates are decoded at all. Exact top-k: every drop is
+    justified by final(d) <= bound(d) < theta - slack <= k-th score.
+    """
+    if not terms:
+        return np.empty(0, np.int64), np.empty(0, np.float64)
+    order = sorted(terms, key=lambda t: t.max_score)  # ascending
+    prefix_ub = np.cumsum([t.max_score for t in order])
+
+    # θ seed: full scoring of the top-impact list (same as MaxScore).
+    top = order[-1]
+    docs_t, tfs_t = top.decode_all()
+    scores_t = _score(top, tfs_t, docs_t, doc_lens, stats)
+    theta = (
+        float(np.partition(scores_t, -k)[-k]) - PRUNE_EPS
+        if len(scores_t) >= k else 0.0
+    )
+    theta = max(theta, init_threshold)
+    split = int(np.searchsorted(prefix_ub, theta, side="left"))
+    split = min(split, len(order) - 1)
+    non_essential, essential = order[:split], order[split:]
+
+    parts_d, parts_s = [], []
+    for tp in essential:
+        docs, tfs = tp.decode_all()
+        parts_d.append(docs)
+        parts_s.append(_score(tp, tfs, docs, doc_lens, stats))
+    docs, partial = _aggregate(np.concatenate(parts_d), np.concatenate(parts_s))
+
+    # Raise θ with the k-th best essential partial (a valid lower
+    # bound on the k-th final score), keeping the rounding slack.
+    if len(partial) >= k:
+        theta = max(theta, float(np.partition(partial, -k)[-k]) - PRUNE_EPS)
+
+    # Per-candidate bound via block maxes, tightest term first.
+    bound = partial.astype(np.float64).copy()
+    blk_ub = []
+    for tp in non_essential:
+        bi = np.searchsorted(tp.block_max_doc, docs, side="left")
+        ub = np.where(
+            bi < len(tp.block_max_doc),
+            tp.block_max_score[np.minimum(bi, len(tp.block_max_doc) - 1)],
+            0.0,
+        )
+        blk_ub.append((tp, bi, ub))
+        bound += ub
+    alive = bound >= theta
+    docs, partial = docs[alive], partial[alive]
+
+    for tp, bi_all, _ub in blk_ub:
+        bi = bi_all[alive]
+        # decode only blocks that still hold live candidates
+        in_range = bi < len(tp.block_max_doc)
+        for blk in np.unique(bi[in_range]):
+            sel = in_range & (bi == blk)
+            b_docs, b_tfs = tp.decode_block(int(blk))
+            pos = np.searchsorted(b_docs, docs[sel])
+            pos_c = np.minimum(pos, len(b_docs) - 1)
+            hit = b_docs[pos_c] == docs[sel]
+            if hit.any():
+                idx = np.flatnonzero(sel)[hit]
+                partial[idx] += _score(
+                    tp, b_tfs[pos_c[hit]], docs[idx], doc_lens, stats
+                )
+    return _finalize(docs, partial, k)
+
+
 def maxscore_kernel(terms: list[TermPostings], k: int, doc_lens: np.ndarray,
-                    stats: Stats) -> tuple[np.ndarray, np.ndarray]:
+                    stats: Stats, init_threshold: float = 0.0) -> tuple[np.ndarray, np.ndarray]:
     """Batch-vectorized MaxScore (maxscore_query.hpp:13-143).
 
     Phase 0: seed threshold θ from fully scoring the highest-impact
@@ -408,6 +488,7 @@ def maxscore_kernel(terms: list[TermPostings], k: int, doc_lens: np.ndarray,
         theta = float(np.partition(scores_t, -k)[-k]) - PRUNE_EPS
     else:
         theta = 0.0  # micro units throughout
+    theta = max(theta, init_threshold)
 
     # Non-essential = maximal prefix whose combined upper bound stays
     # strictly below θ: a doc appearing ONLY there can never reach the

@@ -1,0 +1,67 @@
+"""Threshold estimation: single-term k-th-score caches.
+
+The reference fork's research theme (tools/kth_threshold*.cpp, ~24
+variants, SURVEY §2.13): precompute each term's k-th best single-term
+score; a disjunctive query's k-th final score is >= the max of its
+terms' cached k-th scores (every term contribution is >= 0), so that
+max is a SOUND initial heap threshold — WAND/BMW/MaxScore start
+pruning immediately instead of warming the heap from 0, and no
+safe-mode rerun is ever needed (unlike the reference's risky
+estimates, tools/queries.cpp:74-90).
+
+Build side: one window over the scored postings per term — a single
+range-shuffle, partial top-k per partition under AQE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from pisa_spark.functions.scoring import micro_sql
+from pisa_spark.index import InvertedIndex
+
+
+def kth_score_cache(index: InvertedIndex, k: int = 10) -> DataFrame:
+    """(term_id, kth_micro): the k-th best unweighted single-term
+    micro score per term; terms with df < k are absent (estimate 0)."""
+    from pisa_spark.build.segments import scored_postings
+    from pisa_spark.functions.scoring import bm25_sql_expr
+
+    scored = scored_postings(
+        index.postings, index.doc_sizes, index.lexicon,
+        index.num_docs, index.avg_len,
+    )
+    bm25 = bm25_sql_expr(
+        tf="tf", df="df", doc_len="doc_len",
+        num_docs=str(float(index.num_docs)), avg_len=str(float(index.avg_len)),
+        k1=index.config.bm25.k1, b=index.config.bm25.b,
+    )
+    with_micro = scored.withColumn("micro", F.expr(micro_sql(bm25)))
+    w = Window.partitionBy("term_id").orderBy(
+        F.col("micro").desc(), F.col("doc_id").asc()
+    )
+    return (
+        with_micro.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == k)
+        .select("term_id", F.col("micro").alias("kth_micro"))
+    )
+
+
+def estimate_thresholds(parsed: DataFrame, cache: DataFrame) -> DataFrame:
+    """parsed(query_id, term_id, weight) x cache -> (query_id,
+    threshold_micro): max over terms of weight-scaled cached k-th
+    score. Weight scaling keeps soundness: final(d) >= w_t * s_t(d).
+    """
+    joined = parsed.join(F.broadcast(cache), "term_id", "left")
+    # w * (m-1) < w * true_score*1e6 < weighted_micro + 0.5, so
+    # floor(w*(m-1)) never exceeds the weighted micro the kernels
+    # compute — w*m alone could, because m rounds half-up.
+    est = F.greatest(
+        F.lit(0).cast("long"),
+        F.floor(
+            F.col("weight") * (F.coalesce(F.col("kth_micro"), F.lit(0)) - 1)
+        ).cast("long"),
+    )
+    return joined.select("query_id", est.alias("est")).groupBy("query_id").agg(
+        F.max("est").alias("threshold_micro")
+    )

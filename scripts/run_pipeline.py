@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -51,6 +52,8 @@ def main() -> None:
         .config("spark.sql.adaptive.enabled", "false")  # fixed plan for scaling runs
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -66,7 +69,11 @@ def main() -> None:
     pages = synth_pages(spark, args.n_docs, partitions=args.partitions)
 
     t0 = time.perf_counter()
-    pipe = BuildPipeline(spark, args.out, EngineConfig())
+    pipe = BuildPipeline(
+        spark, args.out, EngineConfig(),
+        input_desc={"gen": "synth_pages", "n_docs": args.n_docs,
+                    "partitions": args.partitions},
+    )
     index = pipe.run(pages)
     index.segments.count()
     build_wall = time.perf_counter() - t0

@@ -1,0 +1,108 @@
+#!/usr/bin/env python
+"""Two-parallelism scaling protocol (BASELINE.md / north rule).
+
+Runs the IDENTICAL pipeline job (same corpus, same fixed partition
+count, fresh JVM each) at local[N] and local[4N] and reports
+throughput at both plus scaling efficiency:
+
+    efficiency = throughput(4N) / (4 * throughput(N))
+
+Writes the measurement table to BENCH.md and prints the JSON.
+
+    python scripts/scaling.py [--n 8] [--n-docs 32000] [--queries 800]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import re
+import shutil
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def run_once(cores: int, n_docs: int, n_queries: int, out: str) -> dict:
+    shutil.rmtree(out, ignore_errors=True)
+    cmd = [
+        sys.executable, str(REPO / "scripts" / "run_pipeline.py"),
+        "--local", str(cores), "--n-docs", str(n_docs),
+        "--n-queries", str(n_queries), "--out", out,
+    ]
+    t0 = time.time()
+    proc = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
+    m = re.findall(r'\{"n_docs".*\}', proc.stdout + proc.stderr)
+    if not m:
+        raise RuntimeError(
+            f"no result JSON from local[{cores}]:\n{proc.stderr[-2000:]}"
+        )
+    r = json.loads(m[-1])
+    r["total_wall_s"] = round(time.time() - t0, 1)
+    return r
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=8, help="small parallelism N")
+    ap.add_argument("--n-docs", type=int, default=32_000)
+    ap.add_argument("--queries", type=int, default=800)
+    ap.add_argument("--out-dir", default="/tmp/pisa_scaling")
+    args = ap.parse_args()
+    n, n4 = args.n, args.n * 4
+
+    lo = run_once(n, args.n_docs, args.queries, f"{args.out_dir}/idx{n}")
+    hi = run_once(n4, args.n_docs, args.queries, f"{args.out_dir}/idx{n4}")
+
+    b_eff = hi["build_docs_per_sec"] / (4 * lo["build_docs_per_sec"])
+    q_eff = hi["queries_per_sec"] / (4 * lo["queries_per_sec"])
+    result = {
+        "n_docs": args.n_docs,
+        "n_queries": args.queries,
+        "low": {"cores": n, "build_docs_per_sec": lo["build_docs_per_sec"],
+                "queries_per_sec": lo["queries_per_sec"],
+                "build_wall_s": lo["build_wall_s"],
+                "query_wall_s": lo["query_wall_s"]},
+        "high": {"cores": n4, "build_docs_per_sec": hi["build_docs_per_sec"],
+                 "queries_per_sec": hi["queries_per_sec"],
+                 "build_wall_s": hi["build_wall_s"],
+                 "query_wall_s": hi["query_wall_s"]},
+        "build_scaling_efficiency": round(b_eff, 3),
+        "query_scaling_efficiency": round(q_eff, 3),
+    }
+    print(json.dumps(result))
+
+    bench_md = REPO / "BENCH.md"
+    stamp = time.strftime("%Y-%m-%d %H:%M UTC", time.gmtime())
+    table = f"""# BENCH — scaling protocol results
+
+Last run: {stamp}. Protocol per BASELINE.md: the identical job (same
+synthetic corpus of {args.n_docs} docs generated with a fixed 64-way
+partitioning, same {args.queries}-query batch, fresh JVM) at
+`local[{n}]` vs `local[{n4}]`; efficiency = throughput({n4}) /
+(4 x throughput({n})). North-rule target: >= 0.8.
+
+| metric | local[{n}] | local[{n4}] | efficiency |
+|---|---|---|---|
+| index build (docs/sec) | {lo['build_docs_per_sec']} | {hi['build_docs_per_sec']} | **{b_eff:.3f}** |
+| index build wall (s) | {lo['build_wall_s']} | {hi['build_wall_s']} | |
+| query batch (queries/sec) | {lo['queries_per_sec']} | {hi['queries_per_sec']} | **{q_eff:.3f}** |
+| query batch wall (s) | {lo['query_wall_s']} | {hi['query_wall_s']} | |
+
+Reproduce: `python scripts/scaling.py --n {n} --n-docs {args.n_docs} --queries {args.queries}`
+
+Raw JSON:
+
+```json
+{json.dumps(result, indent=1)}
+```
+"""
+    bench_md.write_text(table)
+    print(f"wrote {bench_md}")
+
+
+if __name__ == "__main__":
+    main()

@@ -116,7 +116,8 @@ def test_segment_roundtrip(index):
 
 
 @pytest.mark.parametrize(
-    "algorithm", ["ranked_or", "wand", "block_max_wand", "maxscore"]
+    "algorithm",
+    ["ranked_or", "wand", "block_max_wand", "block_max_maxscore", "maxscore"],
 )
 def test_kernels_match_oracle(index, parsed, oracle_topk, algorithm):
     got = _fetch(topk_search(index, parsed, algorithm=algorithm, k=10))
