@@ -43,6 +43,41 @@ def extract_text(pages: DataFrame, cfg: AnalyzerConfig) -> DataFrame:
     return pages.mapInPandas(kernel, pages.schema.simpleString()[7:-1])
 
 
+def native_terms_col(cfg: AnalyzerConfig):
+    """Compile the analyzer to a NATIVE Spark column when possible
+    (no stemmer, no html strip): tokenization + token filters become
+    whole-stage-codegen JVM expressions — no Python in the build hot
+    path at all. Returns None when the config needs the pandas kernel
+    (porter2, strip_html).
+
+    Semantics are pinned to analyze_series (tests compare them
+    token-for-token): the english lexer runs as regexp_extract_all
+    with the same first-match-wins alternation, and the shared
+    post-rule (strip dots, cut at apostrophe) as a transform.
+    """
+    if cfg.stemmer or cfg.strip_html:
+        return None
+    if cfg.tokenizer == "english":
+        pat = r"(?:[a-zA-Z]+\.){2,}|[a-zA-Z0-9]+(?:'[a-zA-Z]+)?"
+        toks = F.regexp_extract_all(F.col("text"), F.lit(pat), F.lit(0))
+        toks = F.transform(
+            toks,
+            lambda t: F.substring_index(F.translate(t, ".", ""), "'", 1),
+        )
+    elif cfg.tokenizer == "whitespace":
+        toks = F.filter(
+            F.split(F.col("text"), r"\s+"), lambda t: t != F.lit("")
+        )
+    else:
+        return None
+    if cfg.lowercase:
+        toks = F.transform(toks, F.lower)
+    if cfg.stopwords:
+        stop_arr = F.array(*[F.lit(w) for w in sorted(cfg.stopwords)])
+        toks = F.filter(toks, lambda t: ~F.array_contains(stop_arr, t))
+    return toks
+
+
 def tokenize_pages(
     pages: DataFrame,
     cfg: AnalyzerConfig | None = None,
@@ -63,6 +98,22 @@ def tokenize_pages(
     pages = extract_text(pages, cfg)
 
     has_doc_id = "doc_id" in pages.columns
+
+    native = native_terms_col(cfg)
+    if native is not None:
+        sel = [F.col("url"), native.alias("terms")]
+        if has_doc_id:
+            sel.insert(0, F.col("doc_id"))
+        docs = pages.select(*sel).withColumn(
+            "doc_len", F.size("terms").cast("int")
+        )
+        if has_doc_id:
+            return docs.select("doc_id", "url", "terms", "doc_len")
+        if not assign_doc_ids:
+            return docs.select("url", "terms", "doc_len")
+        docs = assign_global_ids(docs, "url", "doc_id")
+        return docs.select("doc_id", "url", "terms", "doc_len")
+
     cols = "url string, terms array<string>, doc_len int" + (
         ", doc_id long" if has_doc_id else ""
     )

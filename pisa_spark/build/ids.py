@@ -32,7 +32,13 @@ def assign_global_ids(
 ) -> DataFrame:
     """Add ``id_col`` = 0-based dense rank of ``order_col`` (must be
     unique) without a single-partition window."""
-    parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    # Default to the input's partition count (parallelism-independent:
+    # the same input produces the same layout at any core count);
+    # defaultParallelism only as a floor for degenerate 1-part inputs.
+    parts = num_partitions or max(
+        df.rdd.getNumPartitions(),
+        df.sparkSession.sparkContext.defaultParallelism,
+    )
     sorted_df = (
         df.repartitionByRange(parts, F.col(order_col))
         .sortWithinPartitions(order_col)

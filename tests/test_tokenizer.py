@@ -78,3 +78,56 @@ def test_porter2_basics():
 
 def test_analyze_with_stemmer():
     assert eng("running dogs", stemmer="porter2") == ["run", "dog"]
+
+
+# ------------------------------------------------------- native JVM parity
+
+ADVERSARIAL = [
+    "The U.S.A. is big",
+    "crawler's archive, isn't it",
+    "a.b.c. x1y2 42 don't O'Neill's",
+    "  leading   spaces\tand\ttabs\n",
+    "",
+    "...",
+    "ABC.D.E.  mixed-Case WORDS",
+    "apostrophe' trailing 'leading",
+    "num0bers m1x3d w1th t3xt",
+]
+
+
+def test_native_analyzer_matches_pandas(spark):
+    """native_terms_col must be token-for-token identical to
+    analyze_series for every stemmer-free config."""
+    import pandas as pd
+
+    from pisa_spark.analysis import analyze_series
+    from pisa_spark.build.forward import native_terms_col
+    from pisa_spark.config import AnalyzerConfig
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"text": ADVERSARIAL}), schema="text string"
+    )
+    for cfg in [
+        AnalyzerConfig(tokenizer="english"),
+        AnalyzerConfig(tokenizer="whitespace"),
+        AnalyzerConfig(tokenizer="english", lowercase=False),
+        AnalyzerConfig(tokenizer="english", stopwords=frozenset({"the", "is"})),
+    ]:
+        col = native_terms_col(cfg)
+        assert col is not None
+        got = [r["t"] for r in df.select(col.alias("t")).collect()]
+        want = analyze_series(
+            pd.Series(ADVERSARIAL),
+            tokenizer=cfg.tokenizer,
+            lowercase=cfg.lowercase,
+            stopwords=cfg.stopwords,
+        ).tolist()
+        assert got == want, f"mismatch for {cfg}"
+
+
+def test_native_analyzer_gated_for_stemmer():
+    from pisa_spark.build.forward import native_terms_col
+    from pisa_spark.config import AnalyzerConfig
+
+    assert native_terms_col(AnalyzerConfig(stemmer="porter2")) is None
+    assert native_terms_col(AnalyzerConfig(strip_html=True)) is None
