@@ -85,6 +85,8 @@ def build_segments(
         "max_score float, doc_bytes binary, tf_bytes binary"
     )
 
+    fast_varint = cfg.codec == "varint"
+
     def encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("doc_id")
         term_id = int(pdf["term_id"].iloc[0])
@@ -101,31 +103,43 @@ def build_segments(
             b=params.b,
         )
         n = len(docs)
-        rows = []
+        starts = np.arange(0, n, block)
+        ends = np.minimum(starts + block, n)
+        # whole-list payload: gaps-1 everywhere, block-leading values
+        # absolute (each block self-contained)
+        payload = np.empty(n, dtype=np.uint64)
+        payload[0] = docs[0]
+        payload[1:] = docs[1:] - docs[:-1] - 1
+        payload[starts] = docs[starts]
+        block_max = _round_up_f32(np.maximum.reduceat(scores, starts))
+
+        if fast_varint:
+            # varint is per-value: encode ONCE, slice per block
+            from pisa_spark.codecs.varint import varint_sizes
+
+            d_off = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(varint_sizes(payload), out=d_off[1:])
+            t_off = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(varint_sizes(tfs - 1), out=t_off[1:])
+            d_enc = encode(payload)
+            t_enc = encode(tfs - 1)
+            doc_bytes = [d_enc[d_off[s]:d_off[e]] for s, e in zip(starts, ends)]
+            tf_bytes = [t_enc[t_off[s]:t_off[e]] for s, e in zip(starts, ends)]
+        else:
+            doc_bytes = [encode(payload[s:e]) for s, e in zip(starts, ends)]
+            tf_bytes = [encode(tfs[s:e] - 1) for s, e in zip(starts, ends)]
+
         base_block_id = bucket * blocks_per_bucket
-        for bi, start in enumerate(range(0, n, block)):
-            end = min(start + block, n)
-            d = docs[start:end]
-            t = tfs[start:end]
-            payload = d.copy()
-            payload[1:] = d[1:] - d[:-1] - 1  # gaps-1; payload[0] absolute
-            rows.append(
-                (
-                    term_id,
-                    base_block_id + bi,
-                    end - start,
-                    int(d[-1]),
-                    float(_round_up_f32(np.array([scores[start:end].max()]))[0]),
-                    encode(payload),
-                    encode(t - 1),
-                )
-            )
         return pd.DataFrame(
-            rows,
-            columns=[
-                "term_id", "block_id", "count", "max_doc_id",
-                "max_score", "doc_bytes", "tf_bytes",
-            ],
+            {
+                "term_id": np.full(len(starts), term_id, dtype=np.int64),
+                "block_id": base_block_id + np.arange(len(starts), dtype=np.int64),
+                "count": (ends - starts).astype(np.int32),
+                "max_doc_id": docs[ends - 1].astype(np.int64),
+                "max_score": block_max,
+                "doc_bytes": doc_bytes,
+                "tf_bytes": tf_bytes,
+            }
         )
 
     salted = scored.withColumn(

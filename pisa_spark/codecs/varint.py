@@ -42,6 +42,22 @@ def varint_encode(values: np.ndarray) -> bytes:
     return out.tobytes()
 
 
+def varint_sizes(values: np.ndarray) -> np.ndarray:
+    """Per-value encoded byte length (no encoding). Because varint is
+    a per-value code, ``varint_encode(v)[off[i]:off[j]]`` equals
+    ``varint_encode(v[i:j])`` with ``off = cumsum(sizes)`` — block
+    writers exploit this to encode a whole posting list once and
+    slice per-block payloads out of the single buffer."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    nbytes = np.ones(v.shape, dtype=np.int64)
+    for i in range(1, _MAX_BYTES):
+        mask = v >= (np.uint64(1) << np.uint64(7 * i))
+        if not mask.any():
+            break
+        nbytes += mask.astype(np.int64)
+    return nbytes
+
+
 def varint_decode(data: bytes, n: int | None = None) -> np.ndarray:
     """varint bytes -> uint64 array (``n`` optional sanity check)."""
     raw = np.frombuffer(data, dtype=np.uint8)

@@ -66,7 +66,16 @@ def main() -> None:
     from pisa_spark.query.executor import topk_search
     from pisa_spark.query.parser import parse_queries
 
-    pages = synth_pages(spark, args.n_docs, partitions=args.partitions)
+    # Materialize the input table first (production inputs are an
+    # existing Iceberg/parquet table of pages — the build metric must
+    # measure the ENGINE, not the synthetic generator).
+    pages_dir = f"{args.out}/pages"
+    tgen0 = time.perf_counter()
+    synth_pages(spark, args.n_docs, partitions=args.partitions).write.mode(
+        "overwrite"
+    ).parquet(pages_dir)
+    datagen_wall = time.perf_counter() - tgen0
+    pages = spark.read.parquet(pages_dir)
 
     t0 = time.perf_counter()
     pipe = BuildPipeline(
@@ -95,6 +104,7 @@ def main() -> None:
                 "n_docs": args.n_docs,
                 "partitions": args.partitions,
                 "parallelism": spark.sparkContext.defaultParallelism,
+                "datagen_wall_s": round(datagen_wall, 3),
                 "build_wall_s": round(build_wall, 3),
                 "build_docs_per_sec": round(args.n_docs / build_wall, 2),
                 "n_queries": args.n_queries,
