@@ -104,6 +104,7 @@ def main() -> None:
 
     for algo, key in (
         ("block_max_wand", "bmw_100q"),
+        ("block_max_maxscore", "bmm_100q"),
         ("maxscore", "maxscore_100q"),
         ("wand", "wand_100q"),
         ("ranked_or", "taat_100q"),
@@ -112,6 +113,20 @@ def main() -> None:
     timed(
         "range_maxscore_100q",
         lambda: topk_range(index, parsed, algorithm="maxscore", k=10).count(),
+    )
+
+    # Threshold-bootstrapped BMW (kth_threshold pipeline end-to-end).
+    from pisa_spark.query.thresholds import estimate_thresholds, kth_score_cache
+
+    cache = kth_score_cache(index, k=10).persist()
+    cache.count()
+    est = estimate_thresholds(parsed, cache).persist()
+    est.count()
+    timed(
+        "bmw_boot_100q",
+        lambda: topk_search(
+            index, parsed, algorithm="block_max_wand", k=10, thresholds=est
+        ).count(),
     )
 
     # --- Training-data pipeline jobs (datapipe module), if present.

@@ -8,20 +8,18 @@ Both are "row_number over a global sort" — which in naive Spark
 (``row_number() over (order by col)``) collapses to ONE partition and
 dies at scale.
 
-``assign_global_ids`` is the scalable idiom: range-repartition +
-in-partition sort (Spark's distributed sort), count rows per
-partition (cheap agg), broadcast the per-partition offsets, then add
-``offset[pid] + local_position`` inside ``mapInPandas``. Two jobs, no
-single-reducer stage, deterministic because the range boundaries only
-affect WHERE a row is numbered, not its global rank.
+``assign_global_ids`` is the scalable idiom, all JVM-native:
+range-repartition (distributed sort), count rows per partition
+(cheap agg), broadcast the per-partition offsets back, and number
+with ``offset[pid] + row_number() over (partition by pid order by
+col)`` — a PARTITIONED window, so no single-reducer stage and no
+Python anywhere. Deterministic because range boundaries only affect
+WHERE a row is numbered, not its global rank.
 """
 
 from __future__ import annotations
 
-from typing import Iterator
-
-import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def assign_global_ids(
@@ -35,40 +33,24 @@ def assign_global_ids(
     # Default to the input's partition count (parallelism-independent:
     # the same input produces the same layout at any core count);
     # defaultParallelism only as a floor for degenerate 1-part inputs.
+    spark = df.sparkSession
     parts = num_partitions or max(
         df.rdd.getNumPartitions(),
-        df.sparkSession.sparkContext.defaultParallelism,
+        spark.sparkContext.defaultParallelism,
     )
-    sorted_df = (
-        df.repartitionByRange(parts, F.col(order_col))
-        .sortWithinPartitions(order_col)
-        .withColumn("__pid", F.spark_partition_id())
+    ranged = df.repartitionByRange(parts, F.col(order_col)).withColumn(
+        "__pid", F.spark_partition_id()
     )
-    sorted_df = sorted_df.persist()
-    counts = dict(
-        sorted_df.groupBy("__pid").count().collect()
-    )  # tiny: one row per partition
-    offsets = {}
-    acc = 0
+    counts = dict(ranged.groupBy("__pid").count().collect())  # tiny
+    offsets, acc = [], 0
     for pid in sorted(counts):
-        offsets[pid] = acc
+        offsets.append((pid, acc))
         acc += counts[pid]
+    off_df = spark.createDataFrame(offsets, schema="__pid int, __off long")
 
-    out_schema = ", ".join(
-        f"`{f.name}` {f.dataType.simpleString()}" for f in sorted_df.schema.fields
-        if f.name != "__pid"
-    ) + f", `{id_col}` long"
-
-    def number(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        pos = {}
-        for b in batches:
-            if len(b) == 0:
-                continue
-            pid = int(b["__pid"].iloc[0])
-            start = offsets[pid] + pos.get(pid, 0)
-            pos[pid] = pos.get(pid, 0) + len(b)
-            out = b.drop(columns="__pid")
-            out[id_col] = range(start, start + len(b))
-            yield out
-
-    return sorted_df.mapInPandas(number, out_schema)
+    w = Window.partitionBy("__pid").orderBy(order_col)
+    return (
+        ranged.join(F.broadcast(off_df), "__pid")
+        .withColumn(id_col, F.col("__off") + F.row_number().over(w) - 1)
+        .drop("__pid", "__off")
+    )

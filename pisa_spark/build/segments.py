@@ -71,10 +71,21 @@ def build_segments(
     avg_len: float,
     index_cfg: IndexConfig | None = None,
     bm25: BM25Params | None = None,
+    index_max_score: float | None = None,
 ) -> DataFrame:
-    """scored postings -> segments (see module docstring for layout)."""
+    """scored postings -> segments (see module docstring for layout).
+
+    With ``index_cfg.quantize_bits`` set, the tf slot stores the
+    linearly quantized impact instead (``ceil(score * 2^bits /
+    index_max_score)``, reference linear_quantizer.hpp:8-26 +
+    quantized build src/compress.cpp:72-91); ``index_max_score`` (the
+    index-wide max term weight, wand_data ``index_max_term_weight``)
+    is then required. Query-side the ``quantized`` scorer returns the
+    stored impact as-is (scorer/quantized.hpp)."""
     cfg = index_cfg or IndexConfig()
     params = bm25 or BM25Params()
+    if cfg.quantize_bits and not index_max_score:
+        raise ValueError("quantized build requires index_max_score")
     encode, _ = CODECS[cfg.codec]
     block = cfg.block_size
     bucket_docs = cfg.salt_bucket_docs
@@ -102,6 +113,13 @@ def build_segments(
             k1=params.k1,
             b=params.b,
         )
+        if cfg.quantize_bits:
+            # impact quantization: the tf slot carries q instead of tf
+            q = np.ceil(
+                scores * float(1 << cfg.quantize_bits) / float(index_max_score)
+            ).astype(np.uint64)
+            tfs = np.maximum(q, 1)
+            scores = tfs.astype(np.float64)  # block maxes bound q sums
         n = len(docs)
         starts = np.arange(0, n, block)
         ends = np.minimum(starts + block, n)

@@ -1,0 +1,99 @@
+"""Sharding: partition the corpus into independent index shards.
+
+The reference's ``partition_fwd_index`` (src/sharding.cpp:136-268)
+splits the forward index by a doc->shard mapping and re-lexes each
+shard (detect live terms, remap term IDs); the ``shards`` meta-tool
+(tools/shards.cpp:49-76) then runs invert/compress/wand per shard.
+Taily statistics (taily_stats.hpp:24-169) rank shards per query.
+
+Spark shape: a shard is a partition-set keyed by ``shard_id``; the
+whole "loop over shards" collapses into ONE job per stage with
+``shard_id`` prepended to every key — the shuffle co-locates each
+shard's data, so per-shard lexicons/stats come out of a single
+groupBy instead of a driver loop. Assignment is deterministic
+(``doc_id % n`` mirrors the reference's round-robin-ish random
+mapping, src/sharding.cpp:105-126, but reproducible for the oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from pisa_spark.functions.scoring import bm25_sql_expr, micro_sql
+
+
+def assign_shards(docs: DataFrame, n_shards: int = 4) -> DataFrame:
+    """docs(doc_id, ...) -> + shard_id (deterministic doc_id % n)."""
+    return docs.withColumn(
+        "shard_id", (F.col("doc_id") % n_shards).cast("int")
+    )
+
+
+def shard_stats(docs: DataFrame, n_shards: int = 4) -> DataFrame:
+    """(shard_id, num_docs, collection_len, vocab_size): per-shard
+    corpus statistics — the reference's per-shard .sizes/.termlex
+    summary, one aggregation instead of a shard loop."""
+    sharded = assign_shards(docs, n_shards)
+    term_docs = sharded.select(
+        "shard_id", F.explode("terms").alias("term"), "doc_id", "doc_len"
+    )
+    per_doc = sharded.groupBy("shard_id").agg(
+        F.count("*").alias("num_docs"),
+        F.sum("doc_len").cast("long").alias("collection_len"),
+    )
+    vocab = (
+        term_docs.select("shard_id", "term").distinct()
+        .groupBy("shard_id").agg(F.count("*").alias("vocab_size"))
+    )
+    return per_doc.join(vocab, "shard_id").select(
+        "shard_id", "num_docs", "collection_len", "vocab_size"
+    )
+
+
+def shard_term_stats(
+    scored: DataFrame, num_docs: int, avg_len: float, n_shards: int = 4,
+    k1: float = 0.9, b: float = 0.4,
+) -> DataFrame:
+    """Taily per-(shard, term) score moments (taily_stats.hpp:24-169):
+    df, sum and sum-of-squares of micro-quantized BM25 — enough to fit
+    Taily's gamma distribution for shard ranking; exact integers.
+
+    ``scored``: (term_id, doc_id, tf, doc_len, df) from
+    segments.scored_postings. One aggregation over all shards at once.
+    """
+    bm25 = bm25_sql_expr(
+        tf="tf", df="df", doc_len="doc_len",
+        num_docs=str(float(num_docs)), avg_len=str(float(avg_len)),
+        k1=k1, b=b,
+    )
+    m = micro_sql(bm25)
+    return (
+        scored.withColumn("shard_id", (F.col("doc_id") % n_shards).cast("int"))
+        .withColumn("micro", F.expr(m))
+        .groupBy("shard_id", "term_id")
+        .agg(
+            F.count("*").cast("long").alias("df"),
+            F.sum("micro").cast("long").alias("sum_micro"),
+            F.sum(F.expr("micro * micro")).cast("long").alias("sum_micro_sq"),
+        )
+    )
+
+
+def shard_taily_expr(num_docs: str, avg_len: str, n_shards: int = 4) -> str:
+    """SQL fragment for per-shard Taily moments over the gated
+    postings skeleton (shared by the Spark and DuckDB dialects)."""
+    bm25 = bm25_sql_expr(
+        tf="p.tf", df="l.df", doc_len="s.doc_len",
+        num_docs=num_docs, avg_len=avg_len,
+    )
+    m = micro_sql(bm25)
+    return f"""SELECT CAST(p.doc_id % {n_shards} AS INT) AS shard_id,
+       p.term_id,
+       CAST(COUNT(*) AS BIGINT) AS df,
+       CAST(SUM({m}) AS BIGINT) AS sum_micro,
+       CAST(SUM({m} * {m}) AS BIGINT) AS sum_micro_sq
+FROM postings p
+JOIN sizes s ON s.doc_id = p.doc_id
+JOIN lex l ON l.term_id = p.term_id
+CROSS JOIN stats st
+GROUP BY p.doc_id % {n_shards}, p.term_id"""

@@ -39,8 +39,12 @@ _GATE_CONFIG = EngineConfig(
     analyzer=AnalyzerConfig(tokenizer="whitespace"),
     index=IndexConfig(salt_bucket_docs=256),
 )
+_GATE_CONFIG_QUANT = EngineConfig(
+    analyzer=AnalyzerConfig(tokenizer="whitespace"),
+    index=IndexConfig(salt_bucket_docs=256, quantize_bits=8),
+)
 
-_INDEX_CACHE: dict[str, object] = {}
+_INDEX_CACHE: dict[tuple[str, str], object] = {}
 
 
 def _register_documents(spark: SparkSession, sf_dir: str) -> None:
@@ -58,14 +62,16 @@ def _run_sql(name: str):
     return fn
 
 
-def _get_index(spark: SparkSession, sf_dir: str):
-    if sf_dir not in _INDEX_CACHE:
+def _get_index(spark: SparkSession, sf_dir: str, variant: str = "default"):
+    key = (sf_dir, variant)
+    if key not in _INDEX_CACHE:
         from pisa_spark.corpus import pages_from_documents
         from pisa_spark.index import build_index
 
+        cfg = _GATE_CONFIG_QUANT if variant == "quantized" else _GATE_CONFIG
         pages = pages_from_documents(spark, sf_dir)
-        _INDEX_CACHE[sf_dir] = build_index(spark, pages, _GATE_CONFIG)
-    return _INDEX_CACHE[sf_dir]
+        _INDEX_CACHE[key] = build_index(spark, pages, cfg)
+    return _INDEX_CACHE[key]
 
 
 def _queries_df(spark: SparkSession) -> DataFrame:
@@ -81,12 +87,12 @@ def _queries_df(spark: SparkSession) -> DataFrame:
     )
 
 
-def _run_kernel(algorithm: str, range_mode: bool = False):
+def _run_kernel(algorithm: str, range_mode: bool = False, variant: str = "default"):
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         from pisa_spark.query.executor import topk_range, topk_search
         from pisa_spark.query.parser import parse_queries
 
-        index = _get_index(spark, sf_dir)
+        index = _get_index(spark, sf_dir, variant)
         parsed = parse_queries(
             _queries_df(spark), index.lexicon, pre_tokenized=True
         )
@@ -94,7 +100,7 @@ def _run_kernel(algorithm: str, range_mode: bool = False):
             return topk_range(index, parsed, algorithm=algorithm, k=K)
         return topk_search(index, parsed, algorithm=algorithm, k=K)
 
-    fn.__name__ = f"gated_{'range_' if range_mode else ''}{algorithm}"
+    fn.__name__ = f"gated_{'range_' if range_mode else ''}{variant}_{algorithm}"
     return fn
 
 
@@ -121,6 +127,19 @@ def _run_bootstrapped(algorithm: str):
     return fn
 
 
+def _porter2_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Porter2-stemmed english lexicon (src/token_filter.cpp:16-29
+    via the pure-python porter2 port). No SQL oracle exists for the
+    stemmer -> rows-only driver check; stemmer goldens are pinned in
+    tests/test_tokenizer.py instead."""
+    from pisa_spark.build import build_lexicon, tokenize_pages
+    from pisa_spark.corpus import pages_from_documents
+
+    cfg = AnalyzerConfig(tokenizer="english", stemmer="porter2")
+    docs = tokenize_pages(pages_from_documents(spark, sf_dir), cfg)
+    return build_lexicon(docs).orderBy("term_id")
+
+
 def _decode_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Segment round-trip decode (compress --check): the engine's
     block-compressed segments decoded back to long-format postings
@@ -142,6 +161,8 @@ def gated_queries():
     q["taat_ranked_or_topk"] = _run_kernel("ranked_or")
     q["range_maxscore_topk"] = _run_kernel("maxscore", range_mode=True)
     q["bmw_bootstrap_topk"] = _run_bootstrapped("block_max_wand")
+    q["quantized_bmw_topk"] = _run_kernel("block_max_wand", variant="quantized")
+    q["porter2_lexicon"] = _porter2_lexicon
     q["segments_decode_check"] = _decode_check
     return q
 
@@ -158,5 +179,6 @@ def gated_oracle_sql():
         "bmw_bootstrap_topk",
     ):
         o[name] = _DUCK_SQL["ranked_or_topk"]
+    o["quantized_bmw_topk"] = _DUCK_SQL["quantized_ranked_or_topk"]
     o["segments_decode_check"] = _DUCK_SQL["postings"]
     return o

@@ -48,16 +48,37 @@ GATED_QUERIES: list[tuple[str, list[str]]] = [
 
 
 class Dialect:
-    def __init__(self, name: str, split_expr: str, explode_kw: str):
+    def __init__(self, name: str, split_expr: str, explode_kw: str,
+                 english_toks: str, str_type: str):
         self.name = name
         self.split_expr = split_expr  # fmt: {col}
         self.explode_kw = explode_kw  # explode|unnest
+        self.english_toks = english_toks  # fmt: {col} -> array of tokens
+        self.str_type = str_type  # STRING | VARCHAR
 
+
+# EnglishTokenizer as pure SQL in each dialect (same first-match-wins
+# alternation as src/tokenizer.cpp:72-79 + shared post-rule: strip
+# dots, cut at apostrophe, lowercase). Java regex (Spark) and RE2
+# (DuckDB) agree on these constructs — pinned by the gate itself.
+_EN_SPARK = (
+    "transform(regexp_extract_all({col},"
+    " '(?:[a-zA-Z]+\\\\.){{2,}}|[a-zA-Z0-9]+(?:\\'[a-zA-Z]+)?', 0),"
+    " t -> lower(substring_index(replace(t, '.', ''), '\\'', 1)))"
+)
+_EN_DUCK = (
+    "list_transform(regexp_extract_all({col},"
+    " '(?:[a-zA-Z]+\\.){{2,}}|[a-zA-Z0-9]+(?:''[a-zA-Z]+)?'),"
+    " t -> lower(split_part(replace(t, '.', ''), '''', 1)))"
+)
 
 # Spark string literals honor backslash escapes -> '\\s+'; DuckDB does not.
-DIALECT_SPARK = Dialect("spark", "split(lower({col}), '\\\\s+')", "explode")
+DIALECT_SPARK = Dialect(
+    "spark", "split(lower({col}), '\\\\s+')", "explode", _EN_SPARK, "STRING"
+)
 DIALECT_DUCKDB = Dialect(
-    "duckdb", "regexp_split_to_array(lower({col}), '\\s+')", "unnest"
+    "duckdb", "regexp_split_to_array(lower({col}), '\\s+')", "unnest",
+    _EN_DUCK, "VARCHAR",
 )
 
 
@@ -140,6 +161,7 @@ ranked_and AS (
 def core_sql_entries(d: Dialect) -> dict[str, str]:
     """name -> full SQL text for every SQL-expressible core operator."""
     base = _base_ctes(d)
+    en_toks = d.english_toks.format(col="text")
     bm25_tm = bm25_sql_expr(
         tf="p.tf", df="l.df", doc_len="s.doc_len",
         num_docs="st.num_docs", avg_len="st.avg_len",
@@ -173,6 +195,29 @@ JOIN lex l ON l.term_id = p.term_id
 CROSS JOIN stats st
 GROUP BY p.term_id"""
 
+    # EnglishTokenizer lexicon (src/tokenizer.cpp:72-79 classes as
+    # dialect SQL — the analyzer itself goes through the gate).
+    e["english_lexicon"] = f"""WITH etok AS (
+  SELECT doc_id, {d.explode_kw}(toks) AS term
+  FROM (SELECT doc_id, {en_toks} AS toks FROM documents) t0
+),
+etok2 AS (SELECT doc_id, term FROM etok WHERE term <> '')
+SELECT term,
+       CAST(ROW_NUMBER() OVER (ORDER BY term) - 1 AS BIGINT) AS term_id,
+       df
+FROM (
+  SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+  FROM etok2 GROUP BY term
+) x ORDER BY term_id"""
+
+    # TREC 6-column run output (evaluate_queries,
+    # tools/evaluate_queries.cpp:152-161).
+    e["trec_run"] = f"""{base}
+SELECT query_id, 'Q0' AS q0,
+       'doc' || CAST(doc_id AS {d.str_type}) AS doc_title,
+       rank, score, 'pisa-spark' AS run_id
+FROM ranked WHERE rank <= {K} ORDER BY query_id, rank"""
+
     e["query_parse"] = (
         f"{base}\nSELECT query_id, term_id, weight FROM qterms"
         f"\nORDER BY query_id, term_id"
@@ -205,6 +250,41 @@ SELECT query_id, MIN(score) AS threshold
 FROM ranked WHERE rank <= {K}
 GROUP BY query_id ORDER BY query_id"""
 
+    # Impact-quantized exhaustive disjunction (quantized build,
+    # src/compress.cpp:72-91 + linear_quantizer.hpp:8-26 + identity
+    # scorer scorer/quantized.hpp): q = ceil(score * 2^8 / index_max),
+    # clamped to >= 1; ranking sums weight*q (exact integers).
+    e["quantized_ranked_or_topk"] = f"""{base},
+qmax AS (
+  SELECT MAX({bm25_tm}) AS mx
+  FROM postings p
+  JOIN sizes s ON s.doc_id = p.doc_id
+  JOIN lex l ON l.term_id = p.term_id
+  CROSS JOIN stats st
+),
+qimp AS (
+  SELECT p.term_id, p.doc_id,
+         GREATEST(CAST(CEIL({bm25_tm} * {dlit(256.0)} / qm.mx) AS BIGINT),
+                  CAST(1 AS BIGINT)) AS q
+  FROM postings p
+  JOIN sizes s ON s.doc_id = p.doc_id
+  JOIN lex l ON l.term_id = p.term_id
+  CROSS JOIN stats st
+  CROSS JOIN qmax qm
+),
+qsc AS (
+  SELECT qt.query_id, qi.doc_id,
+         CAST(SUM(CAST(qt.weight * qi.q AS BIGINT)) AS BIGINT) AS units
+  FROM qterms qt JOIN qimp qi ON qi.term_id = qt.term_id
+  GROUP BY qt.query_id, qi.doc_id
+)
+SELECT query_id, rank, doc_id, score FROM (
+  SELECT query_id, doc_id, CAST(units AS DOUBLE) AS score,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY units DESC, doc_id ASC) AS INT) AS rank
+  FROM qsc WHERE units > 0
+) r WHERE rank <= {K} ORDER BY query_id, rank"""
+
     # Threshold estimation from single-term top-k caches
     # (tools/kth_threshold.cpp:52-154, the fork's research focus):
     # estimate = max over query terms of the term's cached k-th best
@@ -217,17 +297,20 @@ SELECT q.query_id,
 FROM qterms q
 LEFT JOIN (
   SELECT query_id, term_id, micro AS kth_micro FROM (
-    SELECT qt.query_id, p.term_id,
-           {micro_sql(bm25_tm, weight="qt.weight")} AS micro,
+    SELECT query_id, term_id, micro,
            ROW_NUMBER() OVER (
-             PARTITION BY qt.query_id, p.term_id
-             ORDER BY {micro_sql(bm25_tm, weight="qt.weight")} DESC, p.doc_id ASC
+             PARTITION BY query_id, term_id
+             ORDER BY micro DESC, doc_id ASC
            ) AS rn
-    FROM qterms qt
-    JOIN postings p ON p.term_id = qt.term_id
-    JOIN sizes s ON s.doc_id = p.doc_id
-    JOIN lex l ON l.term_id = p.term_id
-    CROSS JOIN stats st
+    FROM (
+      SELECT qt.query_id, p.term_id, p.doc_id,
+             {micro_sql(bm25_tm, weight="qt.weight")} AS micro
+      FROM qterms qt
+      JOIN postings p ON p.term_id = qt.term_id
+      JOIN sizes s ON s.doc_id = p.doc_id
+      JOIN lex l ON l.term_id = p.term_id
+      CROSS JOIN stats st
+    ) pm
   ) r WHERE rn = {K}
 ) kth ON kth.query_id = q.query_id AND kth.term_id = q.term_id
 GROUP BY q.query_id ORDER BY q.query_id"""
@@ -268,6 +351,29 @@ FROM scored sc JOIN qsize qs ON sc.query_id = qs.query_id
 WHERE sc.n_matched = qs.n_terms
 GROUP BY sc.query_id ORDER BY sc.query_id"""
 
+    # All 2-term-subset intersections per query (compute_intersection
+    # --combinations, intersection.hpp:83-92 for_all_subsets with
+    # max_term_count=2): length + max combined score per pair; empty
+    # intersections are omitted (inner join) in both engines.
+    e["intersection_pairs"] = f"""{base},
+pm AS (
+  SELECT qt.query_id, p.term_id, p.doc_id,
+         {micro_sql(bm25_tm, weight="qt.weight")} AS m
+  FROM qterms qt
+  JOIN postings p ON p.term_id = qt.term_id
+  JOIN sizes s ON s.doc_id = p.doc_id
+  JOIN lex l ON l.term_id = p.term_id
+  CROSS JOIN stats st
+)
+SELECT a.query_id, a.term_id AS term_a, b.term_id AS term_b,
+       CAST(COUNT(*) AS BIGINT) AS length,
+       CAST(MAX(a.m + b.m) AS BIGINT) AS max_score_micro
+FROM pm a
+JOIN pm b ON b.query_id = a.query_id AND b.doc_id = a.doc_id
+         AND a.term_id < b.term_id
+GROUP BY a.query_id, a.term_id, b.term_id
+ORDER BY a.query_id, term_a, term_b"""
+
     # Taily-style per-term score moments (taily_stats.hpp:24-169) as
     # exact integer sums (expectation/variance derivable).
     e["taily_stats"] = f"""{base}
@@ -282,6 +388,37 @@ JOIN lex l ON l.term_id = p.term_id
 CROSS JOIN stats st
 GROUP BY p.term_id"""
 
+    # Per-shard corpus stats (partition_fwd_index + shards meta-tool,
+    # src/sharding.cpp:136-268, tools/shards.cpp:49-76): deterministic
+    # doc_id%4 sharding; one aggregation replaces the shard loop.
+    e["shard_stats"] = f"""{base}
+SELECT CAST(s.doc_id % 4 AS INT) AS shard_id,
+       CAST(COUNT(*) AS BIGINT) AS num_docs,
+       CAST(SUM(s.doc_len) AS BIGINT) AS collection_len
+FROM sizes s
+GROUP BY s.doc_id % 4 ORDER BY shard_id"""
+
+    e["shard_vocab"] = f"""{base}
+SELECT shard_id, CAST(COUNT(*) AS BIGINT) AS vocab_size FROM (
+  SELECT DISTINCT CAST(p.doc_id % 4 AS INT) AS shard_id, p.term_id
+  FROM postings p
+) sv GROUP BY shard_id ORDER BY shard_id"""
+
+    # Taily per-(shard, term) score moments for shard ranking
+    # (taily_stats.hpp:24-169, shards integration tools/shards.cpp:60-66).
+    e["shard_taily_stats"] = f"""{base}
+SELECT CAST(p.doc_id % 4 AS INT) AS shard_id,
+       p.term_id,
+       CAST(COUNT(*) AS BIGINT) AS df,
+       CAST(SUM({micro_sql(bm25_tm)}) AS BIGINT) AS sum_micro,
+       CAST(SUM({micro_sql(bm25_tm)} * {micro_sql(bm25_tm)}) AS BIGINT)
+         AS sum_micro_sq
+FROM postings p
+JOIN sizes s ON s.doc_id = p.doc_id
+JOIN lex l ON l.term_id = p.term_id
+CROSS JOIN stats st
+GROUP BY p.doc_id % 4, p.term_id"""
+
     # Deterministic posting down-sampling (sample_inverted_index,
     # util/inverted_index_utils.hpp:32-60; explicit modulus rule
     # instead of an RNG so both engines agree).
@@ -289,6 +426,47 @@ GROUP BY p.term_id"""
         f"{base}\nSELECT term_id, doc_id, tf FROM postings"
         f"\nWHERE doc_id % 10 = 0 ORDER BY term_id, doc_id"
     )
+
+    # Random docID permutation (reorder_random, reorder_docids.hpp:
+    # 225-237) as a deterministic md5-rank mapping, plus the log-gap
+    # cost of BOTH orderings side by side (evaluate_collection_
+    # ordering) — shows reordering changes the compression objective.
+    e["reorder_random_map"] = f"""{base}
+SELECT d.doc_id,
+       CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(d.doc_id AS {d.str_type})),
+                               d.doc_id) - 1 AS BIGINT) AS new_doc_id
+FROM documents d"""
+
+    e["reorder_loggap_compare"] = f"""{base},
+rmap AS (
+  SELECT d.doc_id,
+         ROW_NUMBER() OVER (ORDER BY md5(CAST(d.doc_id AS {d.str_type})),
+                            d.doc_id) - 1 AS nd
+  FROM documents d
+),
+gaps_url AS (
+  SELECT doc_id - LAG(doc_id) OVER (PARTITION BY term_id ORDER BY doc_id)
+           AS gap
+  FROM postings
+),
+rp AS (SELECT p.term_id, r.nd AS doc_id
+       FROM postings p JOIN rmap r ON r.doc_id = p.doc_id),
+gaps_rnd AS (
+  SELECT doc_id - LAG(doc_id) OVER (PARTITION BY term_id ORDER BY doc_id)
+           AS gap
+  FROM rp
+)
+SELECT 'a_url_order' AS ordering,
+       CAST(SUM(CAST(FLOOR(LOG2(CAST(gap AS DOUBLE)) * {dlit(1e6)}
+                           + {dlit(0.5)}) AS BIGINT)) AS BIGINT) AS cost_micro,
+       CAST(COUNT(*) AS BIGINT) AS n_gaps
+FROM gaps_url WHERE gap IS NOT NULL AND gap > 0
+UNION ALL
+SELECT 'b_random_order' AS ordering,
+       CAST(SUM(CAST(FLOOR(LOG2(CAST(gap AS DOUBLE)) * {dlit(1e6)}
+                           + {dlit(0.5)}) AS BIGINT)) AS BIGINT) AS cost_micro,
+       CAST(COUNT(*) AS BIGINT) AS n_gaps
+FROM gaps_rnd WHERE gap IS NOT NULL AND gap > 0"""
 
     # Log-gap cost of the docID ordering
     # (tools/evaluate_collection_ordering.cpp), micro-quantized per gap.

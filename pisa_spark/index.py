@@ -87,8 +87,25 @@ def build_index(
     collection_len = int(stats["collection_len"] or 0)
 
     scored = scored_postings(postings, doc_sizes, lexicon, num_docs, avg_len)
-    segments = build_segments(scored, num_docs, avg_len, config.index, config.bm25)
     term_meta = build_term_meta(scored, num_docs, avg_len, config.bm25)
+    index_max_score = None
+    if config.index.quantize_bits:
+        from pyspark.sql import functions as F
+
+        # index-wide max term weight (wand_data index_max_term_weight)
+        index_max_score = float(
+            term_meta.agg(F.max("max_score")).collect()[0][0]
+        )
+        # per-term bound: ceil is monotone, so max_q = ceil(max_score*scale)
+        scale = float(1 << config.index.quantize_bits) / index_max_score
+        term_meta = term_meta.withColumn(
+            "max_score",
+            F.greatest(F.ceil(F.col("max_score") * scale), F.lit(1)).cast("double"),
+        )
+    segments = build_segments(
+        scored, num_docs, avg_len, config.index, config.bm25,
+        index_max_score=index_max_score,
+    )
 
     return InvertedIndex(
         lexicon=lexicon,

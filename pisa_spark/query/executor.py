@@ -117,6 +117,7 @@ def topk_search(
         avg_len=float(index.avg_len),
         k1=index.config.bm25.k1,
         b=index.config.bm25.b,
+        quantized=bool(index.config.index.quantize_bits),
     )
     if thresholds is not None:
         parsed = parsed.join(F.broadcast(thresholds), "query_id", "left")
@@ -189,6 +190,7 @@ def topk_range(
         avg_len=float(index.avg_len),
         k1=index.config.bm25.k1,
         b=index.config.bm25.b,
+        quantized=bool(index.config.index.quantize_bits),
     )
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -85,12 +85,19 @@ class Stats:
     avg_len: float
     k1: float = 0.9
     b: float = 0.4
+    quantized: bool = False  # tf slot carries pre-quantized impacts
 
 
 def _score(tp: TermPostings, tfs: np.ndarray, docs: np.ndarray,
            doc_lens: np.ndarray, stats: Stats) -> np.ndarray:
     """Per-posting weighted score in int64 MICRO units (see
-    scoring.micro_sql — identical quantization in every engine)."""
+    scoring.micro_sql — identical quantization in every engine).
+
+    Quantized indexes (scorer/quantized.hpp): the decoded "tf" IS the
+    impact; the scorer is identity, so micro = weight * q * 1e6
+    exactly (integers)."""
+    if stats.quantized:
+        return to_micro_np(tfs.astype(np.float64), tp.weight)
     raw = bm25_score_np(
         tfs, np.full(len(tfs), tp.df), doc_lens[docs],
         stats.num_docs, stats.avg_len, k1=stats.k1, b=stats.b,
@@ -273,6 +280,8 @@ class _TopK:
 
 def _cursor_score(c: _Cursor, doc_lens: np.ndarray, stats: Stats) -> int:
     tp = c.tp
+    if stats.quantized:
+        return int(to_micro_np(np.array([float(c.freq)]), tp.weight)[0])
     raw = bm25_score_np(
         np.array([c.freq]), np.array([tp.df]),
         doc_lens[np.array([c.docid])],

@@ -40,6 +40,8 @@ def main() -> None:
     ap.add_argument("--local", type=int, default=None,
                     help="run on local[N] (omit under spark-submit)")
     ap.add_argument("--algorithm", default="maxscore")
+    ap.add_argument("--warmup", type=int, default=1,
+                    help="run an untimed small warmup build first")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -65,6 +67,20 @@ def main() -> None:
     from pisa_spark.corpus import synth_pages, synth_queries
     from pisa_spark.query.executor import topk_search
     from pisa_spark.query.parser import parse_queries
+
+    # Untimed warmup build on a small slice (JIT, codegen, Python
+    # worker pool, shuffle paths) — the reference bench protocol also
+    # warms up before timing (tools/queries.cpp:74-90).
+    if args.warmup:
+        import shutil
+
+        wdir = f"{args.out}/_warmup"
+        wpages = synth_pages(spark, 2000, partitions=args.partitions)
+        widx = BuildPipeline(
+            spark, wdir, EngineConfig(), input_desc={"warmup": True}
+        ).run(wpages)
+        widx.segments.count()
+        shutil.rmtree(wdir, ignore_errors=True)
 
     # Materialize the input table first (production inputs are an
     # existing Iceberg/parquet table of pages — the build metric must

