@@ -112,6 +112,24 @@ def to_micro_np(scores: np.ndarray, weight: float = 1.0) -> np.ndarray:
     )
 
 
+def qld_sql_expr(
+    tf: str = "tf",
+    ctf: str = "ctf",
+    doc_len: str = "doc_len",
+    collection_len: str = "collection_len",
+    mu: float = 1000.0,
+) -> str:
+    """ANSI-SQL Dirichlet LM (scorer/qld.hpp:19-41):
+    max(0, ln(1 + tf/(mu*ctf/|C|)) + ln(mu/(dl+mu))) — dual-dialect
+    double arithmetic like bm25_sql_expr."""
+    m = dlit(mu)
+    return (
+        f"GREATEST({dlit(0.0)}, LN({dlit(1.0)} + {tf} /"
+        f" ({m} * {ctf} / {collection_len}))"
+        f" + LN({m} / ({doc_len} + {m})))"
+    )
+
+
 def qld_score_np(
     tf: np.ndarray, ctf: np.ndarray, doc_len: np.ndarray,
     collection_len: float, mu: float = 1000.0, dtype=np.float64,

@@ -152,8 +152,27 @@ def _decode_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _run_boolean(op: str):
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pisa_spark.query.executor import boolean_query
+        from pisa_spark.query.parser import parse_queries
+
+        index = _get_index(spark, sf_dir)
+        parsed = parse_queries(
+            _queries_df(spark), index.lexicon, pre_tokenized=True
+        )
+        return boolean_query(index, parsed, op=op)
+
+    fn.__name__ = f"gated_boolean_{op}"
+    return fn
+
+
 def gated_queries():
     q = {name: _run_sql(name) for name in _SPARK_SQL}
+    # Boolean set entries run the KERNELS (and_query/or_query), not
+    # the SQL skeleton — the SQL stays as the DuckDB oracle.
+    q["boolean_and_docs"] = _run_boolean("and")
+    q["boolean_or_docs"] = _run_boolean("or")
     q["bmw_topk"] = _run_kernel("block_max_wand")
     q["bmm_topk"] = _run_kernel("block_max_maxscore")
     q["wand_topk"] = _run_kernel("wand")

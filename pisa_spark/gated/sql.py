@@ -250,6 +250,49 @@ SELECT query_id, MIN(score) AS threshold
 FROM ranked WHERE rank <= {K}
 GROUP BY query_id ORDER BY query_id"""
 
+    # Dirichlet-LM (QLD, mu=1000) exhaustive disjunction
+    # (scorer/qld.hpp:19-41): same ranked_or plan under the second
+    # reference scorer; ctf = collection term frequency.
+    from pisa_spark.functions.scoring import qld_sql_expr
+
+    qld = qld_sql_expr(
+        tf="p.tf", ctf="c.ctf", doc_len="s.doc_len",
+        collection_len="CAST(st.collection_len AS DOUBLE)",
+    )
+    e["qld_ranked_or_topk"] = f"""{base},
+ctfs AS (SELECT term_id, CAST(SUM(tf) AS DOUBLE) AS ctf
+         FROM postings GROUP BY term_id),
+qsc AS (
+  SELECT qt.query_id, p.doc_id,
+         CAST(SUM({micro_sql(qld, weight="qt.weight")}) AS BIGINT) AS micro
+  FROM qterms qt
+  JOIN postings p ON p.term_id = qt.term_id
+  JOIN sizes s ON s.doc_id = p.doc_id
+  JOIN ctfs c ON c.term_id = p.term_id
+  CROSS JOIN stats st
+  GROUP BY qt.query_id, p.doc_id
+)
+SELECT query_id, rank, doc_id, score FROM (
+  SELECT query_id, doc_id, micro / {dlit(1e6)} AS score,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY micro DESC, doc_id ASC) AS INT) AS rank
+  FROM qsc WHERE micro > 0
+) r WHERE rank <= {K} ORDER BY query_id, rank"""
+
+    # Boolean result SETS (doc lists, not counts) — the kernel-path
+    # oracle for and_query/or_query (and_query.hpp:12-59,
+    # or_query.hpp:8-44).
+    e["boolean_and_docs"] = f"""{base}
+SELECT sc.query_id, sc.doc_id
+FROM scored sc JOIN qsize qs ON sc.query_id = qs.query_id
+WHERE sc.n_matched = qs.n_terms
+ORDER BY sc.query_id, sc.doc_id"""
+
+    e["boolean_or_docs"] = (
+        f"{base}\nSELECT query_id, doc_id FROM scored"
+        f"\nORDER BY query_id, doc_id"
+    )
+
     # Impact-quantized exhaustive disjunction (quantized build,
     # src/compress.cpp:72-91 + linear_quantizer.hpp:8-26 + identity
     # scorer scorer/quantized.hpp): q = ceil(score * 2^8 / index_max),
