@@ -43,6 +43,18 @@ _GATE_CONFIG_QUANT = EngineConfig(
     analyzer=AnalyzerConfig(tokenizer="whitespace"),
     index=IndexConfig(salt_bucket_docs=256, quantize_bits=8),
 )
+_GATE_VARIANTS = {
+    "default": _GATE_CONFIG,
+    "quantized": _GATE_CONFIG_QUANT,
+    "ef": EngineConfig(
+        analyzer=AnalyzerConfig(tokenizer="whitespace"),
+        index=IndexConfig(salt_bucket_docs=256, codec="ef"),
+    ),
+    "bitpack": EngineConfig(
+        analyzer=AnalyzerConfig(tokenizer="whitespace"),
+        index=IndexConfig(salt_bucket_docs=256, codec="bitpack"),
+    ),
+}
 
 _INDEX_CACHE: dict[tuple[str, str], object] = {}
 
@@ -68,7 +80,7 @@ def _get_index(spark: SparkSession, sf_dir: str, variant: str = "default"):
         from pisa_spark.corpus import pages_from_documents
         from pisa_spark.index import build_index
 
-        cfg = _GATE_CONFIG_QUANT if variant == "quantized" else _GATE_CONFIG
+        cfg = _GATE_VARIANTS[variant]
         pages = pages_from_documents(spark, sf_dir)
         _INDEX_CACHE[key] = build_index(spark, pages, cfg)
     return _INDEX_CACHE[key]
@@ -140,16 +152,21 @@ def _porter2_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
     return build_lexicon(docs).orderBy("term_id")
 
 
-def _decode_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _decode_check(variant: str = "default"):
     """Segment round-trip decode (compress --check): the engine's
     block-compressed segments decoded back to long-format postings
-    must equal the SQL-derived postings table."""
-    from pisa_spark.build import decode_segments
+    must equal the SQL-derived postings table; one entry per codec."""
 
-    index = _get_index(spark, sf_dir)
-    return decode_segments(index.segments, index.config.index).orderBy(
-        "term_id", "doc_id"
-    )
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pisa_spark.build import decode_segments
+
+        index = _get_index(spark, sf_dir, variant)
+        return decode_segments(index.segments, index.config.index).orderBy(
+            "term_id", "doc_id"
+        )
+
+    fn.__name__ = f"gated_decode_check_{variant}"
+    return fn
 
 
 def _run_boolean(op: str):
@@ -182,7 +199,9 @@ def gated_queries():
     q["bmw_bootstrap_topk"] = _run_bootstrapped("block_max_wand")
     q["quantized_bmw_topk"] = _run_kernel("block_max_wand", variant="quantized")
     q["porter2_lexicon"] = _porter2_lexicon
-    q["segments_decode_check"] = _decode_check
+    q["segments_decode_check"] = _decode_check()
+    q["segments_decode_check_ef"] = _decode_check("ef")
+    q["segments_decode_check_bitpack"] = _decode_check("bitpack")
     return q
 
 
@@ -200,4 +219,6 @@ def gated_oracle_sql():
         o[name] = _DUCK_SQL["ranked_or_topk"]
     o["quantized_bmw_topk"] = _DUCK_SQL["quantized_ranked_or_topk"]
     o["segments_decode_check"] = _DUCK_SQL["postings"]
+    o["segments_decode_check_ef"] = _DUCK_SQL["postings"]
+    o["segments_decode_check_bitpack"] = _DUCK_SQL["postings"]
     return o

@@ -59,3 +59,60 @@ def test_roundtrip_u64(codec):
     enc, dec = CODECS[codec]
     vals = np.array([0, 2**32, 2**40 + 7, 2**63 - 1, 10**12], dtype=np.uint64)
     np.testing.assert_array_equal(dec(enc(vals), len(vals)), vals)
+
+
+def test_ef_roundtrip_edges():
+    """Elias-Fano round-trip on the reference's edge sizes
+    (test/test_block_codecs.cpp:18-57): 1, 16, 127, 128 values,
+    including runs of zeros (tf-1 payloads) and large gaps."""
+    import numpy as np
+
+    from pisa_spark.codecs import ef_decode, ef_encode
+
+    rng = np.random.RandomState(7)
+    cases = [
+        np.array([0], dtype=np.uint64),
+        np.array([2**31], dtype=np.uint64),
+        np.zeros(128, dtype=np.uint64),
+        np.ones(127, dtype=np.uint64),
+        rng.randint(0, 2**20, 16).astype(np.uint64),
+        rng.randint(0, 2**40, 128).astype(np.uint64),
+        np.concatenate([np.zeros(64, np.uint64), rng.randint(0, 9, 64).astype(np.uint64)]),
+    ]
+    for vals in cases:
+        out = ef_decode(ef_encode(vals), len(vals))
+        assert np.array_equal(out, vals), vals[:8]
+
+
+def test_ef_randomized_roundtrip():
+    import numpy as np
+
+    from pisa_spark.codecs import ef_decode, ef_encode
+
+    rng = np.random.RandomState(42)
+    for _ in range(200):
+        n = rng.randint(1, 257)
+        hi = 2 ** rng.randint(1, 40)
+        vals = rng.randint(0, hi, n).astype(np.uint64)
+        assert np.array_equal(ef_decode(ef_encode(vals), n), vals)
+
+
+def test_ef_codec_in_engine(spark):
+    """Full index round-trip with the ef codec configured."""
+    from pisa_spark.build import decode_segments
+    from pisa_spark.config import AnalyzerConfig, EngineConfig, IndexConfig
+    from pisa_spark.corpus import pages_from_documents
+    from pisa_spark.index import build_index
+
+    cfg = EngineConfig(
+        analyzer=AnalyzerConfig(tokenizer="whitespace"),
+        index=IndexConfig(salt_bucket_docs=256, codec="ef"),
+    )
+    pages = pages_from_documents(spark, "/root/testdata/sf0.001").limit(100)
+    index = build_index(spark, pages, cfg)
+    dec = decode_segments(index.segments, cfg.index).toPandas()
+    exp = index.postings.toPandas()
+    assert len(dec) == len(exp)
+    d = dec.sort_values(["term_id", "doc_id"]).reset_index(drop=True)
+    x = exp.sort_values(["term_id", "doc_id"]).reset_index(drop=True)
+    assert (d["doc_id"] == x["doc_id"]).all() and (d["tf"] == x["tf"]).all()
