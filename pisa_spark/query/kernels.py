@@ -33,6 +33,7 @@ Kernel inventory:
 
 from __future__ import annotations
 
+from bisect import bisect_left
 from dataclasses import dataclass
 
 import numpy as np
@@ -176,34 +177,48 @@ def or_kernel(terms: list[TermPostings]) -> np.ndarray:
 # ------------------------------------------------------------------ pruned
 
 class _Cursor:
-    """DAAT cursor with block skipping (block_posting_list.hpp:80-319)."""
+    """DAAT cursor with block skipping (block_posting_list.hpp:80-319).
 
-    __slots__ = ("tp", "bi", "pos", "docs", "tfs", "done")
+    Python-loop-optimized: on block load the WHOLE block is scored
+    vectorized (the reference lazily decodes the freq block; we fuse
+    decode+score — one numpy pass per 128 postings instead of a numpy
+    round-trip per posting), and the hot-path state (doc list, score
+    list, block-max arrays) lives as plain Python lists/ints, which
+    beat numpy scalar indexing by ~10x inside the DAAT loop.
+    """
+
+    __slots__ = ("tp", "bi", "pos", "docs", "scores", "done", "docid",
+                 "_bmd", "_n_blocks", "_doc_lens", "_stats")
 
     SENTINEL = np.iinfo(np.int64).max
 
-    def __init__(self, tp: TermPostings):
+    def __init__(self, tp: TermPostings, doc_lens: np.ndarray, stats: Stats):
         self.tp = tp
+        self._doc_lens = doc_lens
+        self._stats = stats
+        self._bmd = tp.block_max_doc.tolist()
+        self._n_blocks = len(tp.doc_payloads)
         self.bi = -1
-        self.done = len(tp.doc_payloads) == 0
-        self.docs = self.tfs = None
+        self.done = self._n_blocks == 0
+        self.docs: list[int] = []
+        self.scores: list[int] = []
+        self.docid = self.SENTINEL
         self._load(0)
 
     def _load(self, bi: int):
-        if bi >= len(self.tp.doc_payloads):
+        if bi >= self._n_blocks:
             self.done = True
+            self.docid = self.SENTINEL
             return
         self.bi = bi
-        self.docs, self.tfs = self.tp.decode_block(bi)
+        d, t = self.tp.decode_block(bi)
+        self.docs = d.tolist()
+        self.scores = _score(self.tp, t, d, self._doc_lens, self._stats).tolist()
         self.pos = 0
+        self.docid = self.docs[0]
 
-    @property
-    def docid(self) -> int:
-        return self.SENTINEL if self.done else int(self.docs[self.pos])
-
-    @property
-    def freq(self) -> int:
-        return int(self.tfs[self.pos])
+    def score(self) -> int:
+        return self.scores[self.pos]
 
     def next(self):
         if self.done:
@@ -211,26 +226,32 @@ class _Cursor:
         self.pos += 1
         if self.pos >= len(self.docs):
             self._load(self.bi + 1)
+        else:
+            self.docid = self.docs[self.pos]
 
     def next_geq(self, target: int):
         if self.done:
             return
         # Block skip via block-max docIDs (next_geq, :115-137).
-        if int(self.tp.block_max_doc[self.bi]) < target:
-            nbi = int(np.searchsorted(self.tp.block_max_doc, target, side="left"))
-            if nbi >= len(self.tp.doc_payloads):
+        if self._bmd[self.bi] < target:
+            nbi = bisect_left(self._bmd, target)
+            if nbi >= self._n_blocks:
                 self.done = True
+                self.docid = self.SENTINEL
                 return
             self._load(nbi)
-        self.pos = int(np.searchsorted(self.docs, target, side="left"))
-        if self.pos >= len(self.docs):  # can't happen if block_max >= target
+        pos = bisect_left(self.docs, target, self.pos)
+        if pos >= len(self.docs):  # can't happen if block_max >= target
             self._load(self.bi + 1)
+        else:
+            self.pos = pos
+            self.docid = self.docs[pos]
 
     def block_max_score(self) -> float:
         return float(self.tp.block_max_score[self.bi]) if not self.done else 0.0
 
     def block_last_doc(self) -> int:
-        return int(self.tp.block_max_doc[self.bi]) if not self.done else self.SENTINEL
+        return self._bmd[self.bi] if not self.done else self.SENTINEL
 
 
 # Pruning margin in MICRO units: per-posting quantization moves a
@@ -251,6 +272,7 @@ class _TopK:
         self.heapq = heapq
         self.k = k
         self.init = float(init_threshold)  # sound lower bound - eps
+        self.threshold = self.init  # cached: max(init, kth-eps)
         self.heap: list[int] = []  # k highest micro scores seen
         self.docs: list[int] = []
         self.scores: list[int] = []
@@ -263,14 +285,14 @@ class _TopK:
         self.scores.append(micro)
         if len(self.heap) < self.k:
             self.heapq.heappush(self.heap, micro)
-        elif micro > self.heap[0]:
+        else:
+            if micro <= self.heap[0]:
+                return
             self.heapq.heapreplace(self.heap, micro)
-
-    @property
-    def threshold(self) -> float:
-        if len(self.heap) < self.k:
-            return self.init
-        return max(self.init, self.heap[0] - PRUNE_EPS)
+        if len(self.heap) == self.k:
+            t = self.heap[0] - PRUNE_EPS
+            if t > self.threshold:
+                self.threshold = t
 
     def finalize(self, k: int) -> tuple[np.ndarray, np.ndarray]:
         docs = np.array(self.docs, dtype=np.int64)
@@ -278,22 +300,10 @@ class _TopK:
         return _finalize(docs, scores, k)
 
 
-def _cursor_score(c: _Cursor, doc_lens: np.ndarray, stats: Stats) -> int:
-    tp = c.tp
-    if stats.quantized:
-        return int(to_micro_np(np.array([float(c.freq)]), tp.weight)[0])
-    raw = bm25_score_np(
-        np.array([c.freq]), np.array([tp.df]),
-        doc_lens[np.array([c.docid])],
-        stats.num_docs, stats.avg_len, k1=stats.k1, b=stats.b,
-    )
-    return int(to_micro_np(raw, tp.weight)[0])
-
-
 def wand_kernel(terms: list[TermPostings], k: int, doc_lens: np.ndarray,
                 stats: Stats, init_threshold: float = 0.0) -> tuple[np.ndarray, np.ndarray]:
     """WAND (wand_query.hpp:10-93): pivot by cumulative max-score."""
-    cursors = [_Cursor(tp) for tp in terms if len(tp.doc_payloads)]
+    cursors = [_Cursor(tp, doc_lens, stats) for tp in terms if len(tp.doc_payloads)]
     topk = _TopK(k, init_threshold)
     while True:
         cursors = [c for c in cursors if not c.done]
@@ -314,7 +324,7 @@ def wand_kernel(terms: list[TermPostings], k: int, doc_lens: np.ndarray,
             for c in cursors:
                 if c.docid != pivot_doc:
                     break
-                score += _cursor_score(c, doc_lens, stats)
+                score += c.score()
             topk.insert(score, pivot_doc)
             for c in cursors:
                 if c.docid == pivot_doc:
@@ -336,7 +346,7 @@ def block_max_wand_kernel(terms: list[TermPostings], k: int,
     """BMW (block_max_wand_query.hpp:8-167): WAND pivot + block-max
     refinement + jump to min block boundary when the shallow check
     fails."""
-    cursors = [_Cursor(tp) for tp in terms if len(tp.doc_payloads)]
+    cursors = [_Cursor(tp, doc_lens, stats) for tp in terms if len(tp.doc_payloads)]
     topk = _TopK(k, init_threshold)
     while True:
         cursors = [c for c in cursors if not c.done]
@@ -369,7 +379,7 @@ def block_max_wand_kernel(terms: list[TermPostings], k: int,
                 for c in cursors:
                     if c.docid != pivot_doc:
                         break
-                    score += _cursor_score(c, doc_lens, stats)
+                    score += c.score()
                 topk.insert(score, pivot_doc)
                 for c in cursors:
                     if c.docid == pivot_doc:
