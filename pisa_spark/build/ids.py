@@ -38,9 +38,13 @@ def assign_global_ids(
         df.rdd.getNumPartitions(),
         spark.sparkContext.defaultParallelism,
     )
+    # persist() is load-bearing: the per-partition offsets collected
+    # below must describe the SAME physical partitioning the numbering
+    # job reads — without it the range partitioner re-samples on the
+    # second job and boundaries can shift (observed: duplicate ids).
     ranged = df.repartitionByRange(parts, F.col(order_col)).withColumn(
         "__pid", F.spark_partition_id()
-    )
+    ).persist()
     counts = dict(ranged.groupBy("__pid").count().collect())  # tiny
     offsets, acc = [], 0
     for pid in sorted(counts):

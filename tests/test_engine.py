@@ -231,3 +231,24 @@ def test_weighted_query_duplicates(spark, index):
     np.testing.assert_allclose(
         merged["score_2"], (2 * merged["score_1"]).round(6), atol=2e-6
     )
+
+
+def test_assign_global_ids_unique_dense(spark):
+    """Dense-rank uniqueness under many partitions and recompute
+    (regression: unpersisted range boundaries re-sampled between the
+    offset job and the numbering job, producing duplicate ids)."""
+    import pandas as pd
+
+    from pisa_spark.build.ids import assign_global_ids
+
+    vals = [f"k{i:05d}" for i in range(5000)]
+    import random
+
+    random.Random(3).shuffle(vals)
+    df = spark.createDataFrame(
+        pd.DataFrame({"key": vals}), schema="key string"
+    ).repartition(16)
+    out = assign_global_ids(df, "key", "rid", num_partitions=12).toPandas()
+    assert sorted(out["rid"]) == list(range(5000))
+    ordered = out.sort_values("key")["rid"].tolist()
+    assert ordered == list(range(5000))

@@ -1,0 +1,175 @@
+"""Incremental / Structured-Streaming indexing tests."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from pisa_spark.config import AnalyzerConfig, EngineConfig, IndexConfig
+
+SF = "/root/testdata/sf0.001"
+CFG = EngineConfig(
+    analyzer=AnalyzerConfig(tokenizer="whitespace"),
+    index=IndexConfig(salt_bucket_docs=256),
+)
+
+
+def _pages(spark):
+    from pisa_spark.corpus import pages_from_documents
+
+    return pages_from_documents(spark, SF).limit(120).drop("doc_id")
+
+
+def _query(spark, index, terms_pool, n=8):
+    from pisa_spark.query.executor import topk_search
+    from pisa_spark.query.parser import parse_queries
+
+    # k > corpus size: no truncation boundary, so the full matching
+    # result set must be identical regardless of docID permutation
+    # (docID tie-breaks at a top-k cutoff legitimately differ between
+    # the two id assignments).
+    rows = [(f"q{i}", [terms_pool[(2 * i) % len(terms_pool)],
+                       terms_pool[(2 * i + 5) % len(terms_pool)]], 500)
+            for i in range(n)]
+    qdf = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["query_id", "terms", "k"]),
+        schema="query_id string, terms array<string>, k int",
+    )
+    parsed = parse_queries(qdf, index.lexicon, pre_tokenized=True)
+    res = topk_search(index, parsed, algorithm="block_max_wand", k=500)
+    return (
+        res.join(index.docmap, "doc_id")
+        .select("query_id", "url", "score")
+        .toPandas()
+    )
+
+
+def test_incremental_matches_batch_build(spark, tmp_path):
+    """Two generations must answer queries identically (by url+score)
+    to a one-shot batch build over the same corpus."""
+    from pisa_spark.index import build_index
+    from pisa_spark.streaming import IncrementalIndexer
+
+    pages = _pages(spark).persist()
+    gen0 = pages.filter(F.crc32(F.col("url")) % 2 == 0)
+    gen1 = pages.filter(F.crc32(F.col("url")) % 2 == 1)
+
+    inc = IncrementalIndexer(spark, str(tmp_path / "inc"), CFG)
+    assert inc.add_generation(gen0) == 0
+    assert inc.add_generation(gen1) == 1
+    inc_index = inc.index()
+
+    batch_index = build_index(spark, pages, CFG)
+    assert inc_index.num_docs == batch_index.num_docs
+    assert abs(inc_index.avg_len - batch_index.avg_len) < 1e-9
+
+    terms = [r["term"] for r in batch_index.lexicon.limit(30).collect()]
+    got = _query(spark, inc_index, terms).sort_values(
+        ["query_id", "score", "url"], ascending=[True, False, True]
+    )
+    want = _query(spark, batch_index, terms).sort_values(
+        ["query_id", "score", "url"], ascending=[True, False, True]
+    )
+    # same (query, url, score) result sets — docIDs differ by design
+    assert len(got) == len(want)
+    assert (got["query_id"].values == want["query_id"].values).all()
+    assert (got["url"].values == want["url"].values).all()
+    assert np.allclose(got["score"].values, want["score"].values, atol=1e-9)
+
+
+def test_kept_block_bounds_stay_sound(spark, tmp_path):
+    """After a generation that does NOT touch a term, its kept blocks'
+    repaired max_score must still upper-bound the true (fresh-stats)
+    block max score."""
+    from pisa_spark.build import decode_segments
+    from pisa_spark.functions.scoring import bm25_score_np
+    from pisa_spark.streaming import IncrementalIndexer
+
+    gen0 = _pages(spark).persist()
+    # gen1 introduces ONLY new vocabulary with very long docs, so every
+    # gen0 term is untouched while num_docs and avg_len shift a lot.
+    gen1_pdf = pd.DataFrame(
+        {
+            "url": [f"https://new.example/{i}" for i in range(10)],
+            "warc_ts": pd.Timestamp("2024-06-01"),
+            "html": [b"<html/>"] * 10,
+            "text": [" ".join(f"zzznew{i}w{j}" for j in range(900))
+                     for i in range(10)],
+            "lang": "en",
+        }
+    )
+    gen1 = spark.createDataFrame(
+        gen1_pdf,
+        schema="url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    gen1_terms = {f"zzznew{i}w{j}" for i in range(10) for j in range(900)}
+
+    inc = IncrementalIndexer(spark, str(tmp_path / "inc2"), CFG)
+    inc.add_generation(gen0)
+    inc.add_generation(gen1)
+    idx = inc.index()
+
+    lex = idx.lexicon.toPandas()
+    untouched_ids = set(lex[~lex["term"].isin(gen1_terms)]["term_id"])
+    if not untouched_ids:
+        pytest.skip("no untouched terms in this split")
+
+    seg = idx.segments.toPandas()
+    dec = decode_segments(idx.segments, CFG.index).toPandas()
+    sizes = idx.doc_sizes.toPandas().set_index("doc_id")["doc_len"]
+    dfs = lex.set_index("term_id")["df"]
+
+    dec = dec[dec["term_id"].isin(untouched_ids)]
+    scores = bm25_score_np(
+        dec["tf"].to_numpy(float),
+        dec["term_id"].map(dfs).to_numpy(float),
+        dec["doc_id"].map(sizes).to_numpy(float),
+        float(idx.num_docs), float(idx.avg_len),
+    )
+    dec = dec.assign(score=scores)
+    # per-block soundness: assign each posting to its block by
+    # (term, first block whose max_doc_id >= doc_id) and compare
+    seg_u = seg[seg["term_id"].isin(untouched_ids)]
+    for tid, g in seg_u.groupby("term_id"):
+        g = g.sort_values("block_id")
+        term_dec = dec[dec["term_id"] == tid].sort_values("doc_id")
+        bounds = g["max_doc_id"].to_numpy()
+        blk = np.searchsorted(bounds, term_dec["doc_id"].to_numpy())
+        for bi, bmax in enumerate(g["max_score"].to_numpy()):
+            mask = blk == bi
+            if mask.any():
+                assert bmax + 1e-6 >= term_dec["score"].to_numpy()[mask].max()
+
+
+def test_structured_streaming_drains_landing_zone(spark, tmp_path):
+    from pisa_spark.streaming import run_stream_indexing
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    pages = _pages(spark).persist()
+    n_total = pages.count()
+    pages.filter(F.crc32(F.col("url")) % 2 == 0).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(landing / "chunk0"))
+    pages.filter(F.crc32(F.col("url")) % 2 == 1).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(landing / "chunk1"))
+    # flatten chunk files into the landing dir (file source reads *.parquet)
+    import shutil
+
+    for i, f in enumerate(sorted(landing.glob("chunk*/*.parquet"))):
+        shutil.move(str(f), str(landing / f"part-{i}.parquet"))
+    for d in landing.glob("chunk*"):
+        shutil.rmtree(d)
+
+    indexer = run_stream_indexing(
+        spark, str(landing), str(tmp_path / "sidx"),
+        str(tmp_path / "ckpt"), CFG, available_now=True,
+    )
+    idx = indexer.index()
+    assert idx.num_docs == n_total
+    terms = [r["term"] for r in idx.lexicon.limit(10).collect()]
+    res = _query(spark, idx, terms, n=3)
+    assert len(res) > 0 and (res["score"] > 0).all()
