@@ -152,6 +152,46 @@ def _porter2_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
     return build_lexicon(docs).orderBy("term_id")
 
 
+def _taily_shard_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Taily shard selection end-to-end (taily_stats + the external
+    taily lib's score_shards, reimplemented in query.taily): rank 4
+    doc_id%4 shards per gate query by expected top-k contribution.
+    Gamma-CDF math is not SQL-expressible -> rows-only driver check;
+    the algorithm is pinned by tests/test_shards.py."""
+    import pandas as pd
+
+    from pisa_spark.build.segments import scored_postings
+    from pisa_spark.build.shards import shard_term_stats
+    from pisa_spark.query.parser import parse_queries
+    from pisa_spark.query.taily import rank_shards_for_queries
+
+    index = _get_index(spark, sf_dir)
+    scored = scored_postings(
+        index.postings, index.doc_sizes, index.lexicon,
+        index.num_docs, index.avg_len,
+    )
+    moments = shard_term_stats(
+        scored, index.num_docs, index.avg_len, n_shards=4
+    ).toPandas()
+    sizes = index.doc_sizes.toPandas()
+    shard_docs = {
+        s: int((sizes["doc_id"] % 4 == s).sum()) for s in range(4)
+    }
+    parsed = parse_queries(
+        _queries_df(spark), index.lexicon, pre_tokenized=True
+    ).toPandas()
+    queries = {
+        qid: [int(t) for t in g["term_id"]]
+        for qid, g in parsed.groupby("query_id")
+    }
+    ranked = rank_shards_for_queries(queries, moments, shard_docs, n_c=K)
+    ranked["score_micro"] = (ranked["score"] * 1e6 + 0.5).astype("int64")
+    return spark.createDataFrame(
+        ranked[["query_id", "shard_id", "rank", "score_micro"]],
+        schema="query_id string, shard_id long, rank long, score_micro long",
+    )
+
+
 def _decode_check(variant: str = "default"):
     """Segment round-trip decode (compress --check): the engine's
     block-compressed segments decoded back to long-format postings
@@ -199,6 +239,7 @@ def gated_queries():
     q["bmw_bootstrap_topk"] = _run_bootstrapped("block_max_wand")
     q["quantized_bmw_topk"] = _run_kernel("block_max_wand", variant="quantized")
     q["porter2_lexicon"] = _porter2_lexicon
+    q["taily_shard_ranking"] = _taily_shard_ranking
     q["segments_decode_check"] = _decode_check()
     q["segments_decode_check_ef"] = _decode_check("ef")
     q["segments_decode_check_bitpack"] = _decode_check("bitpack")

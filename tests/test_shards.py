@@ -62,3 +62,79 @@ def test_shard_taily_moments_consistent(spark, docs):
     for _, row in glob.iterrows():
         assert row["df"] == lexdf[row["term_id"]]
         assert row["sum_micro"] > 0
+
+
+def test_gamma_sf_sanity():
+    """Incomplete-gamma implementation vs known values: for
+    Gamma(k=1, theta) (exponential), P(X>s) = exp(-s/theta)."""
+    import math
+
+    from pisa_spark.query.taily import gamma_sf
+
+    # E=theta, Var=theta^2 -> k=1
+    for theta in (0.5, 2.0):
+        for s in (0.1, 1.0, 5.0):
+            want = math.exp(-s / theta)
+            got = gamma_sf(theta, theta * theta, s)
+            assert abs(got - want) < 1e-9
+    # chi-square-like case k=2 (E=2t, Var=2t^2): P(X>s)=(1+s/t)exp(-s/t)
+    t = 1.5
+    for s in (0.3, 2.0, 7.0):
+        want = (1 + s / t) * math.exp(-s / t)
+        assert abs(gamma_sf(2 * t, 2 * t * t, s) - want) < 1e-9
+
+
+def test_taily_ranks_exclusive_shard_first(spark):
+    """Controlled scenario: a term that exists ONLY in shard 0's docs
+    must rank shard 0 first; a term present everywhere must give all
+    shards nonzero scores."""
+    import pandas as pd
+
+    from pisa_spark.build import build_doc_sizes, build_lexicon, build_postings, collection_stats
+    from pisa_spark.build.forward import tokenize_pages
+    from pisa_spark.build.segments import scored_postings
+    from pisa_spark.build.shards import shard_term_stats
+    from pisa_spark.config import AnalyzerConfig
+    from pisa_spark.query.taily import rank_shards_for_queries
+
+    texts = []
+    for i in range(80):
+        base = f"common{i % 7} filler{i % 13} shared word"
+        if i % 4 == 0:  # shard 0 under doc_id % 4 (ids are 0..79)
+            base += " exclusivezero exclusivezero"
+        texts.append(base)
+    pages = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "url": [f"https://t/{i:04d}" for i in range(80)],
+                "warc_ts": pd.Timestamp("2024-01-01"),
+                "html": [b"x"] * 80,
+                "text": texts,
+                "lang": "en",
+            }
+        ),
+        schema="url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    docs = tokenize_pages(pages, AnalyzerConfig(tokenizer="whitespace"))
+    lex = build_lexicon(docs)
+    sizes = build_doc_sizes(docs)
+    postings = build_postings(docs, lex)
+    st = collection_stats(sizes).collect()[0]
+    scored = scored_postings(
+        postings, sizes, lex, int(st["num_docs"]), float(st["avg_len"])
+    )
+    moments = shard_term_stats(
+        scored, int(st["num_docs"]), float(st["avg_len"]), n_shards=4
+    ).toPandas()
+    shard_docs = {s: 20 for s in range(4)}
+
+    lexp = lex.toPandas().set_index("term")["term_id"]
+    ranked = rank_shards_for_queries(
+        {"q_excl": [int(lexp["exclusivezero"])], "q_all": [int(lexp["shared"])]},
+        moments, shard_docs, n_c=5,
+    )
+    excl = ranked[ranked["query_id"] == "q_excl"]
+    assert int(excl[excl["rank"] == 1].iloc[0]["shard_id"]) == 0
+    assert (excl[excl["shard_id"] != 0]["score"] == 0).all()
+    alls = ranked[ranked["query_id"] == "q_all"]
+    assert (alls["score"] > 0).all()
