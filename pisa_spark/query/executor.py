@@ -100,13 +100,19 @@ def topk_search(
     algorithm: str = "block_max_wand",
     k: int = 10,
     thresholds: DataFrame | None = None,
+    profile: bool = False,
 ) -> DataFrame:
     """(query_id, rank, doc_id, score) — query-major execution.
 
     ``thresholds``: optional (query_id, threshold_micro) sound lower
     bounds (thresholds.estimate_thresholds) that bootstrap each
     kernel's heap threshold — the fork's kth_threshold pipeline, but
-    safe by construction (no --safe rerun needed)."""
+    safe by construction (no --safe rerun needed).
+
+    ``profile``: adds (blocks_decoded, postings_decoded) per query —
+    the reference's profile_queries/block_profiler counters — making
+    pruning effectiveness measurable (a pruned kernel must decode
+    fewer blocks than the exhaustive one on the same query)."""
     kernel = RANKED_KERNELS[algorithm]
     decode = CODECS[index.config.index.codec][1]
     doc_lens_b = index.segments.sparkSession.sparkContext.broadcast(
@@ -123,6 +129,8 @@ def topk_search(
         parsed = parsed.join(F.broadcast(thresholds), "query_id", "left")
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        from pisa_spark.query.kernels import Profiler
+
         terms = _group_to_terms(pdf, decode)
         kk = int(pdf["k"].iloc[0]) if "k" in pdf else k
         init = 0.0
@@ -130,10 +138,11 @@ def topk_search(
             # estimate is a true lower bound; keep the quantization
             # slack so boundary ties are never pruned
             init = float(pdf["threshold_micro"].iloc[0]) - PRUNE_EPS
+        Profiler.reset()
         docs, scores = kernel(
             terms, kk, doc_lens_b.value, stats, init_threshold=init
         )
-        return pd.DataFrame(
+        out = pd.DataFrame(
             {
                 "query_id": pdf["query_id"].iloc[0],
                 "rank": np.arange(1, len(docs) + 1, dtype=np.int32),
@@ -141,11 +150,16 @@ def topk_search(
                 "score": scores,
             }
         )
+        if profile:
+            out["blocks_decoded"] = np.int64(Profiler.blocks)
+            out["postings_decoded"] = np.int64(Profiler.postings)
+        return out
 
+    schema = "query_id string, rank int, doc_id long, score double"
+    if profile:
+        schema += ", blocks_decoded long, postings_decoded long"
     rows = _query_segments(index, parsed)
-    return rows.groupBy("query_id").applyInPandas(
-        run, "query_id string, rank int, doc_id long, score double"
-    )
+    return rows.groupBy("query_id").applyInPandas(run, schema)
 
 
 def boolean_query(index: InvertedIndex, parsed: DataFrame, op: str = "and") -> DataFrame:

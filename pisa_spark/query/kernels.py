@@ -41,6 +41,20 @@ import numpy as np
 from pisa_spark.functions.scoring import MICRO, bm25_score_np, to_micro_np
 
 
+class Profiler:
+    """Per-query decode counters (the reference's block_profiler /
+    profile_queries analogue): every block decode anywhere in a kernel
+    is counted here. Reset per query group by the executor."""
+
+    blocks = 0
+    postings = 0
+
+    @classmethod
+    def reset(cls):
+        cls.blocks = 0
+        cls.postings = 0
+
+
 @dataclass
 class TermPostings:
     """One query term's posting data, block-encoded.
@@ -63,6 +77,8 @@ class TermPostings:
 
     def decode_block(self, bi: int) -> tuple[np.ndarray, np.ndarray]:
         n = int(self.block_count[bi])
+        Profiler.blocks += 1
+        Profiler.postings += n
         payload = self.decode(self.doc_payloads[bi], n).astype(np.int64)
         docs = payload.copy()
         docs[1:] += 1
@@ -437,9 +453,13 @@ def block_max_maxscore_kernel(terms: list[TermPostings], k: int,
 
     parts_d, parts_s = [], []
     for tp in essential:
-        docs, tfs = tp.decode_all()
+        if tp is top:  # phase-0 decode is reused, not repeated
+            docs, sc = docs_t, scores_t
+        else:
+            docs, tfs = tp.decode_all()
+            sc = _score(tp, tfs, docs, doc_lens, stats)
         parts_d.append(docs)
-        parts_s.append(_score(tp, tfs, docs, doc_lens, stats))
+        parts_s.append(sc)
     docs, partial = _aggregate(np.concatenate(parts_d), np.concatenate(parts_s))
 
     # Raise θ with the k-th best essential partial (a valid lower
@@ -518,9 +538,13 @@ def maxscore_kernel(terms: list[TermPostings], k: int, doc_lens: np.ndarray,
 
     parts_d, parts_s = [], []
     for tp in essential:
-        docs, tfs = tp.decode_all()
+        if tp is top:  # phase-0 decode is reused, not repeated
+            docs, sc = docs_t, scores_t
+        else:
+            docs, tfs = tp.decode_all()
+            sc = _score(tp, tfs, docs, doc_lens, stats)
         parts_d.append(docs)
-        parts_s.append(_score(tp, tfs, docs, doc_lens, stats))
+        parts_s.append(sc)
     docs, partial = _aggregate(np.concatenate(parts_d), np.concatenate(parts_s))
 
     ne_bound = float(prefix_ub[split - 1]) if split > 0 else 0.0

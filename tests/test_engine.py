@@ -252,3 +252,25 @@ def test_assign_global_ids_unique_dense(spark):
     assert sorted(out["rid"]) == list(range(5000))
     ordered = out.sort_values("key")["rid"].tolist()
     assert ordered == list(range(5000))
+
+
+def test_pruned_kernels_decode_fewer_blocks(spark, index, parsed):
+    """profile_queries analogue: dynamic pruning must actually skip
+    work — BMW/maxscore decode fewer blocks than the exhaustive TAAT
+    kernel on the same queries, with identical results (already pinned
+    by test_kernels_match_oracle)."""
+    from pisa_spark.query.executor import topk_search
+
+    def total_blocks(algorithm):
+        df = topk_search(
+            index, parsed, algorithm=algorithm, k=10, profile=True
+        ).toPandas()
+        return df.groupby("query_id")["blocks_decoded"].first().sum()
+
+    exhaustive = total_blocks("ranked_or")
+    bmw = total_blocks("block_max_wand")
+    bmm = total_blocks("block_max_maxscore")
+    assert bmw <= exhaustive
+    assert bmm <= exhaustive
+    # on the gate workload at least SOME pruning must happen
+    assert bmw < exhaustive or bmm < exhaustive
