@@ -232,6 +232,7 @@ def gated_queries():
     q["boolean_or_docs"] = _run_boolean("or")
     q["bmw_topk"] = _run_kernel("block_max_wand")
     q["bmm_topk"] = _run_kernel("block_max_maxscore")
+    q["bm_ranked_and_topk"] = _run_kernel("block_max_ranked_and")
     q["wand_topk"] = _run_kernel("wand")
     q["maxscore_topk"] = _run_kernel("maxscore")
     q["taat_ranked_or_topk"] = _run_kernel("ranked_or")
@@ -258,6 +259,7 @@ def gated_oracle_sql():
         "bmw_bootstrap_topk",
     ):
         o[name] = _DUCK_SQL["ranked_or_topk"]
+    o["bm_ranked_and_topk"] = _DUCK_SQL["ranked_and_topk"]
     o["quantized_bmw_topk"] = _DUCK_SQL["quantized_ranked_or_topk"]
     o["segments_decode_check"] = _DUCK_SQL["postings"]
     o["segments_decode_check_ef"] = _DUCK_SQL["postings"]

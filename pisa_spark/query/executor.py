@@ -31,6 +31,7 @@ from pisa_spark.query.kernels import (
     TermPostings,
     and_kernel,
     block_max_maxscore_kernel,
+    block_max_ranked_and_kernel,
     block_max_wand_kernel,
     maxscore_kernel,
     or_kernel,
@@ -42,6 +43,7 @@ from pisa_spark.query.kernels import (
 RANKED_KERNELS = {
     "ranked_or": ranked_or_kernel,
     "ranked_and": ranked_and_kernel,
+    "block_max_ranked_and": block_max_ranked_and_kernel,
     "wand": wand_kernel,
     "block_max_wand": block_max_wand_kernel,
     "block_max_maxscore": block_max_maxscore_kernel,

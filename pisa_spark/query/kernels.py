@@ -500,6 +500,66 @@ def block_max_maxscore_kernel(terms: list[TermPostings], k: int,
     return _finalize(docs, partial, k)
 
 
+def block_max_ranked_and_kernel(terms: list[TermPostings], k: int,
+                                doc_lens: np.ndarray, stats: Stats,
+                                init_threshold: float = 0.0) -> tuple[np.ndarray, np.ndarray]:
+    """Ranked conjunction with block-max skipping
+    (block_max_ranked_and_query.hpp:9-86): leapfrog intersection, but
+    before aligning the lists on a candidate the per-cursor BLOCK
+    upper bounds (looked up by bisect on the block-max docID array —
+    no decode) must beat the threshold; otherwise jump past the
+    closest block boundary.
+    """
+    if not terms:
+        return np.empty(0, np.int64), np.empty(0, np.float64)
+    cursors = [_Cursor(tp, doc_lens, stats) for tp in terms]
+    if any(c.done for c in cursors):
+        return np.empty(0, np.int64), np.empty(0, np.float64)
+    cursors.sort(key=lambda c: c.tp.df)  # shortest list drives
+    topk = _TopK(k, init_threshold)
+    SEN = _Cursor.SENTINEL
+
+    n = len(cursors)
+    candidate = cursors[0].docid
+    li = 1  # candidate_list: next list to align (persists across rounds)
+    while candidate < SEN:
+        # block upper bound without decoding (block_max_next_geq)
+        ub = 0.0
+        exhausted = False
+        jumps = []
+        for c in cursors:
+            bi = bisect_left(c._bmd, candidate)
+            if bi >= c._n_blocks:
+                exhausted = True
+                break
+            ub += float(c.tp.block_max_score[bi])
+            jumps.append(c._bmd[bi])
+        if exhausted:
+            break
+        if topk.would_enter(ub):
+            advanced_past = False
+            while li < n:
+                c = cursors[li]
+                c.next_geq(candidate)
+                if c.docid != candidate:
+                    candidate = c.docid
+                    li = 0
+                    advanced_past = True
+                    break
+                li += 1
+            if not advanced_past:
+                # all n lists aligned at candidate
+                score = sum(c.score() for c in cursors)
+                topk.insert(score, candidate)
+                cursors[0].next()
+                candidate = cursors[0].docid
+                li = 1
+        else:
+            candidate = max(min(jumps) + 1, candidate + 1)
+            li = 0
+    return topk.finalize(k)
+
+
 def maxscore_kernel(terms: list[TermPostings], k: int, doc_lens: np.ndarray,
                     stats: Stats, init_threshold: float = 0.0) -> tuple[np.ndarray, np.ndarray]:
     """Batch-vectorized MaxScore (maxscore_query.hpp:13-143).

@@ -136,9 +136,10 @@ def test_range_executor_matches_oracle(index, parsed, oracle_topk):
     )
 
 
-def test_ranked_and_matches_sql(spark, index, parsed):
+@pytest.mark.parametrize("and_algo", ["ranked_and", "block_max_ranked_and"])
+def test_ranked_and_matches_sql(spark, index, parsed, and_algo):
     got = (
-        topk_search(index, parsed, algorithm="ranked_and", k=10)
+        topk_search(index, parsed, algorithm=and_algo, k=10)
         .toPandas()
         .sort_values(["query_id", "rank"])
         .reset_index(drop=True)
