@@ -38,13 +38,18 @@ def assign_global_ids(
         df.rdd.getNumPartitions(),
         spark.sparkContext.defaultParallelism,
     )
-    # persist() is load-bearing: the per-partition offsets collected
-    # below must describe the SAME physical partitioning the numbering
-    # job reads — without it the range partitioner re-samples on the
+    # Pinning the physical partitioning is load-bearing: the offsets
+    # collected below must describe the SAME partitioning the numbering
+    # job reads — otherwise the range partitioner re-samples on the
     # second job and boundaries can shift (observed: duplicate ids).
+    # localCheckpoint(eager=True) materializes it NOW and, unlike
+    # persist() (whose CacheManager entry survives driver GC), is
+    # released by the ContextCleaner once this DataFrame goes out of
+    # scope — so per-micro-batch callers (IncrementalIndexer) don't
+    # accumulate cached partitions forever.
     ranged = df.repartitionByRange(parts, F.col(order_col)).withColumn(
         "__pid", F.spark_partition_id()
-    ).persist()
+    ).localCheckpoint(eager=True)
     counts = dict(ranged.groupBy("__pid").count().collect())  # tiny
     offsets, acc = [], 0
     for pid in sorted(counts):

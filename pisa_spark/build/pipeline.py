@@ -48,14 +48,18 @@ def _fingerprint(payload: dict) -> str:
 
 
 def _partition_metrics(stage_dir: Path) -> list[dict]:
-    """Per part-file (rows, bytes) from parquet footers only."""
+    """Per part-file (rows, bytes) from parquet footers only.
+
+    Recursive: a stage written with partition_by nests its part-files
+    under key=value directories, so a top-level glob would record 0
+    rows/bytes for it."""
     import pyarrow.parquet as pq
 
     out = []
-    for f in sorted(stage_dir.glob("*.parquet")):
+    for f in sorted(stage_dir.rglob("*.parquet")):
         out.append(
             {
-                "file": f.name,
+                "file": str(f.relative_to(stage_dir)),
                 "rows": pq.ParquetFile(f).metadata.num_rows,
                 "bytes": f.stat().st_size,
             }
@@ -200,15 +204,41 @@ class BuildPipeline:
             lambda: build_postings(docs, lexicon),
         )
         scored = scored_postings(postings, doc_sizes, lexicon, num_docs, avg_len)
+        # Quantized configs need the index-wide max term weight BEFORE
+        # segment encoding, and the final term_meta carries quantized
+        # bounds — same routing as build_index (via quantized_rescale),
+        # with the raw metadata checkpointed so resume works.
+        index_max_score = None
+        seg_parents = ["postings", "doc_sizes", "stats"]
+        if self.config.index.quantize_bits:
+            from pisa_spark.index import quantized_rescale
+
+            term_meta_raw = self._stage(
+                "term_meta_raw", ["postings", "doc_sizes", "stats"],
+                lambda: build_term_meta(
+                    scored, num_docs, avg_len, self.config.bm25
+                ),
+            )
+            index_max_score, rescaled = quantized_rescale(
+                term_meta_raw, self.config.index.quantize_bits
+            )
+            term_meta = self._stage(
+                "term_meta", ["term_meta_raw"], lambda: rescaled
+            )
+            seg_parents = seg_parents + ["term_meta_raw"]
+        else:
+            term_meta = self._stage(
+                "term_meta", ["postings", "doc_sizes", "stats"],
+                lambda: build_term_meta(
+                    scored, num_docs, avg_len, self.config.bm25
+                ),
+            )
         segments = self._stage(
-            "segments", ["postings", "doc_sizes", "stats"],
+            "segments", seg_parents,
             lambda: build_segments(
-                scored, num_docs, avg_len, self.config.index, self.config.bm25
+                scored, num_docs, avg_len, self.config.index, self.config.bm25,
+                index_max_score=index_max_score,
             ),
-        )
-        term_meta = self._stage(
-            "term_meta", ["postings", "doc_sizes", "stats"],
-            lambda: build_term_meta(scored, num_docs, avg_len, self.config.bm25),
         )
         docmap = self._stage(
             "docmap", ["docs"], lambda: docs.select("doc_id", "url")

@@ -9,9 +9,13 @@ a strictly monotone sequence — and returns the diffs on decode;
 round-trip equality of the decoded payload is the pinned invariant,
 same as the other codecs.
 
-Layout: [1B l] [4B universe u LE] [ceil((n + (u>>l))/8) high bytes]
-[ceil(n*l/8) low bytes], all bit-packing little-endian-bit-order via
-np.packbits/unpackbits — whole-array vectorized, no per-value loop.
+Layout (13-byte header): [1B l] [8B universe u LE] [4B high-byte
+count LE] [high bytes] [ceil(n*l/8) low bytes], all bit-packing
+little-endian-bit-order via np.packbits/unpackbits — whole-array
+vectorized, no per-value loop. The stored universe is not needed by
+``ef_decode`` (the high-byte count delimits the unary part); it is
+kept on the wire for external readers/debugging tools that want to
+size buffers without scanning.
 
 l = max(0, floor(log2(u/n))) like the reference
 (compact_elias_fano.hpp params); high bit i of value m_i sits at

@@ -53,6 +53,23 @@ class InvertedIndex:
         return arr
 
 
+def quantized_rescale(term_meta: DataFrame, quantize_bits: int):
+    """(index_max_score, rescaled term_meta) for an impact-quantized
+    build: index_max_score is the index-wide max term weight
+    (wand_data ``index_max_term_weight``); per-term bounds become
+    quantized-impact bounds (ceil is monotone, so
+    max_q = ceil(max_score * scale))."""
+    from pyspark.sql import functions as F
+
+    index_max_score = float(term_meta.agg(F.max("max_score")).collect()[0][0])
+    scale = float(1 << quantize_bits) / index_max_score
+    rescaled = term_meta.withColumn(
+        "max_score",
+        F.greatest(F.ceil(F.col("max_score") * scale), F.lit(1)).cast("double"),
+    )
+    return index_max_score, rescaled
+
+
 def build_index(
     spark: SparkSession,
     pages: DataFrame,
@@ -90,17 +107,8 @@ def build_index(
     term_meta = build_term_meta(scored, num_docs, avg_len, config.bm25)
     index_max_score = None
     if config.index.quantize_bits:
-        from pyspark.sql import functions as F
-
-        # index-wide max term weight (wand_data index_max_term_weight)
-        index_max_score = float(
-            term_meta.agg(F.max("max_score")).collect()[0][0]
-        )
-        # per-term bound: ceil is monotone, so max_q = ceil(max_score*scale)
-        scale = float(1 << config.index.quantize_bits) / index_max_score
-        term_meta = term_meta.withColumn(
-            "max_score",
-            F.greatest(F.ceil(F.col("max_score") * scale), F.lit(1)).cast("double"),
+        index_max_score, term_meta = quantized_rescale(
+            term_meta, config.index.quantize_bits
         )
     segments = build_segments(
         scored, num_docs, avg_len, config.index, config.bm25,

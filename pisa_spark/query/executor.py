@@ -51,6 +51,17 @@ RANKED_KERNELS = {
 }
 BOOLEAN_KERNELS = {"and": and_kernel, "or": or_kernel}
 
+# Algorithms whose score is a sum over ALL matching terms of >= 0
+# contributions (disjunctive semantics). Only for these is a cached
+# k-th best SINGLE-TERM score a lower bound on the query's k-th final
+# score. Conjunctive algorithms (ranked_and / block_max_ranked_and)
+# restrict candidates to the intersection, whose k-th score can be
+# LOWER than one term's k-th score — bootstrapping them with the same
+# cache silently drops valid results, so topk_search rejects it.
+DISJUNCTIVE_ALGORITHMS = frozenset(
+    {"ranked_or", "wand", "block_max_wand", "block_max_maxscore", "maxscore"}
+)
+
 
 def _group_to_terms(pdf: pd.DataFrame, decode) -> list[TermPostings]:
     terms = []
@@ -109,7 +120,10 @@ def topk_search(
     ``thresholds``: optional (query_id, threshold_micro) sound lower
     bounds (thresholds.estimate_thresholds) that bootstrap each
     kernel's heap threshold — the fork's kth_threshold pipeline, but
-    safe by construction (no --safe rerun needed).
+    safe by construction (no --safe rerun needed). Only valid for
+    DISJUNCTIVE_ALGORITHMS (see above): passing thresholds with a
+    conjunctive algorithm raises ValueError instead of silently
+    dropping intersection results below the single-term bound.
 
     ``profile``: adds (blocks_decoded, postings_decoded) per query —
     the reference's profile_queries/block_profiler counters — making
@@ -128,6 +142,12 @@ def topk_search(
         quantized=bool(index.config.index.quantize_bits),
     )
     if thresholds is not None:
+        if algorithm not in DISJUNCTIVE_ALGORITHMS:
+            raise ValueError(
+                f"threshold bootstrapping is unsound for conjunctive "
+                f"algorithm {algorithm!r}: the cached k-th single-term "
+                f"score can exceed the intersection's k-th score"
+            )
         parsed = parsed.join(F.broadcast(thresholds), "query_id", "left")
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:

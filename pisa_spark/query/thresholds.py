@@ -22,8 +22,12 @@ from pisa_spark.index import InvertedIndex
 
 
 def kth_score_cache(index: InvertedIndex, k: int = 10) -> DataFrame:
-    """(term_id, kth_micro): the k-th best unweighted single-term
-    micro score per term; terms with df < k are absent (estimate 0)."""
+    """(term_id, kth_micro, cache_k): the k-th best unweighted
+    single-term micro score per term; terms with df < k are absent
+    (estimate 0). ``cache_k`` records the k the cache was built with —
+    ``estimate_thresholds`` only uses entries whose cache_k matches
+    the query's k (a cache built with a SMALLER k returns a higher
+    k'-th score, which is NOT a lower bound for the query's k)."""
     from pisa_spark.build.segments import scored_postings
     from pisa_spark.functions.scoring import bm25_sql_expr
 
@@ -43,16 +47,29 @@ def kth_score_cache(index: InvertedIndex, k: int = 10) -> DataFrame:
     return (
         with_micro.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == k)
-        .select("term_id", F.col("micro").alias("kth_micro"))
+        .select(
+            "term_id",
+            F.col("micro").alias("kth_micro"),
+            F.lit(k).alias("cache_k"),
+        )
     )
 
 
 def estimate_thresholds(parsed: DataFrame, cache: DataFrame) -> DataFrame:
-    """parsed(query_id, term_id, weight) x cache -> (query_id,
+    """parsed(query_id, term_id, weight[, k]) x cache -> (query_id,
     threshold_micro): max over terms of weight-scaled cached k-th
     score. Weight scaling keeps soundness: final(d) >= w_t * s_t(d).
+
+    When both sides carry a k (parsed.k from the workload, cache_k
+    from kth_score_cache), entries built for a DIFFERENT k are treated
+    as absent (estimate 0) — using a smaller-k cache would be unsound.
     """
     joined = parsed.join(F.broadcast(cache), "term_id", "left")
+    if "cache_k" in joined.columns and "k" in parsed.columns:
+        joined = joined.withColumn(
+            "kth_micro",
+            F.when(F.col("cache_k") == F.col("k"), F.col("kth_micro")),
+        )
     # w * (m-1) < w * true_score*1e6 < weighted_micro + 0.5, so
     # floor(w*(m-1)) never exceeds the weighted micro the kernels
     # compute — w*m alone could, because m rounds half-up.

@@ -178,10 +178,20 @@ class IncrementalIndexer:
                 f"({idf.format(n=float(n_new))}) / ({idf.format(n=float(n_old))})"
             )
             norm_factor = max(1.0, (avg_new / avg_old) if avg_old else 1.0)
+            # The f32 cast rounds to NEAREST and can land ~1 ulp below
+            # the true inflated bound, eating the +1-micro kernel
+            # margin. Multiplying the double by (1 + 2^-23) first
+            # guarantees the rounded f32 is >= the exact product
+            # (rel. rounding error <= 2^-24) — the repair-path twin of
+            # segments._round_up_f32, keeping bounds one-sided.
             kept = kept.withColumn(
                 "max_score",
-                (F.col("max_score") * F.expr(ratio) * F.lit(norm_factor))
-                .cast("float"),
+                (
+                    F.col("max_score")
+                    * F.expr(ratio)
+                    * F.lit(norm_factor)
+                    * F.lit(1.0 + 2.0**-23)
+                ).cast("float"),
             ).drop("df")
             segments = kept.unionByName(new_segments)
 

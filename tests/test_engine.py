@@ -255,6 +255,32 @@ def test_assign_global_ids_unique_dense(spark):
     assert ordered == list(range(5000))
 
 
+def test_conjunctive_thresholds_rejected(spark, index, parsed):
+    """kth-score caches bound DISJUNCTIVE k-th scores only; the
+    intersection's k-th score can be lower, so conjunctive kernels
+    must refuse the bootstrap instead of silently dropping results."""
+    est = spark.createDataFrame(
+        pd.DataFrame({"query_id": ["q0"], "threshold_micro": [10_000_000]}),
+        schema="query_id string, threshold_micro long",
+    )
+    for algo in ("ranked_and", "block_max_ranked_and"):
+        with pytest.raises(ValueError, match="unsound"):
+            topk_search(index, parsed, algorithm=algo, k=10, thresholds=est)
+
+
+def test_threshold_cache_k_mismatch_ignored(spark, index, parsed):
+    """A cache built with a different k must contribute nothing (a
+    smaller-k cache is not a lower bound for the query's k)."""
+    from pisa_spark.query.thresholds import estimate_thresholds, kth_score_cache
+
+    cache5 = kth_score_cache(index, k=5)
+    est = estimate_thresholds(parsed, cache5).toPandas()  # queries use k=10
+    assert (est["threshold_micro"] == 0).all()
+    cache10 = kth_score_cache(index, k=10)
+    est10 = estimate_thresholds(parsed, cache10).toPandas()
+    assert (est10["threshold_micro"] > 0).any()
+
+
 def test_pruned_kernels_decode_fewer_blocks(spark, index, parsed):
     """profile_queries analogue: dynamic pruning must actually skip
     work — BMW/maxscore decode fewer blocks than the exhaustive TAAT

@@ -97,6 +97,44 @@ def test_config_change_invalidates_all(spark, pages, tmp_path):
     assert "segments" in pipe.executed  # stale under new config
 
 
+def test_quantized_pipeline_builds_and_queries(spark, pages, tmp_path):
+    """BuildPipeline must route quantize_bits like build_index: the
+    index-wide max score feeds segment encoding and term_meta carries
+    quantized-impact bounds (previously raised ValueError)."""
+    import pandas as pd
+
+    from pisa_spark.query.executor import topk_search
+    from pisa_spark.query.parser import parse_queries
+
+    cfg_q = EngineConfig(
+        analyzer=AnalyzerConfig(tokenizer="whitespace"),
+        index=IndexConfig(salt_bucket_docs=256, quantize_bits=8),
+    )
+    out = str(tmp_path / "index_q")
+    pipe = BuildPipeline(spark, out, cfg_q)
+    idx = pipe.run(pages)
+    assert "term_meta_raw" in pipe.executed and "segments" in pipe.executed
+
+    # Quantized bounds are integral impacts >= 1.
+    tm = idx.term_meta.toPandas()
+    assert (tm["max_score"] >= 1).all()
+    assert (tm["max_score"] == tm["max_score"].round()).all()
+
+    terms = [r["term"] for r in idx.lexicon.limit(3).collect()]
+    qdf = spark.createDataFrame(
+        pd.DataFrame({"query_id": ["q0"], "terms": [terms], "k": [5]}),
+        schema="query_id string, terms array<string>, k int",
+    )
+    parsed = parse_queries(qdf, idx.lexicon, pre_tokenized=True)
+    res = topk_search(idx, parsed, algorithm="block_max_wand", k=5).toPandas()
+    assert len(res) > 0
+
+    # Resume skips every stage, including the quantized extras.
+    pipe2 = BuildPipeline(spark, out, cfg_q)
+    pipe2.run(pages)
+    assert pipe2.executed == []
+
+
 def test_resumed_index_answers_queries(spark, pages, tmp_path):
     import pandas as pd
 
