@@ -4,7 +4,8 @@ Physical layout (per FIXTURES.md §3, modeled on the reference's
 ``block_posting_list`` writer, block_posting_list.hpp:12-50):
 
   segments(term_id long, block_id long, count int, max_doc_id long,
-           max_score float, doc_bytes binary, tf_bytes binary)
+           max_score float, doc_bytes binary, tf_bytes binary,
+           len_bytes binary)
 
 - 128-posting blocks (codec/simdbp.hpp:13 block size);
 - ``doc_bytes``: the block's first docID *absolute*, then gaps-1 —
@@ -13,6 +14,14 @@ Physical layout (per FIXTURES.md §3, modeled on the reference's
   which lets BMW skip straight into any block without touching its
   neighbor and lets buckets encode independently;
 - ``tf_bytes``: tf-1 per posting (same trick as the reference);
+- ``len_bytes``: doc_len-1 per posting (doc_len >= 1 whenever a
+  posting exists). The reference keeps document lengths WITH the wand
+  data (wand_data.hpp:38-117, mmapped next to the index) rather than
+  at the coordinator; the Spark shape of that design is doc lengths
+  riding inside the blocks, so query kernels never need a
+  driver-collected doc-length array or a per-executor broadcast —
+  at 10^11+ docs either would be a hard scale-killer. The payload
+  costs ~1 varint byte/posting and compresses like tf;
 - ``max_score``: per-block BM25 upper bound (the WAND/BMW block-max
   metadata, wand_utils.hpp:23-54), computed in float64 and rounded
   *up* into float32 so pruning bounds stay sound under either score
@@ -93,7 +102,8 @@ def build_segments(
 
     out_schema = (
         "term_id long, block_id long, count int, max_doc_id long, "
-        "max_score float, doc_bytes binary, tf_bytes binary"
+        "max_score float, doc_bytes binary, tf_bytes binary, "
+        "len_bytes binary"
     )
 
     fast_varint = cfg.codec == "varint"
@@ -104,6 +114,7 @@ def build_segments(
         bucket = int(pdf["bucket"].iloc[0])
         docs = pdf["doc_id"].to_numpy(dtype=np.uint64)
         tfs = pdf["tf"].to_numpy(dtype=np.uint64)
+        dls = pdf["doc_len"].to_numpy(dtype=np.uint64)
         scores = bm25_score_np(
             pdf["tf"].to_numpy(np.float64),
             pdf["df"].to_numpy(np.float64),
@@ -139,13 +150,18 @@ def build_segments(
             np.cumsum(varint_sizes(payload), out=d_off[1:])
             t_off = np.zeros(n + 1, dtype=np.int64)
             np.cumsum(varint_sizes(tfs - 1), out=t_off[1:])
+            l_off = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(varint_sizes(dls - 1), out=l_off[1:])
             d_enc = encode(payload)
             t_enc = encode(tfs - 1)
+            l_enc = encode(dls - 1)
             doc_bytes = [d_enc[d_off[s]:d_off[e]] for s, e in zip(starts, ends)]
             tf_bytes = [t_enc[t_off[s]:t_off[e]] for s, e in zip(starts, ends)]
+            len_bytes = [l_enc[l_off[s]:l_off[e]] for s, e in zip(starts, ends)]
         else:
             doc_bytes = [encode(payload[s:e]) for s, e in zip(starts, ends)]
             tf_bytes = [encode(tfs[s:e] - 1) for s, e in zip(starts, ends)]
+            len_bytes = [encode(dls[s:e] - 1) for s, e in zip(starts, ends)]
 
         base_block_id = bucket * blocks_per_bucket
         return pd.DataFrame(
@@ -157,6 +173,7 @@ def build_segments(
                 "max_score": block_max,
                 "doc_bytes": doc_bytes,
                 "tf_bytes": tf_bytes,
+                "len_bytes": len_bytes,
             }
         )
 
@@ -190,10 +207,13 @@ def build_term_meta(scored: DataFrame, num_docs: int, avg_len: float,
     )
 
 
-def decode_segments(segments: DataFrame, index_cfg: IndexConfig | None = None) -> DataFrame:
-    """segments -> postings(term_id, doc_id, tf): the verification
-    decode pass (util/verify_collection.hpp, compress.cpp:108-110).
-    Every block is self-contained, so this is a stateless mapInPandas."""
+def decode_segments(segments: DataFrame, index_cfg: IndexConfig | None = None,
+                    include_len: bool = False) -> DataFrame:
+    """segments -> postings(term_id, doc_id, tf[, doc_len]): the
+    verification decode pass (util/verify_collection.hpp,
+    compress.cpp:108-110). Every block is self-contained, so this is
+    a stateless mapInPandas. ``include_len`` also decodes the inline
+    per-posting doc lengths (checked against doc_sizes in tests)."""
     from typing import Iterator
 
     cfg = index_cfg or IndexConfig()
@@ -209,17 +229,22 @@ def decode_segments(segments: DataFrame, index_cfg: IndexConfig | None = None) -
                 docs[1:] += 1
                 docs = np.cumsum(docs)
                 tfs = decode(bytes(row.tf_bytes), n).astype(np.int64) + 1
-                outs.append(
-                    pd.DataFrame(
-                        {
-                            "term_id": np.full(n, row.term_id, dtype=np.int64),
-                            "doc_id": docs.astype(np.int64),
-                            "tf": tfs.astype(np.int32),
-                        }
-                    )
-                )
-            yield pd.concat(outs) if outs else pd.DataFrame(
-                {"term_id": [], "doc_id": [], "tf": []}
-            )
+                cols = {
+                    "term_id": np.full(n, row.term_id, dtype=np.int64),
+                    "doc_id": docs.astype(np.int64),
+                    "tf": tfs.astype(np.int32),
+                }
+                if include_len:
+                    cols["doc_len"] = (
+                        decode(bytes(row.len_bytes), n).astype(np.int64) + 1
+                    ).astype(np.int32)
+                outs.append(pd.DataFrame(cols))
+            base = {"term_id": [], "doc_id": [], "tf": []}
+            if include_len:
+                base["doc_len"] = []
+            yield pd.concat(outs) if outs else pd.DataFrame(base)
 
-    return segments.mapInPandas(kernel, "term_id long, doc_id long, tf int")
+    schema = "term_id long, doc_id long, tf int"
+    if include_len:
+        schema += ", doc_len int"
+    return segments.mapInPandas(kernel, schema)

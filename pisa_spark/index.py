@@ -13,7 +13,6 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 
 from pisa_spark.build import (
@@ -41,16 +40,10 @@ class InvertedIndex:
     avg_len: float
     collection_len: int
     config: EngineConfig
-
-    def doc_lens_array(self) -> np.ndarray:
-        """Dense doc_id -> doc_len lookup for query kernels (the
-        reference mmaps the .sizes file, wand_data.hpp:38-117; at
-        test scale we broadcast; the range executor partitions it)."""
-        rows = self.doc_sizes.collect()
-        arr = np.zeros(self.num_docs, dtype=np.int32)
-        for r in rows:
-            arr[r["doc_id"]] = r["doc_len"]
-        return arr
+    # NOTE deliberately no doc_lens_array(): per-posting doc lengths
+    # are encoded inside the segment blocks (segments.py len_bytes),
+    # so query execution never collects or broadcasts anything
+    # proportional to the corpus.
 
 
 def quantized_rescale(term_meta: DataFrame, quantize_bits: int):

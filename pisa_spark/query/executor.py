@@ -12,8 +12,14 @@ modes:
 - ``topk_range`` (doc-range-major, mirrors range_query.hpp:8-37):
   kernels run per (query, docID-bucket) partition producing partial
   top-k, then a window merges heaps. This is the 10^12-doc path: no
-  task ever sees a full head-term posting list, and doc lengths
-  co-partition with the doc range instead of broadcasting.
+  task ever sees a full head-term posting list.
+
+Neither strategy touches any global per-document structure: doc
+lengths are encoded inside each segment block (segments.py
+``len_bytes``), so there is no driver-side collect and no broadcast
+of anything proportional to the corpus — the reference's design of
+keeping lengths with the wand data (wand_data.hpp:38-117), in Spark
+form.
 """
 
 from __future__ import annotations
@@ -84,6 +90,7 @@ def _group_to_terms(pdf: pd.DataFrame, decode) -> list[TermPostings]:
                 block_count=g["count"].to_numpy(np.int64),
                 doc_payloads=[bytes(x) for x in g["doc_bytes"]],
                 tf_payloads=[bytes(x) for x in g["tf_bytes"]],
+                len_payloads=[bytes(x) for x in g["len_bytes"]],
                 decode=decode,
             )
         )
@@ -131,9 +138,6 @@ def topk_search(
     fewer blocks than the exhaustive one on the same query)."""
     kernel = RANKED_KERNELS[algorithm]
     decode = CODECS[index.config.index.codec][1]
-    doc_lens_b = index.segments.sparkSession.sparkContext.broadcast(
-        index.doc_lens_array()
-    )
     stats = Stats(
         num_docs=float(index.num_docs),
         avg_len=float(index.avg_len),
@@ -161,9 +165,7 @@ def topk_search(
             # slack so boundary ties are never pruned
             init = float(pdf["threshold_micro"].iloc[0]) - PRUNE_EPS
         Profiler.reset()
-        docs, scores = kernel(
-            terms, kk, doc_lens_b.value, stats, init_threshold=init
-        )
+        docs, scores = kernel(terms, kk, stats, init_threshold=init)
         out = pd.DataFrame(
             {
                 "query_id": pdf["query_id"].iloc[0],
@@ -210,17 +212,14 @@ def topk_range(
     (range_query.hpp: run the algorithm per docID range with a shared
     heap; Spark shape = partial top-k per range + window merge).
 
-    Doc lengths are NOT broadcast whole: each (query, bucket) group
-    only scores docs inside its salt bucket, so the doc-length lookup
-    ships per range. Here the bucket granularity reuses the segment
-    salt buckets (segments never re-shuffle across buckets)."""
+    No global doc-length structure exists anywhere: lengths ride
+    inside each block's ``len_bytes`` payload, so every (query,
+    bucket) task is self-contained. Bucket granularity reuses the
+    segment salt buckets (segments never re-shuffle across buckets)."""
     kernel = RANKED_KERNELS[algorithm]
     decode = CODECS[index.config.index.codec][1]
     cfg = index.config.index
     blocks_per_bucket = cfg.salt_bucket_docs // cfg.block_size + 2
-    doc_lens_b = index.segments.sparkSession.sparkContext.broadcast(
-        index.doc_lens_array()
-    )
     stats = Stats(
         num_docs=float(index.num_docs),
         avg_len=float(index.avg_len),
@@ -232,7 +231,7 @@ def topk_range(
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         terms = _group_to_terms(pdf, decode)
         kk = int(pdf["k"].iloc[0])
-        docs, scores = kernel(terms, kk, doc_lens_b.value, stats)
+        docs, scores = kernel(terms, kk, stats)
         return pd.DataFrame(
             {
                 "query_id": pdf["query_id"].iloc[0],

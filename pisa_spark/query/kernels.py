@@ -73,9 +73,14 @@ class TermPostings:
     block_count: np.ndarray  # int per block
     doc_payloads: list[bytes]
     tf_payloads: list[bytes]
+    len_payloads: list[bytes]  # per-posting doc_len-1 (rides in the block)
     decode: object  # codec decode fn
 
-    def decode_block(self, bi: int) -> tuple[np.ndarray, np.ndarray]:
+    def decode_block(self, bi: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(docs, tfs, doc_lens) for one block. Doc lengths are stored
+        inline (segments.py len_bytes) — the wand_data.hpp:38-117
+        design of keeping lengths WITH the index data — so no kernel
+        ever needs a driver-side doc-length array."""
         n = int(self.block_count[bi])
         Profiler.blocks += 1
         Profiler.postings += n
@@ -84,15 +89,18 @@ class TermPostings:
         docs[1:] += 1
         docs = np.cumsum(docs)
         tfs = self.decode(self.tf_payloads[bi], n).astype(np.int64) + 1
-        return docs, tfs
+        lens = self.decode(self.len_payloads[bi], n).astype(np.int64) + 1
+        return docs, tfs, lens
 
-    def decode_all(self) -> tuple[np.ndarray, np.ndarray]:
+    def decode_all(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         if len(self.doc_payloads) == 0:
-            return np.empty(0, np.int64), np.empty(0, np.int64)
+            e = np.empty(0, np.int64)
+            return e, e, e
         parts = [self.decode_block(i) for i in range(len(self.doc_payloads))]
         return (
             np.concatenate([p[0] for p in parts]),
             np.concatenate([p[1] for p in parts]),
+            np.concatenate([p[2] for p in parts]),
         )
 
 
@@ -105,10 +113,12 @@ class Stats:
     quantized: bool = False  # tf slot carries pre-quantized impacts
 
 
-def _score(tp: TermPostings, tfs: np.ndarray, docs: np.ndarray,
-           doc_lens: np.ndarray, stats: Stats) -> np.ndarray:
+def _score(tp: TermPostings, tfs: np.ndarray, lens: np.ndarray,
+           stats: Stats) -> np.ndarray:
     """Per-posting weighted score in int64 MICRO units (see
     scoring.micro_sql — identical quantization in every engine).
+    ``lens`` is the per-posting doc-length array decoded from the same
+    block as ``tfs`` (no positional lookup into a global array).
 
     Quantized indexes (scorer/quantized.hpp): the decoded "tf" IS the
     impact; the scorer is identity, so micro = weight * q * 1e6
@@ -116,7 +126,7 @@ def _score(tp: TermPostings, tfs: np.ndarray, docs: np.ndarray,
     if stats.quantized:
         return to_micro_np(tfs.astype(np.float64), tp.weight)
     raw = bm25_score_np(
-        tfs, np.full(len(tfs), tp.df), doc_lens[docs],
+        tfs, np.full(len(tfs), tp.df), lens,
         stats.num_docs, stats.avg_len, k1=stats.k1, b=stats.b,
     )
     return to_micro_np(raw, tp.weight)
@@ -143,33 +153,33 @@ def _aggregate(all_docs: np.ndarray, all_scores: np.ndarray) -> tuple[np.ndarray
 
 # ---------------------------------------------------------------- exhaustive
 
-def ranked_or_kernel(terms: list[TermPostings], k: int, doc_lens: np.ndarray,
+def ranked_or_kernel(terms: list[TermPostings], k: int,
                      stats: Stats, init_threshold: float = 0.0) -> tuple[np.ndarray, np.ndarray]:
     parts_d, parts_s = [], []
     for tp in terms:
-        docs, tfs = tp.decode_all()
+        docs, tfs, lens = tp.decode_all()
         parts_d.append(docs)
-        parts_s.append(_score(tp, tfs, docs, doc_lens, stats))
+        parts_s.append(_score(tp, tfs, lens, stats))
     if not parts_d:
         return np.empty(0, np.int64), np.empty(0, np.float64)
     docs, micros = _aggregate(np.concatenate(parts_d), np.concatenate(parts_s))
     return _finalize(docs, micros, k)
 
 
-def ranked_and_kernel(terms: list[TermPostings], k: int, doc_lens: np.ndarray,
+def ranked_and_kernel(terms: list[TermPostings], k: int,
                       stats: Stats, init_threshold: float = 0.0) -> tuple[np.ndarray, np.ndarray]:
     if not terms:
         return np.empty(0, np.int64), np.empty(0, np.float64)
     decoded = [tp.decode_all() for tp in terms]
     common = decoded[0][0]
-    for docs, _ in decoded[1:]:
+    for docs, _, _ in decoded[1:]:
         common = np.intersect1d(common, docs, assume_unique=True)
     if common.size == 0:
         return np.empty(0, np.int64), np.empty(0, np.float64)
     total = np.zeros(common.size, dtype=np.int64)
-    for tp, (docs, tfs) in zip(terms, decoded):
+    for tp, (docs, tfs, lens) in zip(terms, decoded):
         pos = np.searchsorted(docs, common)
-        total += _score(tp, tfs[pos], common, doc_lens, stats)
+        total += _score(tp, tfs[pos], lens[pos], stats)
     return _finalize(common, total, k)
 
 
@@ -204,13 +214,12 @@ class _Cursor:
     """
 
     __slots__ = ("tp", "bi", "pos", "docs", "scores", "done", "docid",
-                 "_bmd", "_n_blocks", "_doc_lens", "_stats")
+                 "_bmd", "_n_blocks", "_stats")
 
     SENTINEL = np.iinfo(np.int64).max
 
-    def __init__(self, tp: TermPostings, doc_lens: np.ndarray, stats: Stats):
+    def __init__(self, tp: TermPostings, stats: Stats):
         self.tp = tp
-        self._doc_lens = doc_lens
         self._stats = stats
         self._bmd = tp.block_max_doc.tolist()
         self._n_blocks = len(tp.doc_payloads)
@@ -227,9 +236,9 @@ class _Cursor:
             self.docid = self.SENTINEL
             return
         self.bi = bi
-        d, t = self.tp.decode_block(bi)
+        d, t, L = self.tp.decode_block(bi)
         self.docs = d.tolist()
-        self.scores = _score(self.tp, t, d, self._doc_lens, self._stats).tolist()
+        self.scores = _score(self.tp, t, L, self._stats).tolist()
         self.pos = 0
         self.docid = self.docs[0]
 
@@ -316,10 +325,10 @@ class _TopK:
         return _finalize(docs, scores, k)
 
 
-def wand_kernel(terms: list[TermPostings], k: int, doc_lens: np.ndarray,
+def wand_kernel(terms: list[TermPostings], k: int,
                 stats: Stats, init_threshold: float = 0.0) -> tuple[np.ndarray, np.ndarray]:
     """WAND (wand_query.hpp:10-93): pivot by cumulative max-score."""
-    cursors = [_Cursor(tp, doc_lens, stats) for tp in terms if len(tp.doc_payloads)]
+    cursors = [_Cursor(tp, stats) for tp in terms if len(tp.doc_payloads)]
     topk = _TopK(k, init_threshold)
     while True:
         cursors = [c for c in cursors if not c.done]
@@ -357,12 +366,12 @@ def wand_kernel(terms: list[TermPostings], k: int, doc_lens: np.ndarray,
 
 
 def block_max_wand_kernel(terms: list[TermPostings], k: int,
-                          doc_lens: np.ndarray, stats: Stats,
+                          stats: Stats,
                           init_threshold: float = 0.0) -> tuple[np.ndarray, np.ndarray]:
     """BMW (block_max_wand_query.hpp:8-167): WAND pivot + block-max
     refinement + jump to min block boundary when the shallow check
     fails."""
-    cursors = [_Cursor(tp, doc_lens, stats) for tp in terms if len(tp.doc_payloads)]
+    cursors = [_Cursor(tp, stats) for tp in terms if len(tp.doc_payloads)]
     topk = _TopK(k, init_threshold)
     while True:
         cursors = [c for c in cursors if not c.done]
@@ -419,7 +428,7 @@ def block_max_wand_kernel(terms: list[TermPostings], k: int,
 
 
 def block_max_maxscore_kernel(terms: list[TermPostings], k: int,
-                              doc_lens: np.ndarray, stats: Stats,
+                              stats: Stats,
                               init_threshold: float = 0.0) -> tuple[np.ndarray, np.ndarray]:
     """Batch-vectorized BMM (block_max_maxscore_query.hpp:9-99).
 
@@ -440,8 +449,8 @@ def block_max_maxscore_kernel(terms: list[TermPostings], k: int,
 
     # θ seed: full scoring of the top-impact list (same as MaxScore).
     top = order[-1]
-    docs_t, tfs_t = top.decode_all()
-    scores_t = _score(top, tfs_t, docs_t, doc_lens, stats)
+    docs_t, tfs_t, lens_t = top.decode_all()
+    scores_t = _score(top, tfs_t, lens_t, stats)
     theta = (
         float(np.partition(scores_t, -k)[-k]) - PRUNE_EPS
         if len(scores_t) >= k else 0.0
@@ -456,8 +465,8 @@ def block_max_maxscore_kernel(terms: list[TermPostings], k: int,
         if tp is top:  # phase-0 decode is reused, not repeated
             docs, sc = docs_t, scores_t
         else:
-            docs, tfs = tp.decode_all()
-            sc = _score(tp, tfs, docs, doc_lens, stats)
+            docs, tfs, lens = tp.decode_all()
+            sc = _score(tp, tfs, lens, stats)
         parts_d.append(docs)
         parts_s.append(sc)
     docs, partial = _aggregate(np.concatenate(parts_d), np.concatenate(parts_s))
@@ -488,20 +497,20 @@ def block_max_maxscore_kernel(terms: list[TermPostings], k: int,
         in_range = bi < len(tp.block_max_doc)
         for blk in np.unique(bi[in_range]):
             sel = in_range & (bi == blk)
-            b_docs, b_tfs = tp.decode_block(int(blk))
+            b_docs, b_tfs, b_lens = tp.decode_block(int(blk))
             pos = np.searchsorted(b_docs, docs[sel])
             pos_c = np.minimum(pos, len(b_docs) - 1)
             hit = b_docs[pos_c] == docs[sel]
             if hit.any():
                 idx = np.flatnonzero(sel)[hit]
                 partial[idx] += _score(
-                    tp, b_tfs[pos_c[hit]], docs[idx], doc_lens, stats
+                    tp, b_tfs[pos_c[hit]], b_lens[pos_c[hit]], stats
                 )
     return _finalize(docs, partial, k)
 
 
 def block_max_ranked_and_kernel(terms: list[TermPostings], k: int,
-                                doc_lens: np.ndarray, stats: Stats,
+                                stats: Stats,
                                 init_threshold: float = 0.0) -> tuple[np.ndarray, np.ndarray]:
     """Ranked conjunction with block-max skipping
     (block_max_ranked_and_query.hpp:9-86): leapfrog intersection, but
@@ -512,7 +521,7 @@ def block_max_ranked_and_kernel(terms: list[TermPostings], k: int,
     """
     if not terms:
         return np.empty(0, np.int64), np.empty(0, np.float64)
-    cursors = [_Cursor(tp, doc_lens, stats) for tp in terms]
+    cursors = [_Cursor(tp, stats) for tp in terms]
     if any(c.done for c in cursors):
         return np.empty(0, np.int64), np.empty(0, np.float64)
     cursors.sort(key=lambda c: c.tp.df)  # shortest list drives
@@ -560,7 +569,7 @@ def block_max_ranked_and_kernel(terms: list[TermPostings], k: int,
     return topk.finalize(k)
 
 
-def maxscore_kernel(terms: list[TermPostings], k: int, doc_lens: np.ndarray,
+def maxscore_kernel(terms: list[TermPostings], k: int,
                     stats: Stats, init_threshold: float = 0.0) -> tuple[np.ndarray, np.ndarray]:
     """Batch-vectorized MaxScore (maxscore_query.hpp:13-143).
 
@@ -581,8 +590,8 @@ def maxscore_kernel(terms: list[TermPostings], k: int, doc_lens: np.ndarray,
     # Phase 0: θ seed from the top-impact list alone (a lower bound on
     # the true k-th score), slackened by the rounding margin.
     top = order[-1]
-    docs_t, tfs_t = top.decode_all()
-    scores_t = _score(top, tfs_t, docs_t, doc_lens, stats)
+    docs_t, tfs_t, lens_t = top.decode_all()
+    scores_t = _score(top, tfs_t, lens_t, stats)
     if len(scores_t) >= k:
         theta = float(np.partition(scores_t, -k)[-k]) - PRUNE_EPS
     else:
@@ -601,8 +610,8 @@ def maxscore_kernel(terms: list[TermPostings], k: int, doc_lens: np.ndarray,
         if tp is top:  # phase-0 decode is reused, not repeated
             docs, sc = docs_t, scores_t
         else:
-            docs, tfs = tp.decode_all()
-            sc = _score(tp, tfs, docs, doc_lens, stats)
+            docs, tfs, lens = tp.decode_all()
+            sc = _score(tp, tfs, lens, stats)
         parts_d.append(docs)
         parts_s.append(sc)
     docs, partial = _aggregate(np.concatenate(parts_d), np.concatenate(parts_s))
@@ -610,14 +619,25 @@ def maxscore_kernel(terms: list[TermPostings], k: int, doc_lens: np.ndarray,
     ne_bound = float(prefix_ub[split - 1]) if split > 0 else 0.0
     alive = partial + ne_bound >= theta
     docs, partial = docs[alive], partial[alive]
+    # Lookup phase: decode ONLY the blocks of non-essential lists that
+    # contain a surviving candidate (block index via searchsorted on
+    # the per-block last-docID array — the reference's lookup cursors
+    # skip the same blocks, maxscore_query.hpp:58-126). Previously
+    # decode_all per non-essential term.
     for tp in non_essential:
-        t_docs, t_tfs = tp.decode_all()
-        if len(t_docs) == 0 or len(docs) == 0:
+        if len(docs) == 0 or len(tp.block_max_doc) == 0:
             continue
-        pos = np.searchsorted(t_docs, docs)
-        pos_c = np.minimum(pos, len(t_docs) - 1)
-        hit = t_docs[pos_c] == docs
-        if hit.any():
-            sc = _score(tp, t_tfs[pos_c[hit]], docs[hit], doc_lens, stats)
-            partial[hit] += sc
+        bi = np.searchsorted(tp.block_max_doc, docs, side="left")
+        in_range = bi < len(tp.block_max_doc)
+        for blk in np.unique(bi[in_range]):
+            sel = in_range & (bi == blk)
+            b_docs, b_tfs, b_lens = tp.decode_block(int(blk))
+            pos = np.searchsorted(b_docs, docs[sel])
+            pos_c = np.minimum(pos, len(b_docs) - 1)
+            hit = b_docs[pos_c] == docs[sel]
+            if hit.any():
+                idx = np.flatnonzero(sel)[hit]
+                partial[idx] += _score(
+                    tp, b_tfs[pos_c[hit]], b_lens[pos_c[hit]], stats
+                )
     return _finalize(docs, partial, k)

@@ -115,6 +115,24 @@ def test_segment_roundtrip(index):
     assert diff == 0 and diff2 == 0
 
 
+def test_segment_inline_doc_lens(index):
+    """The per-posting doc lengths encoded inside each block
+    (len_bytes — what makes query kernels broadcast-free) must equal
+    the doc_sizes table for every posting."""
+    from pisa_spark.build import decode_segments
+
+    decoded = decode_segments(
+        index.segments, index.config.index, include_len=True
+    )
+    bad = (
+        decoded.join(index.doc_sizes.withColumnRenamed("doc_len", "expect"),
+                     "doc_id")
+        .filter(F.col("doc_len") != F.col("expect"))
+        .count()
+    )
+    assert bad == 0
+
+
 @pytest.mark.parametrize(
     "algorithm",
     ["ranked_or", "wand", "block_max_wand", "block_max_maxscore", "maxscore"],
