@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, functions as F
 from pisa_spark.build.ids import assign_global_ids
 
 
-def build_lexicon(docs: DataFrame, broadcast_threshold: int = 10_000_000) -> DataFrame:
+def build_lexicon(docs: DataFrame) -> DataFrame:
     """docs(doc_id, terms) -> lexicon(term, term_id, df).
 
     term_id = dense rank of lexicographically sorted terms (parity
@@ -41,16 +41,40 @@ def build_lexicon(docs: DataFrame, broadcast_threshold: int = 10_000_000) -> Dat
     return lex.select("term", "term_id", "df")
 
 
-def build_postings(docs: DataFrame, lexicon: DataFrame) -> DataFrame:
+def maybe_broadcast(
+    df: DataFrame,
+    known_rows: int | None,
+    broadcast_threshold: int,
+) -> DataFrame:
+    """Broadcast hint ONLY when the row count is known to be under the
+    threshold. ``F.broadcast`` is a hard hint AQE honors, so hinting a
+    web-scale vocabulary (billions of distinct tokens) would OOM every
+    executor; with no hint Catalyst/AQE picks broadcast vs sort-merge
+    from runtime statistics, which is the safe default when the size
+    is unknown."""
+    if known_rows is not None and broadcast_threshold and known_rows < broadcast_threshold:
+        return F.broadcast(df)
+    return df
+
+
+def build_postings(
+    docs: DataFrame,
+    lexicon: DataFrame,
+    lexicon_size: int | None = None,
+    broadcast_threshold: int = 10_000_000,
+) -> DataFrame:
     """docs ⨝ lexicon -> postings(term_id, doc_id, tf).
 
-    The lexicon join is broadcast when small (typical vocabularies);
-    at web scale Catalyst/AQE picks sort-merge with the lexicon
-    pre-partitioned on term. tf via hash aggregation with map-side
-    partial combine.
+    The lexicon join is broadcast only when the vocabulary is known
+    to be small (``lexicon_size`` under ``broadcast_threshold`` —
+    build_index passes the counted size); otherwise a plain join lets
+    AQE choose. tf via hash aggregation with map-side partial combine.
     """
     exploded = docs.select(F.col("doc_id"), F.explode("terms").alias("term"))
-    joined = exploded.join(F.broadcast(lexicon.select("term", "term_id")), "term")
+    lex_side = maybe_broadcast(
+        lexicon.select("term", "term_id"), lexicon_size, broadcast_threshold
+    )
+    joined = exploded.join(lex_side, "term")
     return (
         joined.groupBy("term_id", "doc_id")
         .agg(F.count("*").cast("int").alias("tf"))

@@ -199,11 +199,21 @@ class BuildPipeline:
         avg_len = float(stats["avg_len"] or 0.0)
         collection_len = int(stats["collection_len"] or 0)
 
+        # Vocabulary size comes free from the lexicon stage manifest;
+        # it gates the broadcast hints (invert.maybe_broadcast).
+        lexicon_size = (self._load_manifest("lexicon") or {}).get("n_rows")
+        bcast = self.config.index.lexicon_broadcast_threshold
         postings = self._stage(
             "postings", ["docs", "lexicon"],
-            lambda: build_postings(docs, lexicon),
+            lambda: build_postings(
+                docs, lexicon,
+                lexicon_size=lexicon_size, broadcast_threshold=bcast,
+            ),
         )
-        scored = scored_postings(postings, doc_sizes, lexicon, num_docs, avg_len)
+        scored = scored_postings(
+            postings, doc_sizes, lexicon, num_docs, avg_len,
+            lexicon_size=lexicon_size, broadcast_threshold=bcast,
+        )
         # Quantized configs need the index-wide max term weight BEFORE
         # segment encoding, and the final term_meta carries quantized
         # bounds — same routing as build_index (via quantized_rescale),

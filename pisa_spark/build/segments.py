@@ -61,15 +61,24 @@ def scored_postings(
     lexicon: DataFrame,
     num_docs: int,
     avg_len: float,
+    lexicon_size: int | None = None,
+    broadcast_threshold: int = 10_000_000,
 ) -> DataFrame:
     """postings + the per-posting columns BM25 needs (df, doc_len).
 
     doc_sizes join co-partitions on doc_id (big-big, AQE-planned);
-    lexicon df join broadcasts.
+    the lexicon df join is broadcast only when the vocabulary is
+    known small (invert.maybe_broadcast) — never force-broadcast a
+    web-scale vocabulary.
     """
+    from pisa_spark.build.invert import maybe_broadcast
+
+    lex_side = maybe_broadcast(
+        lexicon.select("term_id", "df"), lexicon_size, broadcast_threshold
+    )
     return (
         postings.join(doc_sizes.select("doc_id", "doc_len"), "doc_id")
-        .join(F.broadcast(lexicon.select("term_id", "df")), "term_id")
+        .join(lex_side, "term_id")
         .select("term_id", "doc_id", "tf", "doc_len", "df")
     )
 

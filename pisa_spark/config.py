@@ -47,6 +47,11 @@ class IndexConfig:
     codec: str = "varint"  # "varint" | "bitpack"
     salt_bucket_docs: int = 1 << 20  # docID range per salt bucket
     quantize_bits: int | None = None  # None, or 8 for impact quantization
+    # Broadcast the lexicon into build-path joins only when its counted
+    # size is under this; 0 disables broadcasting entirely (plain join,
+    # AQE picks the strategy). Web-scale vocabularies must NOT be
+    # force-broadcast.
+    lexicon_broadcast_threshold: int = 10_000_000
 
 
 @dataclass(frozen=True)

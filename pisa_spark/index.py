@@ -86,8 +86,14 @@ def build_index(
     lexicon = build_lexicon(docs)
     if cache:
         lexicon = lexicon.persist()
+    # Counted vocabulary size gates the build-path broadcast hints
+    # (invert.maybe_broadcast): broadcast only a known-small lexicon.
+    lexicon_size = lexicon.count()
+    bcast = config.index.lexicon_broadcast_threshold
     doc_sizes = build_doc_sizes(docs)
-    postings = build_postings(docs, lexicon)
+    postings = build_postings(
+        docs, lexicon, lexicon_size=lexicon_size, broadcast_threshold=bcast
+    )
     if cache:
         postings = postings.persist()
 
@@ -96,7 +102,10 @@ def build_index(
     avg_len = float(stats["avg_len"] or 0.0)
     collection_len = int(stats["collection_len"] or 0)
 
-    scored = scored_postings(postings, doc_sizes, lexicon, num_docs, avg_len)
+    scored = scored_postings(
+        postings, doc_sizes, lexicon, num_docs, avg_len,
+        lexicon_size=lexicon_size, broadcast_threshold=bcast,
+    )
     term_meta = build_term_meta(scored, num_docs, avg_len, config.bm25)
     index_max_score = None
     if config.index.quantize_bits:

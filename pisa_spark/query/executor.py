@@ -103,14 +103,12 @@ def _query_segments(index: InvertedIndex, parsed: DataFrame) -> DataFrame:
     The parsed-query side is tiny -> broadcast, so the segment table
     (the 100TB side) is scanned once with a broadcast-hash join and
     never shuffled."""
-    qt = parsed.join(
-        F.broadcast(
-            index.term_meta.select(
-                "term_id", "df", F.col("max_score").alias("term_max_score")
-            )
-        ),
-        "term_id",
-    )
+    # Broadcast the PARSED side into the vocabulary-sized term_meta
+    # (never the reverse), then the query-sized result into the
+    # segment scan.
+    qt = index.term_meta.select(
+        "term_id", "df", F.col("max_score").alias("term_max_score")
+    ).join(F.broadcast(parsed), "term_id")
     return index.segments.join(F.broadcast(qt), "term_id")
 
 

@@ -59,6 +59,10 @@ def parse_queries(
     weighted = exploded.groupBy("query_id", "k", "term").agg(
         F.count("*").cast("double").alias("weight")
     )
-    return weighted.join(
-        F.broadcast(lexicon.select("term", "term_id")), "term"
+    # Broadcast the QUERY side (bounded by the workload), never the
+    # lexicon (vocabulary-sized): the lexicon table is scanned once
+    # with a broadcast-hash join and OOV terms drop out via the inner
+    # join, exactly the term_processor lookup semantics.
+    return lexicon.select("term", "term_id").join(
+        F.broadcast(weighted), "term"
     ).select("query_id", "k", "term_id", "weight")

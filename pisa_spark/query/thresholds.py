@@ -64,7 +64,13 @@ def estimate_thresholds(parsed: DataFrame, cache: DataFrame) -> DataFrame:
     from kth_score_cache), entries built for a DIFFERENT k are treated
     as absent (estimate 0) — using a smaller-k cache would be unsound.
     """
-    joined = parsed.join(F.broadcast(cache), "term_id", "left")
+    # The cache spans the vocabulary; semi-filter it down to the
+    # workload's terms first (broadcast of the tiny term set), then
+    # broadcast the filtered cache into the left join — neither join
+    # ever hints a vocabulary-sized side.
+    qterms = parsed.select("term_id").distinct()
+    cache_small = cache.join(F.broadcast(qterms), "term_id")
+    joined = parsed.join(F.broadcast(cache_small), "term_id", "left")
     if "cache_k" in joined.columns and "k" in parsed.columns:
         joined = joined.withColumn(
             "kth_micro",

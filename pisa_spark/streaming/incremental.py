@@ -120,8 +120,11 @@ class IncrementalIndexer:
         lex_ids = self._read("lexicon_ids")
         gen_docs = self._read("docs").filter(F.col("generation") == gen)
         exploded = gen_docs.select("doc_id", F.explode("terms").alias("term"))
+        # No broadcast hint: lex_ids is the FULL vocabulary (grows with
+        # the crawl); AQE picks broadcast vs sort-merge from the
+        # parquet size statistics.
         new_postings = (
-            exploded.join(F.broadcast(lex_ids), "term")
+            exploded.join(lex_ids, "term")
             .groupBy("term_id", "doc_id")
             .agg(F.count("*").cast("int").alias("tf"))
             .withColumn("generation", F.lit(gen))
@@ -165,9 +168,10 @@ class IncrementalIndexer:
             # upper bounds for the stats shift (sound inflation).
             kept = self._read("segments").join(affected, "term_id", "left_anti")
             # per-term idf ratio: idf(df, n_new)/idf(df, n_old); join df
+            # (vocabulary-sized side — no hard broadcast hint, AQE
+            # decides from parquet stats)
             kept = kept.join(
-                F.broadcast(self._read("lexicon").select("term_id", "df")),
-                "term_id",
+                self._read("lexicon").select("term_id", "df"), "term_id"
             )
             half, floor_ = "0.5D", "1e-6D"
             idf = (

@@ -273,6 +273,20 @@ def test_assign_global_ids_unique_dense(spark):
     assert ordered == list(range(5000))
 
 
+def test_build_without_lexicon_broadcast(spark, index):
+    """lexicon_broadcast_threshold=0 disables every build-path
+    broadcast hint (plain joins, AQE decides) — the web-scale
+    vocabulary path — and must produce the identical index."""
+    pages = synth_pages(spark, N_DOCS, vocab_size=800, max_len=120)
+    cfg = EngineConfig(
+        index=IndexConfig(salt_bucket_docs=128, lexicon_broadcast_threshold=0)
+    )
+    idx0 = build_index(spark, pages, cfg)
+    assert idx0.postings.exceptAll(index.postings).count() == 0
+    assert index.postings.exceptAll(idx0.postings).count() == 0
+    assert idx0.segments.count() == index.segments.count()
+
+
 def test_conjunctive_thresholds_rejected(spark, index, parsed):
     """kth-score caches bound DISJUNCTIVE k-th scores only; the
     intersection's k-th score can be lower, so conjunctive kernels
