@@ -22,9 +22,14 @@ Scale notes (100 TB):
   the join (stopword-shingle pruning) — the MinHash path is the
   intended scale path, this operator is its exact oracle.
 - MinHash: signature aggregation is 1 shuffle on doc_id with partial
-  min-aggs; band join groups by 4-int band keys — giant buckets
-  (boilerplate text) need a bucket-size cap, then pair generation is
-  bounded. Verification joins only candidate pairs.
+  min-aggs; banding EXPLODES each signature into (band_id, band_key)
+  rows — one shuffle keyed on the band key serves every band at once
+  (instead of n_bands sequential self-joins of the signature table) —
+  and buckets larger than MAX_BUCKET (boilerplate/near-identical
+  text would otherwise go quadratic) are dropped before pair
+  generation; ``minhash_dropped_buckets`` reports exactly what was
+  excluded so a pipeline can surface it. Verification joins only
+  candidate pairs.
 - SimHash: fingerprint = 60 conditional sums (one shuffle, partial
   aggs); candidates via 4x 15-bit-chunk equi-joins (pigeonhole: any
   pair with Hamming <= 3 shares at least one chunk) — no cross join
@@ -130,6 +135,12 @@ WHERE CAST(FLOOR(CAST(i.i AS DOUBLE) * {dlit(1e6)} / (ca.n + cb.n - i.i)
 
 NUM_PERM = 32
 BAND_ROWS = 4  # 8 bands x 4 rows
+# Buckets with more than MAX_BUCKET members are dropped before pair
+# generation: a B-doc bucket emits B*(B-1)/2 candidates, so one
+# boilerplate bucket (site chrome, license headers) can dominate the
+# whole job. 64 keeps worst-case pairs per bucket at ~2k while being
+# far above any bucket an honest near-dup cluster produces.
+MAX_BUCKET = 64
 
 
 def minhash_signatures(docs: DataFrame, k: int = 3, num_perm: int = NUM_PERM) -> DataFrame:
@@ -144,41 +155,114 @@ def minhash_signatures(docs: DataFrame, k: int = 3, num_perm: int = NUM_PERM) ->
     return shd.groupBy("doc_id").agg(*aggs)
 
 
-def minhash_lsh_pairs(docs: DataFrame, k: int = 3, num_perm: int = NUM_PERM,
-                      band_rows: int = BAND_ROWS) -> DataFrame:
-    """Banded-LSH candidates, then exact-Jaccard verification: output
-    equals ngram_jaccard_pairs restricted to LSH-recalled pairs."""
-    sig = minhash_signatures(docs, k, num_perm).persist()
+def _band_key_cols(num_perm: int, band_rows: int):
+    """Per-band md5 key over the band's signature values — the same
+    string (values joined by '_') hashes identically in DuckDB."""
     n_bands = num_perm // band_rows
-    cands = None
+    out = []
     for band in range(n_bands):
-        cols = [f"s{band * band_rows + r}" for r in range(band_rows)]
-        x = sig.select(F.col("doc_id").alias("doc_a"), *cols)
-        y = sig.select(F.col("doc_id").alias("doc_b"), *cols)
-        c = x.join(y, cols).filter(F.col("doc_a") < F.col("doc_b")).select("doc_a", "doc_b")
-        cands = c if cands is None else cands.unionByName(c)
-    pairs = cands.distinct()
+        cols = [F.col(f"s{band * band_rows + r}") for r in range(band_rows)]
+        out.append((band, F.md5(F.concat_ws("_", *cols))))
+    return out
+
+
+def _banded(docs: DataFrame, k: int, num_perm: int, band_rows: int) -> DataFrame:
+    """(doc_id, band_id, band_key): ONE row per (doc, band) via
+    explode — every band's bucketing rides a single shuffle on the
+    band key instead of n_bands sequential self-joins."""
+    sig = minhash_signatures(docs, k, num_perm)
+    structs = [
+        F.struct(F.lit(band).alias("band_id"), key.alias("band_key"))
+        for band, key in _band_key_cols(num_perm, band_rows)
+    ]
+    return sig.select(
+        "doc_id", F.explode(F.array(*structs)).alias("b")
+    ).select("doc_id", F.col("b.band_id"), F.col("b.band_key"))
+
+
+def minhash_lsh_pairs(docs: DataFrame, k: int = 3, num_perm: int = NUM_PERM,
+                      band_rows: int = BAND_ROWS,
+                      max_bucket: int = MAX_BUCKET) -> DataFrame:
+    """Banded-LSH candidates, then exact-Jaccard verification: output
+    equals ngram_jaccard_pairs restricted to LSH-recalled pairs
+    (minus members of over-cap buckets — see MAX_BUCKET and
+    ``minhash_dropped_buckets``)."""
+    from pyspark.sql import Window
+
+    bands = _banded(docs, k, num_perm, band_rows)
+    w = Window.partitionBy("band_id", "band_key")
+    capped = (
+        bands.withColumn("bsz", F.count("*").over(w))
+        .filter(F.col("bsz") <= max_bucket)
+        .drop("bsz")
+        # materialize once: both sides of the self-join read this
+        # (eager localCheckpoint, released when unreferenced)
+        .localCheckpoint(eager=True)
+    )
+    x = capped.select(F.col("doc_id").alias("doc_a"), "band_id", "band_key")
+    y = capped.select(F.col("doc_id").alias("doc_b"), "band_id", "band_key")
+    pairs = (
+        x.join(y, ["band_id", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
     return _jaccard_from_shingles(shingles_df(docs, k), pairs)
 
 
+def minhash_dropped_buckets(docs: DataFrame, k: int = 3,
+                            num_perm: int = NUM_PERM,
+                            band_rows: int = BAND_ROWS,
+                            max_bucket: int = MAX_BUCKET) -> DataFrame:
+    """(band_id, band_key, bucket_size) for every bucket the cap
+    excluded — the audit trail for minhash_lsh_pairs' coverage (a
+    pipeline should alert on rows here rather than silently treating
+    dropped docs as unique)."""
+    bands = _banded(docs, k, num_perm, band_rows)
+    return (
+        bands.groupBy("band_id", "band_key")
+        .agg(F.count("*").alias("bucket_size"))
+        .filter(F.col("bucket_size") > max_bucket)
+    )
+
+
 def minhash_lsh_oracle(k: int = 3, num_perm: int = NUM_PERM,
-                       band_rows: int = BAND_ROWS) -> str:
+                       band_rows: int = BAND_ROWS,
+                       max_bucket: int = MAX_BUCKET) -> str:
+    """Same algorithm in DuckDB: explode to (band_id, band_key) rows,
+    window-count buckets, cap, self-join on the key — band_key is
+    md5 of the band's values joined by '_' (identical text in both
+    engines)."""
     a, b = minhash_coeffs(num_perm)
     sig_cols = ",\n         ".join(
         f"MIN(({a[j]} * sh + {b[j]}) % {M31}) AS s{j}" for j in range(num_perm)
     )
     n_bands = num_perm // band_rows
-    band_conds = []
+    band_rows_sql = []
     for band in range(n_bands):
         cols = [f"s{band * band_rows + r}" for r in range(band_rows)]
-        band_conds.append("(" + " AND ".join(f"x.{c} = y.{c}" for c in cols) + ")")
-    bands_or = "\n        OR ".join(band_conds)
+        key = " || '_' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
+        band_rows_sql.append(
+            f"SELECT doc_id, {band} AS band_id, md5({key}) AS band_key FROM sig"
+        )
+    bands_union = "\n  UNION ALL ".join(band_rows_sql)
     cand_cte = f""",
 sig AS (SELECT doc_id, {sig_cols} FROM shd GROUP BY doc_id),
+bands AS (
+  {bands_union}
+),
+capped AS (
+  SELECT doc_id, band_id, band_key FROM (
+    SELECT doc_id, band_id, band_key,
+           COUNT(*) OVER (PARTITION BY band_id, band_key) AS bsz
+    FROM bands
+  ) z WHERE bsz <= {max_bucket}
+),
 cand AS (
   SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-  FROM sig x JOIN sig y ON x.doc_id < y.doc_id
-  WHERE {bands_or}
+  FROM capped x
+  JOIN capped y ON x.band_id = y.band_id AND x.band_key = y.band_key
+               AND x.doc_id < y.doc_id
 ),
 inter0 AS (
   SELECT i0.doc_a, i0.doc_b, i0.i FROM (
@@ -240,7 +324,9 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = MAX_HAMMING) -> DataFrame:
     max_hamming <= {SIM_CHUNKS}-1 with NO cross join.
     """
     assert max_hamming < SIM_CHUNKS
-    fps = simhash_fingerprints(docs).persist()
+    # eager localCheckpoint: reused by all chunk joins, released when
+    # unreferenced (persist would pin a CacheManager entry forever)
+    fps = simhash_fingerprints(docs).localCheckpoint(eager=True)
     chunk_w = SIM_BITS // SIM_CHUNKS
     cands = None
     for ci in range(SIM_CHUNKS):

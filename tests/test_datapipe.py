@@ -67,6 +67,31 @@ def test_minhash_lsh_agrees_with_exhaustive_jaccard(spark):
     assert len(exact_dups) == 30
 
 
+def test_minhash_bucket_cap_drops_boilerplate(spark):
+    """A bucket over MAX_BUCKET (boilerplate text) is excluded from
+    pair generation — bounded work — and reported by
+    minhash_dropped_buckets instead of silently vanishing."""
+    from pisa_spark.datapipe.dedup import (
+        minhash_dropped_buckets, minhash_lsh_pairs,
+    )
+
+    one = spark.read.parquet(f"{SF}/documents.parquet").limit(1)
+    clones = one
+    for i in range(1, 8):
+        clones = clones.unionByName(
+            one.withColumn("doc_id", F.col("doc_id") + 1000 * i)
+        )
+    # 8 identical docs, cap 4: every band bucket holds all 8 -> all
+    # buckets dropped -> no candidate pairs at all.
+    pairs = minhash_lsh_pairs(clones, max_bucket=4).toPandas()
+    assert len(pairs) == 0
+    dropped = minhash_dropped_buckets(clones, max_bucket=4).toPandas()
+    assert (dropped["bucket_size"] == 8).all() and len(dropped) == 8
+    # With the cap above the group size the 28 exact-dup pairs return.
+    pairs2 = minhash_lsh_pairs(clones, max_bucket=64).toPandas()
+    assert len(pairs2) == 28
+
+
 def test_simhash_chunk_join_equals_cross_join(spark, docs):
     """Pigeonhole exactness: the 4x15-bit chunk-join candidate set
     must yield exactly the cross-join Hamming<=3 pairs."""
