@@ -58,12 +58,103 @@ def _cos_micro(dot_q: np.ndarray, na: np.ndarray, nb: np.ndarray) -> np.ndarray:
 
 # ------------------------------------------------------------ near-dup pairs
 
-def embedding_dup_pairs(emb: DataFrame, tau_micro: int = COS_TAU_MICRO) -> DataFrame:
-    """(vec_a, vec_b, cos_micro >= tau): quantized-cosine near-dups.
+def _qarr_expr(col: str = "embedding") -> str:
+    """Catalyst: embedding -> int64 quantized component array."""
+    return (
+        f"transform({col}, x -> CAST(FLOOR(CAST(x AS DOUBLE) * "
+        f"{dlit(QSCALE)} + {dlit(0.5)}) AS BIGINT))"
+    )
 
-    Streams base partitions against a broadcast copy; each task does
-    one int64 GEMM block. (At 100 TB the broadcast side becomes an
-    LSH/IVF prefilter; this exhaustive form is its oracle.)"""
+
+def _n2_expr(qcol: str = "qarr") -> str:
+    return f"aggregate({qcol}, CAST(0 AS BIGINT), (acc, v) -> acc + v * v)"
+
+
+def _dot_expr(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+        f"CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+
+
+def _cosm_expr(dot: str, na: str, nb: str) -> str:
+    return (
+        f"CAST(FLOOR(CAST({dot} AS DOUBLE) / (SQRT(CAST({na} AS DOUBLE)) * "
+        f"SQRT(CAST({nb} AS DOUBLE))) * {dlit(1e6)} + {dlit(0.5)}) AS BIGINT)"
+    )
+
+
+def embedding_dup_pairs(emb: DataFrame, tau_micro: int = COS_TAU_MICRO,
+                        n_centroids: int = N_CENTROIDS,
+                        n_probe: int = N_PROBE) -> DataFrame:
+    """(vec_a, vec_b, cos_micro >= tau): quantized-cosine near-dups
+    via an IVF-cell prefilter — the 100 TB shape.
+
+    Every vector (base AND probe side symmetrically) is assigned to
+    its ``n_probe`` closest coarse cells (centroids = first
+    ``n_centroids`` vectors, as in ivf_topk); candidate pairs are
+    vectors sharing a cell; candidates are verified with the exact
+    quantized cosine. Nothing is ever collected to the driver and no
+    all-pairs product exists anywhere: the only joins are a broadcast
+    of the tiny centroid set, a self-equi-join on cell id, and two
+    hash joins to fetch candidate features. Entirely
+    Catalyst-native (transform/zip_with/aggregate int64 math — no
+    Python at all). Recall vs the exhaustive operator is pinned in
+    tests/test_datapipe.py; ``embedding_dup_pairs_exhaustive`` remains
+    the small-scale baseline."""
+    q = (
+        emb.select("vec_id", F.expr(_qarr_expr()).alias("qarr"))
+        .withColumn("n2", F.expr(_n2_expr()))
+    )
+    cent = q.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cid"),
+        F.col("qarr").alias("carr"),
+        F.col("n2").alias("cn2"),
+    )
+    cos_c = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("dot", F.expr(_dot_expr("qarr", "carr")))
+        .withColumn("cm", F.expr(_cosm_expr("dot", "n2", "cn2")))
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cm").desc(), F.col("cid").asc()
+    )
+    assign = (
+        cos_c.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= n_probe)
+        .select("vec_id", F.col("cid").alias("cell"))
+    )
+    x = assign.select(F.col("vec_id").alias("vec_a"), "cell")
+    y = assign.select(F.col("vec_id").alias("vec_b"), "cell")
+    cand = (
+        x.join(y, "cell")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    qa = q.select(
+        F.col("vec_id").alias("vec_a"), F.col("qarr").alias("qa"),
+        F.col("n2").alias("na"),
+    )
+    qb = q.select(
+        F.col("vec_id").alias("vec_b"), F.col("qarr").alias("qb"),
+        F.col("n2").alias("nb"),
+    )
+    return (
+        cand.join(qa, "vec_a")
+        .join(qb, "vec_b")
+        .withColumn("dot", F.expr(_dot_expr("qa", "qb")))
+        .withColumn("cos_micro", F.expr(_cosm_expr("dot", "na", "nb")))
+        .filter(F.col("cos_micro") >= tau_micro)
+        .select("vec_a", "vec_b", "cos_micro")
+    )
+
+
+def embedding_dup_pairs_exhaustive(emb: DataFrame, tau_micro: int = COS_TAU_MICRO) -> DataFrame:
+    """(vec_a, vec_b, cos_micro >= tau): EXHAUSTIVE quantized-cosine
+    near-dups — the recall baseline for embedding_dup_pairs, small
+    scale only (collects + broadcasts the whole base matrix for an
+    all-pairs GEMM; do not run on a large table)."""
     spark = emb.sparkSession
     ids, q = _collect_matrix(emb)
     norms = (q * q).sum(axis=1)
@@ -122,13 +213,48 @@ _COS_EXPR = (
 )
 
 
-def embedding_dup_oracle(tau_micro: int = COS_TAU_MICRO) -> str:
-    return f"""WITH {_quant_dot_cte('a.vec_id < b.vec_id', 'TRUE')}
-SELECT d.va AS vec_a, d.vb AS vec_b, {_COS_EXPR} AS cos_micro
-FROM dots d
-JOIN nrm na ON na.vec_id = d.va
-JOIN nrm nb ON nb.vec_id = d.vb
-WHERE {_COS_EXPR} >= {tau_micro}"""
+def embedding_dup_oracle(tau_micro: int = COS_TAU_MICRO,
+                         n_centroids: int = N_CENTROIDS,
+                         n_probe: int = N_PROBE) -> str:
+    """Same IVF-prefilter algorithm in DuckDB: assign every vector to
+    its n_probe closest cells, pair within cells, verify exact
+    quantized cosine."""
+    return f"""WITH {_quant_dot_cte('TRUE', f'b.vec_id < {n_centroids}')},
+cos_all AS (
+  SELECT d.va AS vec_id, d.vb AS cid, {_COS_EXPR} AS cm
+  FROM dots d
+  JOIN nrm na ON na.vec_id = d.va
+  JOIN nrm nb ON nb.vec_id = d.vb
+),
+assign AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY cm DESC, cid ASC) AS r
+    FROM cos_all
+  ) z WHERE r <= {n_probe}
+),
+cand AS (
+  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+  FROM assign x JOIN assign y ON x.cell = y.cell AND x.vec_id < y.vec_id
+),
+qc2 AS (SELECT * FROM qc),
+pairdots AS (
+  SELECT c.vec_a, c.vec_b, SUM(qa.q * qb.q) AS dot
+  FROM cand c
+  JOIN qc qa ON qa.vec_id = c.vec_a
+  JOIN qc2 qb ON qb.vec_id = c.vec_b AND qb.pos = qa.pos
+  GROUP BY c.vec_a, c.vec_b
+)
+SELECT vec_a, vec_b, cos_micro FROM (
+  SELECT pd.vec_a, pd.vec_b,
+         CAST(FLOOR(CAST(pd.dot AS DOUBLE) / (SQRT(CAST(na.n2 AS DOUBLE)) *
+              SQRT(CAST(nb.n2 AS DOUBLE))) * {dlit(1e6)} + {dlit(0.5)}) AS BIGINT)
+           AS cos_micro
+  FROM pairdots pd
+  JOIN nrm na ON na.vec_id = pd.vec_a
+  JOIN nrm nb ON nb.vec_id = pd.vec_b
+) s WHERE cos_micro >= {tau_micro}"""
 
 
 # ----------------------------------------------------------------- ANN topk

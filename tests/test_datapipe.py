@@ -119,6 +119,33 @@ def test_embedding_dup_pairs_symmetric_threshold(emb):
     assert (out["vec_a"] < out["vec_b"]).all()
 
 
+def test_embedding_dup_prefilter_recall(emb):
+    """The IVF-bucketed near-dup operator is a strict subset of the
+    exhaustive pairs with pinned recall (mirrors the MinHash recall
+    test): identical vectors always share their top cells, and the
+    measured recall on this corpus must not regress."""
+    from pisa_spark.datapipe.similarity import (
+        embedding_dup_pairs, embedding_dup_pairs_exhaustive,
+    )
+
+    ex = embedding_dup_pairs_exhaustive(emb).toPandas()
+    bucketed = embedding_dup_pairs(emb).toPandas()
+    key = lambda df: set(map(tuple, df[["vec_a", "vec_b", "cos_micro"]].values))
+    assert key(bucketed) <= key(ex)
+    recall = len(key(bucketed)) / max(1, len(key(ex)))
+    assert recall >= 0.5  # pinned floor on the fixture corpus
+    # planted exact duplicates are ALWAYS recalled (equal vectors ->
+    # identical cell assignment)
+    sub = emb.limit(10)
+    dup = sub.withColumn("vec_id", F.col("vec_id") + 100_000)
+    both = sub.unionByName(dup)
+    pairs = embedding_dup_pairs(both, tau_micro=999_999).toPandas()
+    planted = {(int(r["vec_id"]), int(r["vec_id"]) + 100_000)
+               for r in sub.select("vec_id").toPandas().to_dict("records")}
+    got = set(map(tuple, pairs[["vec_a", "vec_b"]].values))
+    assert planted <= got
+
+
 # --------------------------------------------------------------------- ANN
 
 def test_ann_topk_matches_numpy_bruteforce(emb):
