@@ -55,6 +55,18 @@ def _round_up_f32(x: np.ndarray) -> np.ndarray:
     return f
 
 
+def blocks_per_bucket(cfg: IndexConfig) -> int:
+    """block_id stride per salt bucket — must be >= the max possible
+    blocks a (term, bucket) group can produce, so bucket-local block
+    ids never collide across buckets and (bucket, position) order is
+    exactly docID order. Fixed blocks: ceil(bucket/block)+slack;
+    variable blocks can in principle be 1 posting each, so the stride
+    is the bucket's doc capacity."""
+    if cfg.block_partition == "variable":
+        return cfg.salt_bucket_docs + 2
+    return cfg.salt_bucket_docs // cfg.block_size + 2
+
+
 def scored_postings(
     postings: DataFrame,
     doc_sizes: DataFrame,
@@ -107,7 +119,9 @@ def build_segments(
     encode, _ = CODECS[cfg.codec]
     block = cfg.block_size
     bucket_docs = cfg.salt_bucket_docs
-    blocks_per_bucket = bucket_docs // block + 2  # block_id stride per bucket
+    stride = blocks_per_bucket(cfg)  # block_id stride per bucket
+    variable = cfg.block_partition == "variable"
+    lam = cfg.block_lambda
 
     out_schema = (
         "term_id long, block_id long, count int, max_doc_id long, "
@@ -141,8 +155,17 @@ def build_segments(
             tfs = np.maximum(q, 1)
             scores = tfs.astype(np.float64)  # block maxes bound q sums
         n = len(docs)
-        starts = np.arange(0, n, block)
-        ends = np.minimum(starts + block, n)
+        if variable:
+            # Score-optimal boundaries (VSBMW DP, build/varblock.py):
+            # cuts follow the score distribution instead of a fixed
+            # stride, so each block's max is a tight bound.
+            from pisa_spark.build.varblock import score_opt_partition
+
+            ends = score_opt_partition(scores, fixed_cost=lam)
+            starts = np.concatenate(([0], ends[:-1]))
+        else:
+            starts = np.arange(0, n, block)
+            ends = np.minimum(starts + block, n)
         # whole-list payload: gaps-1 everywhere, block-leading values
         # absolute (each block self-contained)
         payload = np.empty(n, dtype=np.uint64)
@@ -172,7 +195,7 @@ def build_segments(
             tf_bytes = [encode(tfs[s:e] - 1) for s, e in zip(starts, ends)]
             len_bytes = [encode(dls[s:e] - 1) for s, e in zip(starts, ends)]
 
-        base_block_id = bucket * blocks_per_bucket
+        base_block_id = bucket * stride
         return pd.DataFrame(
             {
                 "term_id": np.full(len(starts), term_id, dtype=np.int64),

@@ -44,6 +44,12 @@ class IndexConfig:
     """
 
     block_size: int = 128
+    # "fixed": uniform block_size-posting blocks (FixedBlock);
+    # "variable": score-optimal boundaries (VariableBlock, VSBMW DP in
+    # build/varblock.py) with per-block cost block_lambda — tighter
+    # block-max bounds on skewed lists, so BMW/BMM skip more.
+    block_partition: str = "fixed"
+    block_lambda: float = 4.0
     codec: str = "varint"  # "varint" | "bitpack"
     salt_bucket_docs: int = 1 << 20  # docID range per salt bucket
     quantize_bits: int | None = None  # None, or 8 for impact quantization

@@ -54,6 +54,16 @@ _GATE_VARIANTS = {
         analyzer=AnalyzerConfig(tokenizer="whitespace"),
         index=IndexConfig(salt_bucket_docs=256, codec="bitpack"),
     ),
+    # Score-optimal variable blocks (VSBMW, wand_utils.hpp
+    # variable_block_partition + score_opt_partition.hpp): identical
+    # top-k, tighter block-max bounds.
+    "varblock": EngineConfig(
+        analyzer=AnalyzerConfig(tokenizer="whitespace"),
+        index=IndexConfig(
+            salt_bucket_docs=256, block_partition="variable",
+            block_lambda=4.0,
+        ),
+    ),
 }
 
 _INDEX_CACHE: dict[tuple[str, str], object] = {}
@@ -239,6 +249,8 @@ def gated_queries():
     q["range_maxscore_topk"] = _run_kernel("maxscore", range_mode=True)
     q["bmw_bootstrap_topk"] = _run_bootstrapped("block_max_wand")
     q["quantized_bmw_topk"] = _run_kernel("block_max_wand", variant="quantized")
+    q["bmw_varblock_topk"] = _run_kernel("block_max_wand", variant="varblock")
+    q["range_bmw_topk"] = _run_kernel("block_max_wand", range_mode=True)
     q["porter2_lexicon"] = _porter2_lexicon
     q["taily_shard_ranking"] = _taily_shard_ranking
     q["segments_decode_check"] = _decode_check()
@@ -257,6 +269,8 @@ def gated_oracle_sql():
         "taat_ranked_or_topk",
         "range_maxscore_topk",
         "bmw_bootstrap_topk",
+        "bmw_varblock_topk",
+        "range_bmw_topk",
     ):
         o[name] = _DUCK_SQL["ranked_or_topk"]
     o["bm_ranked_and_topk"] = _DUCK_SQL["ranked_and_topk"]

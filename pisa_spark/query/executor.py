@@ -214,10 +214,12 @@ def topk_range(
     inside each block's ``len_bytes`` payload, so every (query,
     bucket) task is self-contained. Bucket granularity reuses the
     segment salt buckets (segments never re-shuffle across buckets)."""
+    from pisa_spark.build.segments import blocks_per_bucket
+
     kernel = RANKED_KERNELS[algorithm]
     decode = CODECS[index.config.index.codec][1]
     cfg = index.config.index
-    blocks_per_bucket = cfg.salt_bucket_docs // cfg.block_size + 2
+    bucket_stride = blocks_per_bucket(cfg)
     stats = Stats(
         num_docs=float(index.num_docs),
         avg_len=float(index.avg_len),
@@ -239,7 +241,7 @@ def topk_range(
         )
 
     rows = _query_segments(index, parsed).withColumn(
-        "bucket", (F.col("block_id") / F.lit(blocks_per_bucket)).cast("long")
+        "bucket", (F.col("block_id") / F.lit(bucket_stride)).cast("long")
     )
     partial = rows.groupBy("query_id", "bucket").applyInPandas(
         run, "query_id string, doc_id long, score double"
