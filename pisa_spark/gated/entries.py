@@ -128,21 +128,25 @@ def _run_kernel(algorithm: str, range_mode: bool = False, variant: str = "defaul
 
 def _run_bootstrapped(algorithm: str):
     """Kernel run with kth-threshold bootstrapping (the fork's
-    threshold-estimation pipeline end-to-end): build the single-term
-    k-th-score cache, estimate per-query lower bounds, and start the
-    heaps there. Result must still be rank-identical to ranked_or."""
+    threshold-estimation pipeline end-to-end): single-term k-th-score
+    cache + workload-pair disjunction k-th scores
+    (kth_threshold.cpp pair mode), per-query lower bound = max of
+    both, heaps start there. Result must still be rank-identical to
+    ranked_or."""
 
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         from pisa_spark.query.executor import topk_search
         from pisa_spark.query.parser import parse_queries
-        from pisa_spark.query.thresholds import estimate_thresholds, kth_score_cache
+        from pisa_spark.query.thresholds import (
+            estimate_thresholds_with_pairs, kth_score_cache,
+        )
 
         index = _get_index(spark, sf_dir)
         parsed = parse_queries(
             _queries_df(spark), index.lexicon, pre_tokenized=True
         )
         cache = kth_score_cache(index, k=K)
-        est = estimate_thresholds(parsed, cache)
+        est = estimate_thresholds_with_pairs(index, parsed, cache, k=K)
         return topk_search(index, parsed, algorithm=algorithm, k=K, thresholds=est)
 
     fn.__name__ = f"gated_bootstrap_{algorithm}"

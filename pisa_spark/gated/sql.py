@@ -358,6 +358,62 @@ LEFT JOIN (
 ) kth ON kth.query_id = q.query_id AND kth.term_id = q.term_id
 GROUP BY q.query_id ORDER BY q.query_id"""
 
+    # Pair-augmented threshold estimation (tools/kth_threshold.cpp:
+    # 126-138, the fork's pair cache): for every query, the estimate
+    # is the max over (a) each term's k-th best single-term score and
+    # (b) each term PAIR's k-th best DISJUNCTIVE score — both sound
+    # lower bounds on the query's k-th final score, (b) tighter
+    # whenever the pair co-occurs.
+    e["kth_threshold_pairs"] = f"""{base},
+pm AS (
+  SELECT qt.query_id, p.term_id, p.doc_id,
+         {micro_sql(bm25_tm, weight="qt.weight")} AS m
+  FROM qterms qt
+  JOIN postings p ON p.term_id = qt.term_id
+  JOIN sizes s ON s.doc_id = p.doc_id
+  JOIN lex l ON l.term_id = p.term_id
+  CROSS JOIN stats st
+),
+skth AS (
+  SELECT query_id, m AS kth FROM (
+    SELECT query_id, term_id, doc_id, m,
+           ROW_NUMBER() OVER (PARTITION BY query_id, term_id
+                              ORDER BY m DESC, doc_id ASC) AS rn
+    FROM pm
+  ) x WHERE rn = {K}
+),
+qpairs AS (
+  SELECT a.query_id, a.term_id AS ta, b.term_id AS tb
+  FROM qterms a
+  JOIN qterms b ON b.query_id = a.query_id AND a.term_id < b.term_id
+),
+pairdoc AS (
+  SELECT u.query_id, u.ta, u.tb, u.doc_id, CAST(SUM(u.m) AS BIGINT) AS m2
+  FROM (
+    SELECT qp.query_id, qp.ta, qp.tb, p.doc_id, p.m
+    FROM qpairs qp JOIN pm p ON p.query_id = qp.query_id AND p.term_id = qp.ta
+    UNION ALL
+    SELECT qp.query_id, qp.ta, qp.tb, p.doc_id, p.m
+    FROM qpairs qp JOIN pm p ON p.query_id = qp.query_id AND p.term_id = qp.tb
+  ) u
+  GROUP BY u.query_id, u.ta, u.tb, u.doc_id
+),
+pkth AS (
+  SELECT query_id, m2 AS kth FROM (
+    SELECT query_id, ta, tb, doc_id, m2,
+           ROW_NUMBER() OVER (PARTITION BY query_id, ta, tb
+                              ORDER BY m2 DESC, doc_id ASC) AS rn
+    FROM pairdoc
+  ) y WHERE rn = {K}
+),
+allk AS (SELECT query_id, kth FROM skth
+         UNION ALL SELECT query_id, kth FROM pkth)
+SELECT q.query_id,
+       CAST(MAX(COALESCE(a.kth, 0)) AS BIGINT) AS threshold_micro
+FROM (SELECT DISTINCT query_id FROM qterms) q
+LEFT JOIN allk a ON a.query_id = q.query_id
+GROUP BY q.query_id ORDER BY q.query_id"""
+
     # Posting-list lengths per query (tools/count_postings.cpp:10-40).
     e["count_postings"] = f"""{base}
 SELECT qt.query_id,
@@ -416,6 +472,56 @@ JOIN pm b ON b.query_id = a.query_id AND b.doc_id = a.doc_id
          AND a.term_id < b.term_id
 GROUP BY a.query_id, a.term_id, b.term_id
 ORDER BY a.query_id, term_a, term_b"""
+
+    # ALL term subsets of size <= 3 per query (compute_intersection
+    # --combinations with --max-term-count 3: for_all_subsets bitmask,
+    # intersection.hpp:83-92): intersection length + max combined
+    # score per subset. Subsets are identified by their sorted term
+    # ids with -1 sentinels for absent slots (the readable form of
+    # the reference's position bitmask); empty intersections are
+    # omitted in both engines.
+    e["intersection_subsets"] = f"""{base},
+pm AS (
+  SELECT qt.query_id, p.term_id, p.doc_id,
+         {micro_sql(bm25_tm, weight="qt.weight")} AS m
+  FROM qterms qt
+  JOIN postings p ON p.term_id = qt.term_id
+  JOIN sizes s ON s.doc_id = p.doc_id
+  JOIN lex l ON l.term_id = p.term_id
+  CROSS JOIN stats st
+),
+s1 AS (
+  SELECT query_id, term_id AS ta, CAST(-1 AS BIGINT) AS tb,
+         CAST(-1 AS BIGINT) AS tc,
+         CAST(COUNT(*) AS BIGINT) AS length,
+         CAST(MAX(m) AS BIGINT) AS max_score_micro
+  FROM pm GROUP BY query_id, term_id
+),
+s2 AS (
+  SELECT a.query_id, a.term_id AS ta, b.term_id AS tb,
+         CAST(-1 AS BIGINT) AS tc,
+         CAST(COUNT(*) AS BIGINT) AS length,
+         CAST(MAX(a.m + b.m) AS BIGINT) AS max_score_micro
+  FROM pm a
+  JOIN pm b ON b.query_id = a.query_id AND b.doc_id = a.doc_id
+           AND a.term_id < b.term_id
+  GROUP BY a.query_id, a.term_id, b.term_id
+),
+s3 AS (
+  SELECT a.query_id, a.term_id AS ta, b.term_id AS tb, c.term_id AS tc,
+         CAST(COUNT(*) AS BIGINT) AS length,
+         CAST(MAX(a.m + b.m + c.m) AS BIGINT) AS max_score_micro
+  FROM pm a
+  JOIN pm b ON b.query_id = a.query_id AND b.doc_id = a.doc_id
+           AND a.term_id < b.term_id
+  JOIN pm c ON c.query_id = a.query_id AND c.doc_id = a.doc_id
+           AND b.term_id < c.term_id
+  GROUP BY a.query_id, a.term_id, b.term_id, c.term_id
+)
+SELECT query_id, ta, tb, tc, length, max_score_micro FROM s1
+UNION ALL SELECT query_id, ta, tb, tc, length, max_score_micro FROM s2
+UNION ALL SELECT query_id, ta, tb, tc, length, max_score_micro FROM s3
+ORDER BY query_id, ta, tb, tc"""
 
     # Taily-style per-term score moments (taily_stats.hpp:24-169) as
     # exact integer sums (expectation/variance derivable).

@@ -88,3 +88,82 @@ def estimate_thresholds(parsed: DataFrame, cache: DataFrame) -> DataFrame:
     return joined.select("query_id", est.alias("est")).groupBy("query_id").agg(
         F.max("est").alias("threshold_micro")
     )
+
+
+def pair_kth_thresholds(index: InvertedIndex, parsed: DataFrame,
+                        k: int = 10) -> DataFrame:
+    """(query_id, pair_micro): the k-th best micro score of each
+    query's term-PAIR disjunctions, maxed over the query's pairs —
+    the reference fork's pair cache (tools/kth_threshold.cpp:126-138:
+    wand over {t_i, t_j}, true_threshold when the heap fills).
+
+    Sound: a pair sub-query's k-th score only ever rises when the
+    remaining query terms are added. Scores are computed with the
+    query's own weights in the SAME micro quantization the kernels
+    use, so the bound is exact-integer tight (no -1 slack needed).
+    Pairs come from the workload itself — the budgeted form of the
+    fork's pairs file."""
+    from pisa_spark.build.segments import scored_postings
+    from pisa_spark.functions.scoring import bm25_sql_expr
+
+    scored = scored_postings(
+        index.postings, index.doc_sizes, index.lexicon,
+        index.num_docs, index.avg_len,
+    )
+    bm25 = bm25_sql_expr(
+        tf="tf", df="df", doc_len="doc_len",
+        num_docs=str(float(index.num_docs)), avg_len=str(float(index.avg_len)),
+        k1=index.config.bm25.k1, b=index.config.bm25.b,
+    )
+    # per-(query, term, doc) weighted micro — workload terms only
+    # (broadcast of the tiny parsed side prunes the postings scan)
+    pm = (
+        scored.join(
+            F.broadcast(parsed.select("query_id", "term_id", "weight")),
+            "term_id",
+        )
+        .withColumn("m", F.expr(micro_sql(bm25, weight="weight")))
+        .select("query_id", "term_id", "doc_id", "m")
+    )
+    qp = (
+        parsed.select("query_id", F.col("term_id").alias("ta"))
+        .join(parsed.select("query_id", F.col("term_id").alias("tb")), "query_id")
+        .filter(F.col("ta") < F.col("tb"))
+    )
+    pda = pm.withColumnRenamed("term_id", "ta").join(
+        F.broadcast(qp), ["query_id", "ta"]
+    )
+    pdb = pm.withColumnRenamed("term_id", "tb").join(
+        F.broadcast(qp), ["query_id", "tb"]
+    )
+    cols = ["query_id", "ta", "tb", "doc_id", "m"]
+    pairdoc = (
+        pda.select(*cols).unionByName(pdb.select(*cols))
+        .groupBy("query_id", "ta", "tb", "doc_id")
+        .agg(F.sum("m").cast("long").alias("m2"))
+    )
+    w = Window.partitionBy("query_id", "ta", "tb").orderBy(
+        F.col("m2").desc(), F.col("doc_id").asc()
+    )
+    return (
+        pairdoc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == k)
+        .groupBy("query_id")
+        .agg(F.max("m2").alias("pair_micro"))
+    )
+
+
+def estimate_thresholds_with_pairs(index: InvertedIndex, parsed: DataFrame,
+                                   cache: DataFrame, k: int = 10) -> DataFrame:
+    """(query_id, threshold_micro) = max(single-term cache estimate,
+    pair-disjunction estimate) — the fork's combined bootstrap
+    (kth_threshold.cpp: threshold = max over singles and pairs)."""
+    single = estimate_thresholds(parsed, cache)
+    pairs = pair_kth_thresholds(index, parsed, k=k)
+    return single.join(pairs, "query_id", "left").select(
+        "query_id",
+        F.greatest(
+            F.col("threshold_micro"),
+            F.coalesce(F.col("pair_micro"), F.lit(0)),
+        ).alias("threshold_micro"),
+    )

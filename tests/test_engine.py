@@ -313,6 +313,44 @@ def test_threshold_cache_k_mismatch_ignored(spark, index, parsed):
     assert (est10["threshold_micro"] > 0).any()
 
 
+def test_pair_threshold_bootstrap(spark, index, parsed, oracle_topk):
+    """Pair-disjunction k-th scores (kth_threshold.cpp pair mode)
+    tighten the bootstrap: estimates dominate the single-term cache,
+    results stay rank-identical, and BMW never decodes more than with
+    single-term bounds."""
+    from pisa_spark.query.thresholds import (
+        estimate_thresholds, estimate_thresholds_with_pairs, kth_score_cache,
+    )
+
+    cache = kth_score_cache(index, k=10)
+    single = estimate_thresholds(parsed, cache)
+    combo = estimate_thresholds_with_pairs(index, parsed, cache, k=10)
+    s = single.toPandas().set_index("query_id")["threshold_micro"]
+    c = combo.toPandas().set_index("query_id")["threshold_micro"]
+    j = pd.concat([s.rename("s"), c.rename("c")], axis=1)
+    assert (j["c"] >= j["s"]).all()
+    assert (j["c"] > j["s"]).any()  # pairs actually tighten something
+
+    got = _fetch(
+        topk_search(
+            index, parsed, algorithm="block_max_wand", k=10, thresholds=combo
+        )
+    )
+    exp = oracle_topk.astype({"rank": "int64", "doc_id": "int64"})
+    pd.testing.assert_frame_equal(
+        got[["query_id", "rank", "doc_id"]], exp[["query_id", "rank", "doc_id"]]
+    )
+
+    def blocks(thresholds):
+        df = topk_search(
+            index, parsed, algorithm="block_max_wand", k=10,
+            thresholds=thresholds, profile=True,
+        ).toPandas()
+        return df.groupby("query_id")["blocks_decoded"].first().sum()
+
+    assert blocks(combo) <= blocks(single)
+
+
 def test_pruned_kernels_decode_fewer_blocks(spark, index, parsed):
     """profile_queries analogue: dynamic pruning must actually skip
     work — BMW/maxscore decode fewer blocks than the exhaustive TAAT
