@@ -8,13 +8,25 @@ training-data-pipeline jobs — each timed after one untimed warmup of
 the Spark session (mirrors the reference's 1-warmup protocol,
 tools/queries.cpp:74-90).
 
+Besides batch wall times, the bench reports PER-QUERY kernel latency
+percentiles (mean/p50/p90/p95/p99 microseconds, 1 warmup + 2 timed
+runs, min per query — the reference's queries protocol,
+tools/queries.cpp:74-115) measured in-process over the workload's
+decoded segments, so round-over-round per-algorithm regressions are
+visible independent of Spark scheduling noise.
+
 Env:
-  SPARK_GRAFT_SF_DIR  input dir (default /root/testdata/sf0.1)
-  SPARK_GRAFT_CPUS    local[N] cores (default 32)
+  SPARK_GRAFT_SF_DIR      input dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS        local[N] cores (default 32)
+  SPARK_GRAFT_SYNTH_DOCS  if set (e.g. 50000), ALSO build a
+                          deterministic synthetic corpus of that many
+                          docs (corpus.synth_pages — sf1.0-equivalent
+                          scale at 50k) and report build + kernel
+                          numbers for it under "synth"
 
 Output: {"metric": "e2e_sec", "value": <total query sec>, "unit":
-"sec", "queries": {...}, "sf": ..., "build_sec": ...,
-"build_docs_per_sec": ..., "cores": N}
+"sec", "queries": {...}, "kernel_latency_us": {...}, "sf": ...,
+"build_sec": ..., "build_docs_per_sec": ..., "cores": N}
 """
 
 from __future__ import annotations
@@ -23,6 +35,53 @@ import json
 import os
 import sys
 import time
+
+import numpy as np
+
+PCTS = (50, 90, 95, 99)
+
+
+def kernel_latencies(index, parsed, algos, k: int = 10) -> dict:
+    """Per-query kernel latency stats (µs): pull the workload's
+    segment rows once (query-term lists only — workload-sized, the
+    in-memory form the reference benchmarks), then per query run each
+    kernel with 1 warmup + 2 timed runs and keep the min."""
+    from pisa_spark.codecs import CODECS
+    from pisa_spark.query.executor import (
+        RANKED_KERNELS, _group_to_terms, _query_segments,
+    )
+    from pisa_spark.query.kernels import Stats
+
+    decode = CODECS[index.config.index.codec][1]
+    stats = Stats(
+        num_docs=float(index.num_docs),
+        avg_len=float(index.avg_len),
+        k1=index.config.bm25.k1,
+        b=index.config.bm25.b,
+        quantized=bool(index.config.index.quantize_bits),
+    )
+    pdf = _query_segments(index, parsed).toPandas()
+    lat: dict[str, list[float]] = {a: [] for a in algos}
+    for _, g in pdf.groupby("query_id"):
+        terms = _group_to_terms(g, decode)
+        kk = int(g["k"].iloc[0])
+        for algo in algos:
+            kernel = RANKED_KERNELS[algo]
+            kernel(terms, kk, stats)  # warmup
+            best = float("inf")
+            for _ in range(2):
+                t = time.perf_counter()
+                kernel(terms, kk, stats)
+                best = min(best, time.perf_counter() - t)
+            lat[algo].append(best * 1e6)
+    out = {}
+    for algo, xs in lat.items():
+        arr = np.asarray(xs)
+        entry = {"mean": round(float(arr.mean()), 1)}
+        for p in PCTS:
+            entry[f"p{p}"] = round(float(np.percentile(arr, p)), 1)
+        out[algo] = entry
+    return out
 
 
 def main() -> None:
@@ -138,6 +197,60 @@ def main() -> None:
     except ImportError:
         pass
 
+    # --- Per-query kernel latency percentiles (reference protocol).
+    KERNEL_ALGOS = (
+        "block_max_wand", "block_max_maxscore", "maxscore", "wand", "ranked_or",
+    )
+    kernel_latency_us = kernel_latencies(index, parsed, KERNEL_ALGOS, k=10)
+
+    # --- Optional synthetic big-corpus pass (SPARK_GRAFT_SYNTH_DOCS).
+    synth = None
+    synth_docs = int(os.environ.get("SPARK_GRAFT_SYNTH_DOCS", "0"))
+    if synth_docs:
+        from pisa_spark.corpus import synth_pages
+
+        spages = synth_pages(
+            spark, synth_docs, vocab_size=max(2000, synth_docs // 10),
+            max_len=200,
+        ).persist()
+        sn = spages.count()
+        t0 = time.perf_counter()
+        sindex = build_index(spark, spages, EngineConfig())
+        sindex.segments.persist().count()
+        sindex.term_meta.persist().count()
+        sbuild = time.perf_counter() - t0
+        sterms = [r["term"] for r in sindex.lexicon.limit(400).collect()]
+        srows = []
+        for qi in range(100):
+            n = 1 + qi % 5
+            srows.append(
+                (f"s{qi:04d}",
+                 [sterms[(qi * 7 + j * 13) % len(sterms)] for j in range(n)],
+                 10)
+            )
+        sqdf = spark.createDataFrame(
+            pd.DataFrame(srows, columns=["query_id", "terms", "k"]),
+            schema="query_id string, terms array<string>, k int",
+        )
+        sparsed = parse_queries(sqdf, sindex.lexicon, pre_tokenized=True).persist()
+        sparsed.count()
+        sq: dict[str, float] = {}
+        for algo, key in (("block_max_wand", "bmw_100q"),
+                          ("block_max_maxscore", "bmm_100q"),
+                          ("maxscore", "maxscore_100q")):
+            t = time.perf_counter()
+            topk_search(sindex, sparsed, algorithm=algo, k=10).count()
+            sq[key] = round(time.perf_counter() - t, 4)
+        synth = {
+            "n_docs": sn,
+            "build_sec": round(sbuild, 4),
+            "build_docs_per_sec": round(sn / sbuild, 2),
+            "queries": sq,
+            "kernel_latency_us": kernel_latencies(
+                sindex, sparsed, KERNEL_ALGOS, k=10
+            ),
+        }
+
     total = round(sum(queries.values()), 4)
     print(
         json.dumps(
@@ -146,11 +259,13 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": queries,
+                "kernel_latency_us": kernel_latency_us,
                 "sf": sf,
                 "build_sec": round(build_sec, 4),
                 "build_docs_per_sec": round(n_docs / build_sec, 2),
                 "n_docs": n_docs,
                 "cores": cpus,
+                **({"synth": synth} if synth else {}),
             }
         )
     )

@@ -153,6 +153,31 @@ def _run_bootstrapped(algorithm: str):
     return fn
 
 
+def _run_range_live(algorithm: str):
+    """Range execution with the live-range pre-filter
+    (wand_data_range.hpp compute_live_blocks): bootstrap thresholds
+    prune dead (query, docID-range) groups in Catalyst before any
+    kernel task runs. Must stay rank-identical to ranked_or."""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pisa_spark.query.executor import topk_range
+        from pisa_spark.query.parser import parse_queries
+        from pisa_spark.query.thresholds import (
+            estimate_thresholds_with_pairs, kth_score_cache,
+        )
+
+        index = _get_index(spark, sf_dir)
+        parsed = parse_queries(
+            _queries_df(spark), index.lexicon, pre_tokenized=True
+        )
+        cache = kth_score_cache(index, k=K)
+        est = estimate_thresholds_with_pairs(index, parsed, cache, k=K)
+        return topk_range(index, parsed, algorithm=algorithm, k=K, thresholds=est)
+
+    fn.__name__ = f"gated_range_live_{algorithm}"
+    return fn
+
+
 def _porter2_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Porter2-stemmed english lexicon (src/token_filter.cpp:16-29
     via the pure-python porter2 port). No SQL oracle exists for the
@@ -170,14 +195,17 @@ def _taily_shard_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Taily shard selection end-to-end (taily_stats + the external
     taily lib's score_shards, reimplemented in query.taily): rank 4
     doc_id%4 shards per gate query by expected top-k contribution.
-    Gamma-CDF math is not SQL-expressible -> rows-only driver check;
-    the algorithm is pinned by tests/test_shards.py."""
-    import pandas as pd
+    Fully distributed (rank_shards_distributed: broadcast-pruned
+    moment join + per-query applyInPandas — no vocabulary- or
+    corpus-sized collect). Gamma-CDF math is not SQL-expressible ->
+    rows-only driver check; the algorithm is pinned by
+    tests/test_shards.py."""
+    from pyspark.sql import functions as F
 
     from pisa_spark.build.segments import scored_postings
     from pisa_spark.build.shards import shard_term_stats
     from pisa_spark.query.parser import parse_queries
-    from pisa_spark.query.taily import rank_shards_for_queries
+    from pisa_spark.query.taily import rank_shards_distributed
 
     index = _get_index(spark, sf_dir)
     scored = scored_postings(
@@ -186,23 +214,20 @@ def _taily_shard_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     moments = shard_term_stats(
         scored, index.num_docs, index.avg_len, n_shards=4
-    ).toPandas()
-    sizes = index.doc_sizes.toPandas()
+    )
     shard_docs = {
-        s: int((sizes["doc_id"] % 4 == s).sum()) for s in range(4)
+        int(r["shard_id"]): int(r["n"])
+        for r in index.doc_sizes.groupBy(
+            (F.col("doc_id") % 4).alias("shard_id")
+        ).agg(F.count("*").alias("n")).collect()  # n_shards rows only
     }
     parsed = parse_queries(
         _queries_df(spark), index.lexicon, pre_tokenized=True
-    ).toPandas()
-    queries = {
-        qid: [int(t) for t in g["term_id"]]
-        for qid, g in parsed.groupby("query_id")
-    }
-    ranked = rank_shards_for_queries(queries, moments, shard_docs, n_c=K)
-    ranked["score_micro"] = (ranked["score"] * 1e6 + 0.5).astype("int64")
-    return spark.createDataFrame(
-        ranked[["query_id", "shard_id", "rank", "score_micro"]],
-        schema="query_id string, shard_id long, rank long, score_micro long",
+    )
+    ranked = rank_shards_distributed(parsed, moments, shard_docs, n_c=K)
+    return ranked.select(
+        "query_id", "shard_id", "rank",
+        F.expr("CAST(FLOOR(score * 1e6 + 0.5) AS BIGINT)").alias("score_micro"),
     )
 
 
@@ -255,6 +280,7 @@ def gated_queries():
     q["quantized_bmw_topk"] = _run_kernel("block_max_wand", variant="quantized")
     q["bmw_varblock_topk"] = _run_kernel("block_max_wand", variant="varblock")
     q["range_bmw_topk"] = _run_kernel("block_max_wand", range_mode=True)
+    q["range_bmw_live_topk"] = _run_range_live("block_max_wand")
     q["porter2_lexicon"] = _porter2_lexicon
     q["taily_shard_ranking"] = _taily_shard_ranking
     q["segments_decode_check"] = _decode_check()
@@ -275,6 +301,7 @@ def gated_oracle_sql():
         "bmw_bootstrap_topk",
         "bmw_varblock_topk",
         "range_bmw_topk",
+        "range_bmw_live_topk",
     ):
         o[name] = _DUCK_SQL["ranked_or_topk"]
     o["bm_ranked_and_topk"] = _DUCK_SQL["ranked_and_topk"]

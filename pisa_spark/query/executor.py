@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, functions as F, Window
 
 from pisa_spark.codecs import CODECS
 from pisa_spark.config import EngineConfig
+from pisa_spark.functions.scoring import MICRO
 from pisa_spark.index import InvertedIndex
 from pisa_spark.query.kernels import (
     PRUNE_EPS,
@@ -199,12 +200,40 @@ def boolean_query(index: InvertedIndex, parsed: DataFrame, op: str = "and") -> D
     )
 
 
+def live_ranges(rows: DataFrame) -> DataFrame:
+    """(query_id, bucket) ranges that can still beat their query's
+    threshold — the Catalyst form of wand_data_range.hpp
+    compute_live_blocks. ``rows`` is the (segments ⨝ parsed-with-
+    thresholds ⨝ bucket) table; a range's score upper bound is the
+    sum over query terms of the term's best weighted block-max inside
+    the range (micro units, +1 quantization margin exactly like
+    _group_to_terms). Queries with NULL thresholds keep every range."""
+    term_ub = rows.groupBy("query_id", "bucket", "term_id").agg(
+        (F.max(F.col("weight") * F.col("max_score")) * F.lit(MICRO)
+         + F.lit(1.0)).alias("t_ub"),
+        F.first("threshold_micro").alias("thr"),
+    )
+    return (
+        term_ub.groupBy("query_id", "bucket")
+        .agg(
+            F.sum("t_ub").alias("range_ub"),
+            F.first("thr").alias("thr"),
+        )
+        .filter(
+            F.col("thr").isNull()
+            | (F.col("range_ub") > F.col("thr") - F.lit(float(PRUNE_EPS)))
+        )
+        .select("query_id", "bucket")
+    )
+
+
 def topk_range(
     index: InvertedIndex,
     parsed: DataFrame,
     algorithm: str = "maxscore",
     k: int = 10,
     blocks_per_range: int | None = None,
+    thresholds: DataFrame | None = None,
 ) -> DataFrame:
     """(query_id, rank, doc_id, score) — doc-range-major execution
     (range_query.hpp: run the algorithm per docID range with a shared
@@ -213,7 +242,15 @@ def topk_range(
     No global doc-length structure exists anywhere: lengths ride
     inside each block's ``len_bytes`` payload, so every (query,
     bucket) task is self-contained. Bucket granularity reuses the
-    segment salt buckets (segments never re-shuffle across buckets)."""
+    segment salt buckets (segments never re-shuffle across buckets).
+
+    ``thresholds`` (query_id, threshold_micro — sound lower bounds on
+    the k-th final score, disjunctive algorithms only) enables the
+    LIVE-BLOCK pruning of wand_data_range.hpp compute_live_blocks:
+    a (query, bucket) range whose summed per-term block-max upper
+    bound cannot beat the threshold is dropped by a pure Catalyst
+    pre-filter BEFORE any kernel task runs — dead ranges cost one
+    aggregation row, not a Python group."""
     from pisa_spark.build.segments import blocks_per_bucket
 
     kernel = RANKED_KERNELS[algorithm]
@@ -228,10 +265,19 @@ def topk_range(
         quantized=bool(index.config.index.quantize_bits),
     )
 
+    if thresholds is not None and algorithm not in DISJUNCTIVE_ALGORITHMS:
+        raise ValueError(
+            f"threshold bootstrapping is unsound for conjunctive "
+            f"algorithm {algorithm!r}"
+        )
+
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         terms = _group_to_terms(pdf, decode)
         kk = int(pdf["k"].iloc[0])
-        docs, scores = kernel(terms, kk, stats)
+        init = 0.0
+        if "threshold_micro" in pdf and pd.notna(pdf["threshold_micro"].iloc[0]):
+            init = float(pdf["threshold_micro"].iloc[0]) - PRUNE_EPS
+        docs, scores = kernel(terms, kk, stats, init_threshold=init)
         return pd.DataFrame(
             {
                 "query_id": pdf["query_id"].iloc[0],
@@ -240,9 +286,16 @@ def topk_range(
             }
         )
 
+    if thresholds is not None:
+        parsed = parsed.join(F.broadcast(thresholds), "query_id", "left")
     rows = _query_segments(index, parsed).withColumn(
         "bucket", (F.col("block_id") / F.lit(bucket_stride)).cast("long")
     )
+    if thresholds is not None:
+        # no broadcast hint: at 10^12 docs the live set can be large;
+        # the join keys match the following groupBy, so the shuffle is
+        # shared (AQE broadcasts small live sets on its own)
+        rows = rows.join(live_ranges(rows), ["query_id", "bucket"])
     partial = rows.groupBy("query_id", "bucket").applyInPandas(
         run, "query_id string, doc_id long, score double"
     )

@@ -18,9 +18,16 @@ moment tables (build.shards.shard_term_stats):
 
 The regularized incomplete gamma is implemented in numpy (series +
 continued fraction, Numerical-Recipes style) since scipy is not
-available. All driver-side: the moment tables are vocabulary-sized
-(broadcastable); at web scale the per-query term lookup is a
-broadcast join, not a collect.
+available.
+
+Two entry points:
+- ``rank_shards_for_queries`` — pandas/numpy, driver-side (unit
+  tests, tiny fixtures);
+- ``rank_shards_distributed`` — the scale path: the vocabulary-sized
+  moment table is pruned by a broadcast join with the workload's
+  terms, then each query's shard scoring runs inside an
+  ``applyInPandas`` group. Nothing vocabulary- or corpus-sized ever
+  reaches the driver.
 """
 
 from __future__ import annotations
@@ -120,6 +127,68 @@ def score_shards(
             n * gamma_sf(e, v, s_c) if n > 0 else 0.0
             for n, e, v in zip(shard_any, shard_e, shard_var)
         ]
+    )
+
+
+def rank_shards_distributed(
+    parsed,  # DataFrame(query_id, term_id[, ...])
+    moments,  # DataFrame(shard_id, term_id, df, sum_micro, sum_micro_sq)
+    shard_docs: dict[int, int],  # shard_id -> num docs (n_shards entries)
+    n_c: int = 100,
+):
+    """(query_id, shard_id, score, rank) as a DataFrame — the
+    distributed form of rank_shards_for_queries: moments are pruned by
+    a broadcast join with the (tiny) workload term set and each
+    query's Gamma scoring runs in its own applyInPandas group. Only
+    the n_shards-entry size dict rides the closure."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    qterms = parsed.select("query_id", "term_id").distinct()
+    nterms = qterms.groupBy("query_id").agg(F.count("*").alias("n_terms"))
+    joined = (
+        moments.join(F.broadcast(qterms), "term_id")
+        .join(F.broadcast(nterms), "query_id")
+    )
+    shard_ids = sorted(shard_docs)
+    sizes = {int(k): int(v) for k, v in shard_docs.items()}
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = pdf["query_id"].iloc[0]
+        n_terms = int(pdf["n_terms"].iloc[0])
+        pdf = pdf.sort_values(["shard_id", "term_id"])
+        n_any = np.zeros(len(shard_ids))
+        e = np.zeros(len(shard_ids))
+        var = np.zeros(len(shard_ids))
+        for si, sid in enumerate(shard_ids):
+            g = pdf[pdf["shard_id"] == sid]
+            if len(g) < n_terms:  # a missing term zeroes the product
+                n_any[si] = 0.0
+            else:
+                n_any[si] = float(sizes[sid]) * math.prod(
+                    float(df) / sizes[sid] for df in g["df"]
+                )
+            et = (g["sum_micro"] / g["df"]) / 1e6
+            vt = np.maximum(
+                0.0, (g["sum_micro_sq"] / g["df"]) / 1e12 - et * et
+            )
+            e[si] = float(et.sum())
+            var[si] = float(vt.sum())
+        scores = score_shards(n_any, e, var, n_c)
+        order = np.argsort(-scores, kind="stable")
+        rank = np.empty(len(shard_ids), dtype=np.int64)
+        rank[order] = np.arange(1, len(shard_ids) + 1)
+        return pd.DataFrame(
+            {
+                "query_id": qid,
+                "shard_id": np.array(shard_ids, dtype=np.int64),
+                "score": scores,
+                "rank": rank,
+            }
+        )
+
+    return joined.groupBy("query_id").applyInPandas(
+        run, "query_id string, shard_id long, score double, rank long"
     )
 
 

@@ -313,6 +313,42 @@ def test_threshold_cache_k_mismatch_ignored(spark, index, parsed):
     assert (est10["threshold_micro"] > 0).any()
 
 
+def test_range_live_prefilter(spark, index, parsed, oracle_topk):
+    """Live-range pruning (wand_data_range compute_live_blocks in
+    Catalyst): bootstrapped topk_range stays rank-identical while the
+    live-range filter provably drops dead (query, bucket) groups."""
+    from pisa_spark.query.executor import _query_segments, live_ranges
+    from pisa_spark.query.thresholds import (
+        estimate_thresholds_with_pairs, kth_score_cache,
+    )
+
+    cache = kth_score_cache(index, k=10)
+    est = estimate_thresholds_with_pairs(index, parsed, cache, k=10)
+    got = _fetch(
+        topk_range(index, parsed, algorithm="maxscore", k=10, thresholds=est)
+    )
+    exp = oracle_topk.astype({"rank": "int64", "doc_id": "int64"})
+    pd.testing.assert_frame_equal(
+        got[["query_id", "rank", "doc_id"]], exp[["query_id", "rank", "doc_id"]]
+    )
+
+    # the filter itself: fewer live ranges than total ranges
+    from pisa_spark.build.segments import blocks_per_bucket
+
+    stride = blocks_per_bucket(index.config.index)
+    rows = _query_segments(
+        index, parsed.join(F.broadcast(est), "query_id", "left")
+    ).withColumn("bucket", (F.col("block_id") / F.lit(stride)).cast("long"))
+    total = rows.select("query_id", "bucket").distinct().count()
+    live = live_ranges(rows).count()
+    assert live < total, (live, total)
+
+    with pytest.raises(ValueError, match="unsound"):
+        topk_range(
+            index, parsed, algorithm="ranked_and", k=10, thresholds=est
+        )
+
+
 def test_pair_threshold_bootstrap(spark, index, parsed, oracle_topk):
     """Pair-disjunction k-th scores (kth_threshold.cpp pair mode)
     tighten the bootstrap: estimates dominate the single-term cache,

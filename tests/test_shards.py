@@ -64,6 +64,59 @@ def test_shard_taily_moments_consistent(spark, docs):
         assert row["sum_micro"] > 0
 
 
+def test_rank_shards_distributed_matches_driver(spark, docs):
+    """The distributed Taily ranking (broadcast-pruned join +
+    per-query applyInPandas) must reproduce the driver-side pandas
+    form on the same moments/workload."""
+    import numpy as np
+    import pandas as pd
+
+    from pisa_spark.build import (
+        build_doc_sizes, build_lexicon, build_postings, collection_stats,
+    )
+    from pisa_spark.build.segments import scored_postings
+    from pisa_spark.query.taily import (
+        rank_shards_distributed, rank_shards_for_queries,
+    )
+
+    lex = build_lexicon(docs)
+    sizes = build_doc_sizes(docs)
+    postings = build_postings(docs, lex)
+    st = collection_stats(sizes).collect()[0]
+    scored = scored_postings(
+        postings, sizes, lex, int(st["num_docs"]), float(st["avg_len"])
+    )
+    moments_df = shard_term_stats(
+        scored, int(st["num_docs"]), float(st["avg_len"]), n_shards=4
+    )
+    moments = moments_df.toPandas()
+    szs = sizes.toPandas()
+    shard_docs = {s: int((szs["doc_id"] % 4 == s).sum()) for s in range(4)}
+
+    lexp = lex.toPandas()
+    terms = lexp.sort_values("df", ascending=False).head(6)["term_id"].tolist()
+    queries = {
+        "qa": [int(terms[0])],
+        "qb": [int(terms[1]), int(terms[2])],
+        "qc": [int(t) for t in terms[3:6]],
+    }
+    driver = rank_shards_for_queries(queries, moments, shard_docs, n_c=5)
+
+    rows = [(qid, int(t)) for qid, ts in queries.items() for t in ts]
+    parsed = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["query_id", "term_id"]),
+        schema="query_id string, term_id long",
+    )
+    dist = rank_shards_distributed(
+        parsed, moments_df, shard_docs, n_c=5
+    ).toPandas()
+
+    d = driver.sort_values(["query_id", "shard_id"]).reset_index(drop=True)
+    x = dist.sort_values(["query_id", "shard_id"]).reset_index(drop=True)
+    assert (d["rank"].to_numpy() == x["rank"].to_numpy()).all()
+    np.testing.assert_allclose(d["score"], x["score"], rtol=1e-9, atol=1e-12)
+
+
 def test_gamma_sf_sanity():
     """Incomplete-gamma implementation vs known values: for
     Gamma(k=1, theta) (exponential), P(X>s) = exp(-s/theta)."""
