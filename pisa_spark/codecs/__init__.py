@@ -1,17 +1,31 @@
 from pisa_spark.codecs.varint import varint_decode, varint_encode
 from pisa_spark.codecs.bitpack import bitpack_decode, bitpack_encode
 from pisa_spark.codecs.eliasfano import ef_decode, ef_encode
+from pisa_spark.codecs.simple8b import s8b_decode, s8b_encode
+from pisa_spark.codecs.streamvbyte import svb_decode, svb_encode
 
 CODECS = {
     "varint": (varint_encode, varint_decode),
+    # MaskedVByte (codec/maskedvbyte.hpp) is a SIMD *decoder* for the
+    # same byte-aligned varint wire format — payloads are
+    # interchangeable, so the alias shares the varint functions.
+    "maskedvbyte": (varint_encode, varint_decode),
     "bitpack": (bitpack_encode, bitpack_decode),
     "ef": (ef_encode, ef_decode),
+    "streamvbyte": (svb_encode, svb_decode),
+    "simple8b": (s8b_encode, s8b_decode),
 }
 
 __all__ = [
     "CODECS",
     "bitpack_decode",
     "bitpack_encode",
+    "ef_decode",
+    "ef_encode",
+    "s8b_decode",
+    "s8b_encode",
+    "svb_decode",
+    "svb_encode",
     "varint_decode",
     "varint_encode",
 ]

@@ -1,0 +1,96 @@
+"""Simple8b codec (Anh & Moffat 2010; reference
+``codec/simple8b.hpp``): 64-bit words, 4-bit selector + 60 data bits
+packing as many equal-width values as fit.
+
+Selector table (the widely-used variant: count x width, width*count
+<= 60):
+
+    sel  0: 240 x 0   sel  1: 120 x 0   sel  2: 60 x 1
+    sel  3: 30 x 2    sel  4: 20 x 3    sel  5: 15 x 4
+    sel  6: 12 x 5    sel  7: 10 x 6    sel  8:  8 x 7
+    sel  9:  7 x 8    sel 10:  6 x 10   sel 11:  5 x 12
+    sel 12:  4 x 15   sel 13:  3 x 20   sel 14:  2 x 30
+    sel 15:  1 x 60
+
+Encode is greedy (densest selector whose width fits the next `count`
+values); a final word may cover more slots than remain — the surplus
+slots are zero-padded and the decoder trims to ``n``. Values must fit
+60 bits (docID gaps/tfs/doc lens at 10^12-doc scale are < 2^41).
+
+The encode loop is per WORD (>= 1, usually 8-240 values at a time)
+with numpy math inside; decode unpacks each word's lanes with one
+vectorized shift per word.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# (count, width) per selector
+S8B_TABLE = [
+    (240, 0), (120, 0), (60, 1), (30, 2), (20, 3), (15, 4), (12, 5),
+    (10, 6), (8, 7), (7, 8), (6, 10), (5, 12), (4, 15), (3, 20),
+    (2, 30), (1, 60),
+]
+
+
+def s8b_encode(values: np.ndarray) -> bytes:
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    n = v.size
+    if n == 0:
+        return b""
+    if int(v.max()) >= (1 << 60):
+        raise ValueError("simple8b value exceeds 60 bits")
+    # bit width needed per value (0 for value 0)
+    widths = np.zeros(n, dtype=np.int64)
+    nz = v > 0
+    widths[nz] = np.floor(np.log2(v[nz].astype(np.float64))).astype(np.int64) + 1
+    # float log2 can under/overshoot near powers of two: repair exactly
+    too_small = (v >> np.minimum(widths, 63).astype(np.uint64)) > 0
+    widths[too_small] += 1
+    words = []
+    i = 0
+    while i < n:
+        for sel, (cnt, w) in enumerate(S8B_TABLE):
+            hi = min(i + cnt, n)
+            if w == 0:
+                if not v[i:hi].any():
+                    words.append(np.uint64(sel) << np.uint64(60))
+                    i = hi
+                    break
+                continue
+            if int(widths[i:hi].max()) <= w:
+                chunk = v[i:hi]
+                shifts = (np.arange(hi - i, dtype=np.uint64) * np.uint64(w))
+                word = np.uint64(sel) << np.uint64(60)
+                word |= np.bitwise_or.reduce(chunk << shifts) if len(chunk) else np.uint64(0)
+                words.append(word)
+                i = hi
+                break
+        else:  # pragma: no cover — (1, 60) always fits
+            raise AssertionError("no simple8b selector fits")
+    return np.array(words, dtype="<u8").tobytes()
+
+
+def s8b_decode(data: bytes, n: int) -> np.ndarray:
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    words = np.frombuffer(data, dtype="<u8")
+    out = np.empty(n, dtype=np.uint64)
+    pos = 0
+    for word in words:
+        if pos >= n:
+            break
+        sel = int(word >> np.uint64(60))
+        cnt, w = S8B_TABLE[sel]
+        take = min(cnt, n - pos)
+        if w == 0:
+            out[pos:pos + take] = 0
+        else:
+            shifts = (np.arange(take, dtype=np.uint64) * np.uint64(w))
+            mask = np.uint64((1 << w) - 1)
+            out[pos:pos + take] = (word >> shifts) & mask
+        pos += take
+    if pos < n:
+        raise ValueError("simple8b payload shorter than expected")
+    return out

@@ -50,7 +50,9 @@ class IndexConfig:
     # block-max bounds on skewed lists, so BMW/BMM skip more.
     block_partition: str = "fixed"
     block_lambda: float = 4.0
-    codec: str = "varint"  # "varint" | "bitpack"
+    # "varint" (= maskedvbyte wire format) | "bitpack" | "ef" |
+    # "streamvbyte" | "simple8b" — see codecs/__init__.py CODECS
+    codec: str = "varint"
     salt_bucket_docs: int = 1 << 20  # docID range per salt bucket
     quantize_bits: int | None = None  # None, or 8 for impact quantization
     # Broadcast the lexicon into build-path joins only when its counted

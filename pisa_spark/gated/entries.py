@@ -54,6 +54,14 @@ _GATE_VARIANTS = {
         analyzer=AnalyzerConfig(tokenizer="whitespace"),
         index=IndexConfig(salt_bucket_docs=256, codec="bitpack"),
     ),
+    "streamvbyte": EngineConfig(
+        analyzer=AnalyzerConfig(tokenizer="whitespace"),
+        index=IndexConfig(salt_bucket_docs=256, codec="streamvbyte"),
+    ),
+    "simple8b": EngineConfig(
+        analyzer=AnalyzerConfig(tokenizer="whitespace"),
+        index=IndexConfig(salt_bucket_docs=256, codec="simple8b"),
+    ),
     # Score-optimal variable blocks (VSBMW, wand_utils.hpp
     # variable_block_partition + score_opt_partition.hpp): identical
     # top-k, tighter block-max bounds.
@@ -231,6 +239,34 @@ def _taily_shard_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _reorder_bp_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive-graph-bisection reordering vs the default docID
+    order, scored by the log-gap objective side by side
+    (reorder-docids --recursive-graph-bisection +
+    evaluate_collection_ordering). BP is an iterative algorithm, not
+    one SQL query -> rows-only driver check; its behavior is pinned by
+    tests/test_bp.py (permutation validity + objective reduction)."""
+    from pyspark.sql import functions as F
+
+    from pisa_spark.build import tokenize_pages
+    from pisa_spark.build.bp import recursive_graph_bisection
+    from pisa_spark.build.reorder import log_gap_cost, reorder_postings
+    from pisa_spark.corpus import pages_from_documents
+
+    index = _get_index(spark, sf_dir)
+    docs = tokenize_pages(
+        pages_from_documents(spark, sf_dir), _GATE_CONFIG.analyzer
+    )
+    mapping = recursive_graph_bisection(docs, depth=4, iterations=3)
+    base = log_gap_cost(index.postings).select(
+        F.lit("a_default").alias("ordering"), "cost_micro", "n_gaps"
+    )
+    bp = log_gap_cost(reorder_postings(index.postings, mapping)).select(
+        F.lit("b_bp").alias("ordering"), "cost_micro", "n_gaps"
+    )
+    return base.unionByName(bp)
+
+
 def _decode_check(variant: str = "default"):
     """Segment round-trip decode (compress --check): the engine's
     block-compressed segments decoded back to long-format postings
@@ -283,9 +319,12 @@ def gated_queries():
     q["range_bmw_live_topk"] = _run_range_live("block_max_wand")
     q["porter2_lexicon"] = _porter2_lexicon
     q["taily_shard_ranking"] = _taily_shard_ranking
+    q["reorder_bp_compare"] = _reorder_bp_compare
     q["segments_decode_check"] = _decode_check()
     q["segments_decode_check_ef"] = _decode_check("ef")
     q["segments_decode_check_bitpack"] = _decode_check("bitpack")
+    q["segments_decode_check_svb"] = _decode_check("streamvbyte")
+    q["segments_decode_check_s8b"] = _decode_check("simple8b")
     return q
 
 
@@ -309,4 +348,6 @@ def gated_oracle_sql():
     o["segments_decode_check"] = _DUCK_SQL["postings"]
     o["segments_decode_check_ef"] = _DUCK_SQL["postings"]
     o["segments_decode_check_bitpack"] = _DUCK_SQL["postings"]
+    o["segments_decode_check_svb"] = _DUCK_SQL["postings"]
+    o["segments_decode_check_s8b"] = _DUCK_SQL["postings"]
     return o

@@ -57,8 +57,15 @@ def test_varint_wire_format():
 @pytest.mark.parametrize("codec", list(CODECS))
 def test_roundtrip_u64(codec):
     enc, dec = CODECS[codec]
-    vals = np.array([0, 2**32, 2**40 + 7, 2**63 - 1, 10**12], dtype=np.uint64)
+    # simple8b's word layout caps values at 60 bits (4-bit selector +
+    # 60 data bits) — far above the 10^12-doc docID space; it rejects
+    # larger values loudly instead of corrupting.
+    top = 2**59 + 3 if codec == "simple8b" else 2**63 - 1
+    vals = np.array([0, 2**32, 2**40 + 7, top, 10**12], dtype=np.uint64)
     np.testing.assert_array_equal(dec(enc(vals), len(vals)), vals)
+    if codec == "simple8b":
+        with pytest.raises(ValueError):
+            enc(np.array([2**60], dtype=np.uint64))
 
 
 def test_ef_roundtrip_edges():
