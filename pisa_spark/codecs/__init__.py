@@ -1,6 +1,7 @@
 from pisa_spark.codecs.varint import varint_decode, varint_encode
 from pisa_spark.codecs.bitpack import bitpack_decode, bitpack_encode
 from pisa_spark.codecs.eliasfano import ef_decode, ef_encode
+from pisa_spark.codecs.hybrid import hybrid_decode, hybrid_encode
 from pisa_spark.codecs.simple8b import s8b_decode, s8b_encode
 from pisa_spark.codecs.streamvbyte import svb_decode, svb_encode
 
@@ -14,6 +15,8 @@ CODECS = {
     "ef": (ef_encode, ef_decode),
     "streamvbyte": (svb_encode, svb_decode),
     "simple8b": (s8b_encode, s8b_decode),
+    # indexed_sequence-style per-block family choice + all_ones case
+    "hybrid": (hybrid_encode, hybrid_decode),
 }
 
 __all__ = [
@@ -22,6 +25,8 @@ __all__ = [
     "bitpack_encode",
     "ef_decode",
     "ef_encode",
+    "hybrid_decode",
+    "hybrid_encode",
     "s8b_decode",
     "s8b_encode",
     "svb_decode",

@@ -51,7 +51,8 @@ class IndexConfig:
     block_partition: str = "fixed"
     block_lambda: float = 4.0
     # "varint" (= maskedvbyte wire format) | "bitpack" | "ef" |
-    # "streamvbyte" | "simple8b" — see codecs/__init__.py CODECS
+    # "streamvbyte" | "simple8b" | "hybrid" (per-block cheapest family
+    # + all-ones case) — see codecs/__init__.py CODECS
     codec: str = "varint"
     salt_bucket_docs: int = 1 << 20  # docID range per salt bucket
     quantize_bits: int | None = None  # None, or 8 for impact quantization

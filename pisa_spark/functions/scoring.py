@@ -130,6 +130,62 @@ def qld_sql_expr(
     )
 
 
+def pl2_sql_expr(
+    tf: str = "tf",
+    ctf: str = "ctf",
+    doc_len: str = "doc_len",
+    num_docs: str = "num_docs",
+    avg_len: str = "avg_len",
+    c: float = 1.0,
+) -> str:
+    """ANSI-SQL DFR PL2 (scorer/pl2.hpp:19-43, c=1).
+
+    log2(x) is spelled LN(x) * (1/ln 2) in BOTH dialects so the only
+    libm call is LN (whose cross-engine agreement the qld entry
+    already pins); all constants go through dlit."""
+    import math
+
+    l2 = dlit(1.0 / math.log(2.0))
+    tfn = f"({tf} * LN({dlit(1.0)} + {dlit(c)} * {avg_len} / {doc_len}) * {l2})"
+    lam = f"({ctf} / {num_docs})"
+    two_pi = dlit(2.0 * math.pi)
+    inner = (
+        f"({tfn} * LN({tfn} / {lam}) * {l2}"
+        f" + ({lam} - {tfn}) * {dlit(math.log2(math.e))}"
+        f" + {dlit(0.5)} * LN({two_pi} * {tfn}) * {l2})"
+    )
+    return f"GREATEST({dlit(0.0)}, {inner} / ({tfn} + {dlit(1.0)}))"
+
+
+def dph_sql_expr(
+    tf: str = "tf",
+    ctf: str = "ctf",
+    doc_len: str = "doc_len",
+    num_docs: str = "num_docs",
+    avg_len: str = "avg_len",
+) -> str:
+    """ANSI-SQL parameter-free DFR DPH (scorer/dph.hpp:20-39); same
+    LN-only spelling as pl2_sql_expr. tf == doc_len (a document that
+    is one repeated term) makes the reference's float math NaN
+    (0 * -inf); both the numpy form and this SQL clamp that edge to
+    0."""
+    import math
+
+    l2 = dlit(1.0 / math.log(2.0))
+    f = f"(CAST({tf} AS DOUBLE) / {doc_len})"
+    norm = f"(({dlit(1.0)} - {f}) * ({dlit(1.0)} - {f}) / ({tf} + {dlit(1.0)}))"
+    two_pi = dlit(2.0 * math.pi)
+    inner = (
+        f"({tf} * LN({tf} * {avg_len} / {doc_len} * {num_docs} / {ctf}) * {l2}"
+        f" + {dlit(0.5)} * LN({two_pi} * {tf} * ({dlit(1.0)} - {f})) * {l2})"
+    )
+    return (
+        f"(CASE WHEN {tf} < {doc_len}"
+        f" THEN GREATEST({dlit(0.0)}, {norm} * {inner})"
+        f" ELSE {dlit(0.0)} END)"
+    )
+
+
 def qld_score_np(
     tf: np.ndarray, ctf: np.ndarray, doc_len: np.ndarray,
     collection_len: float, mu: float = 1000.0, dtype=np.float64,

@@ -62,6 +62,10 @@ _GATE_VARIANTS = {
         analyzer=AnalyzerConfig(tokenizer="whitespace"),
         index=IndexConfig(salt_bucket_docs=256, codec="simple8b"),
     ),
+    "hybrid": EngineConfig(
+        analyzer=AnalyzerConfig(tokenizer="whitespace"),
+        index=IndexConfig(salt_bucket_docs=256, codec="hybrid"),
+    ),
     # Score-optimal variable blocks (VSBMW, wand_utils.hpp
     # variable_block_partition + score_opt_partition.hpp): identical
     # top-k, tighter block-max bounds.
@@ -325,6 +329,7 @@ def gated_queries():
     q["segments_decode_check_bitpack"] = _decode_check("bitpack")
     q["segments_decode_check_svb"] = _decode_check("streamvbyte")
     q["segments_decode_check_s8b"] = _decode_check("simple8b")
+    q["segments_decode_check_hybrid"] = _decode_check("hybrid")
     return q
 
 
@@ -350,4 +355,5 @@ def gated_oracle_sql():
     o["segments_decode_check_bitpack"] = _DUCK_SQL["postings"]
     o["segments_decode_check_svb"] = _DUCK_SQL["postings"]
     o["segments_decode_check_s8b"] = _DUCK_SQL["postings"]
+    o["segments_decode_check_hybrid"] = _DUCK_SQL["postings"]
     return o

@@ -279,6 +279,38 @@ SELECT query_id, rank, doc_id, score FROM (
   FROM qsc WHERE micro > 0
 ) r WHERE rank <= {K} ORDER BY query_id, rank"""
 
+    # DFR scorers (pl2 c=1, parameter-free dph) exhaustive
+    # disjunctions — same plan as qld_ranked_or_topk under the third
+    # and fourth reference scorers (scorer/pl2.hpp:19-43,
+    # scorer/dph.hpp:20-39). log2 is spelled LN * (1/ln 2) so LN is
+    # the only libm call (cross-engine agreement pinned by qld).
+    from pisa_spark.functions.scoring import dph_sql_expr, pl2_sql_expr
+
+    for scorer_name, builder in (("pl2", pl2_sql_expr), ("dph", dph_sql_expr)):
+        sc_expr = builder(
+            tf="p.tf", ctf="c.ctf", doc_len="s.doc_len",
+            num_docs="st.num_docs", avg_len="st.avg_len",
+        )
+        e[f"{scorer_name}_ranked_or_topk"] = f"""{base},
+ctfs AS (SELECT term_id, CAST(SUM(tf) AS DOUBLE) AS ctf
+         FROM postings GROUP BY term_id),
+qsc AS (
+  SELECT qt.query_id, p.doc_id,
+         CAST(SUM({micro_sql(sc_expr, weight="qt.weight")}) AS BIGINT) AS micro
+  FROM qterms qt
+  JOIN postings p ON p.term_id = qt.term_id
+  JOIN sizes s ON s.doc_id = p.doc_id
+  JOIN ctfs c ON c.term_id = p.term_id
+  CROSS JOIN stats st
+  GROUP BY qt.query_id, p.doc_id
+)
+SELECT query_id, rank, doc_id, score FROM (
+  SELECT query_id, doc_id, micro / {dlit(1e6)} AS score,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY micro DESC, doc_id ASC) AS INT) AS rank
+  FROM qsc WHERE micro > 0
+) r WHERE rank <= {K} ORDER BY query_id, rank"""
+
     # Boolean result SETS (doc lists, not counts) — the kernel-path
     # oracle for and_query/or_query (and_query.hpp:12-59,
     # or_query.hpp:8-44).
