@@ -215,6 +215,29 @@ def build_segments(
     return salted.groupBy("term_id", "bucket").applyInPandas(encode_group, out_schema)
 
 
+def compress_block_maxes(segments: DataFrame, term_meta: DataFrame) -> DataFrame:
+    """f32 per-block max_score -> u8 ``max_score_q`` relative to the
+    term's global max (wand_data_compressed parity,
+    wand_data_compressed.hpp quantized payload).
+
+    q = min(255, floor(b * 255 / tmax) + 2): the floor+2 dominates
+    ceil of the exact ratio even after f64 rounding, so the recovered
+    bound q/255 * tmax is ALWAYS >= the true block max (one-sided,
+    like every other bound in the engine); q == 255 recovers tmax
+    itself, which bounds every block. Query-side recovery happens in
+    the executor from the term_meta max the kernels already join."""
+    tmax = term_meta.select("term_id", F.col("max_score").alias("__tmax"))
+    q = F.least(
+        F.lit(255),
+        (F.floor(F.col("max_score") * 255.0 / F.col("__tmax")) + 2).cast("int"),
+    )
+    return (
+        segments.join(tmax, "term_id")
+        .withColumn("max_score_q", q)
+        .drop("max_score", "__tmax")
+    )
+
+
 def build_term_meta(scored: DataFrame, num_docs: int, avg_len: float,
                     bm25: BM25Params | None = None) -> DataFrame:
     """Per-term WAND metadata (wand_data.hpp:159-169): df,

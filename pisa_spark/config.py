@@ -56,6 +56,10 @@ class IndexConfig:
     codec: str = "varint"
     salt_bucket_docs: int = 1 << 20  # docID range per salt bucket
     quantize_bits: int | None = None  # None, or 8 for impact quantization
+    # wand_data_compressed parity: store per-block max scores as u8
+    # quantized relative to the term max (term_meta) instead of f32.
+    # Bounds stay one-sided (quantization rounds up), top-k identical.
+    compress_blockmax: bool = False
     # Broadcast the lexicon into build-path joins only when its counted
     # size is under this; 0 disables broadcasting entirely (plain join,
     # AQE picks the strategy). Web-scale vocabularies must NOT be

@@ -66,6 +66,11 @@ _GATE_VARIANTS = {
         analyzer=AnalyzerConfig(tokenizer="whitespace"),
         index=IndexConfig(salt_bucket_docs=256, codec="hybrid"),
     ),
+    # wand_data_compressed: u8 block maxes relative to the term max
+    "cwand": EngineConfig(
+        analyzer=AnalyzerConfig(tokenizer="whitespace"),
+        index=IndexConfig(salt_bucket_docs=256, compress_blockmax=True),
+    ),
     # Score-optimal variable blocks (VSBMW, wand_utils.hpp
     # variable_block_partition + score_opt_partition.hpp): identical
     # top-k, tighter block-max bounds.
@@ -319,6 +324,7 @@ def gated_queries():
     q["bmw_bootstrap_topk"] = _run_bootstrapped("block_max_wand")
     q["quantized_bmw_topk"] = _run_kernel("block_max_wand", variant="quantized")
     q["bmw_varblock_topk"] = _run_kernel("block_max_wand", variant="varblock")
+    q["compressed_wand_bmw_topk"] = _run_kernel("block_max_wand", variant="cwand")
     q["range_bmw_topk"] = _run_kernel("block_max_wand", range_mode=True)
     q["range_bmw_live_topk"] = _run_range_live("block_max_wand")
     q["porter2_lexicon"] = _porter2_lexicon
@@ -344,6 +350,7 @@ def gated_oracle_sql():
         "range_maxscore_topk",
         "bmw_bootstrap_topk",
         "bmw_varblock_topk",
+        "compressed_wand_bmw_topk",
         "range_bmw_topk",
         "range_bmw_live_topk",
     ):

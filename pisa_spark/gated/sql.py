@@ -446,6 +446,50 @@ FROM (SELECT DISTINCT query_id FROM qterms) q
 LEFT JOIN allk a ON a.query_id = q.query_id
 GROUP BY q.query_id ORDER BY q.query_id"""
 
+    # Full singles + pairs + TRIPLES estimate (kth_threshold.cpp:
+    # 139-152, the all_triples mode restricted to the workload's own
+    # term triples — each triple's k-th best DISJUNCTIVE score is a
+    # sound lower bound, tighter again than pairs where three terms
+    # co-occur).
+    _kth_common = e["kth_threshold_pairs"].rsplit("allk AS", 1)[0]
+    e["kth_threshold_triples"] = f"""{_kth_common}qtriples AS (
+  SELECT a.query_id, a.term_id AS ta, b.term_id AS tb, c.term_id AS tc
+  FROM qterms a
+  JOIN qterms b ON b.query_id = a.query_id AND a.term_id < b.term_id
+  JOIN qterms c ON c.query_id = a.query_id AND b.term_id < c.term_id
+),
+tridoc AS (
+  SELECT u.query_id, u.ta, u.tb, u.tc, u.doc_id,
+         CAST(SUM(u.m) AS BIGINT) AS m3
+  FROM (
+    SELECT qt.query_id, qt.ta, qt.tb, qt.tc, p.doc_id, p.m
+    FROM qtriples qt JOIN pm p ON p.query_id = qt.query_id AND p.term_id = qt.ta
+    UNION ALL
+    SELECT qt.query_id, qt.ta, qt.tb, qt.tc, p.doc_id, p.m
+    FROM qtriples qt JOIN pm p ON p.query_id = qt.query_id AND p.term_id = qt.tb
+    UNION ALL
+    SELECT qt.query_id, qt.ta, qt.tb, qt.tc, p.doc_id, p.m
+    FROM qtriples qt JOIN pm p ON p.query_id = qt.query_id AND p.term_id = qt.tc
+  ) u
+  GROUP BY u.query_id, u.ta, u.tb, u.tc, u.doc_id
+),
+trikth AS (
+  SELECT query_id, m3 AS kth FROM (
+    SELECT query_id, ta, tb, tc, doc_id, m3,
+           ROW_NUMBER() OVER (PARTITION BY query_id, ta, tb, tc
+                              ORDER BY m3 DESC, doc_id ASC) AS rn
+    FROM tridoc
+  ) z WHERE rn = {K}
+),
+allk AS (SELECT query_id, kth FROM skth
+         UNION ALL SELECT query_id, kth FROM pkth
+         UNION ALL SELECT query_id, kth FROM trikth)
+SELECT q.query_id,
+       CAST(MAX(COALESCE(a.kth, 0)) AS BIGINT) AS threshold_micro
+FROM (SELECT DISTINCT query_id FROM qterms) q
+LEFT JOIN allk a ON a.query_id = q.query_id
+GROUP BY q.query_id ORDER BY q.query_id"""
+
     # Posting-list lengths per query (tools/count_postings.cpp:10-40).
     e["count_postings"] = f"""{base}
 SELECT qt.query_id,

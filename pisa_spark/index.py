@@ -116,6 +116,10 @@ def build_index(
         scored, num_docs, avg_len, config.index, config.bm25,
         index_max_score=index_max_score,
     )
+    if config.index.compress_blockmax:
+        from pisa_spark.build.segments import compress_block_maxes
+
+        segments = compress_block_maxes(segments, term_meta)
 
     return InvertedIndex(
         lexicon=lexicon,

@@ -72,9 +72,17 @@ DISJUNCTIVE_ALGORITHMS = frozenset(
 
 def _group_to_terms(pdf: pd.DataFrame, decode) -> list[TermPostings]:
     terms = []
+    compressed = "max_score_q" in pdf.columns
     for term_id, g in pdf.groupby("term_id", sort=True):
         g = g.sort_values("block_id")
         weight = float(g["weight"].iloc[0])
+        tmax = float(g["term_max_score"].iloc[0])
+        if compressed:
+            # wand_data_compressed recovery: u8 relative to term max
+            # (quantization rounded up at build -> still one-sided)
+            block_max = g["max_score_q"].to_numpy(np.float64) / 255.0 * tmax
+        else:
+            block_max = g["max_score"].to_numpy(np.float64)
         # Upper bounds scaled to MICRO units (+1 covers the <=0.5-micro
         # quantization shift) so they stay sound vs micro-int scores.
         from pisa_spark.functions.scoring import MICRO
@@ -84,10 +92,9 @@ def _group_to_terms(pdf: pd.DataFrame, decode) -> list[TermPostings]:
                 term_id=int(term_id),
                 df=float(g["df"].iloc[0]),
                 weight=weight,
-                max_score=weight * float(g["term_max_score"].iloc[0]) * MICRO + 1.0,
+                max_score=weight * tmax * MICRO + 1.0,
                 block_max_doc=g["max_doc_id"].to_numpy(np.uint64),
-                block_max_score=weight * g["max_score"].to_numpy(np.float64) * MICRO
-                + 1.0,
+                block_max_score=weight * block_max * MICRO + 1.0,
                 block_count=g["count"].to_numpy(np.int64),
                 doc_payloads=[bytes(x) for x in g["doc_bytes"]],
                 tf_payloads=[bytes(x) for x in g["tf_bytes"]],
@@ -208,8 +215,12 @@ def live_ranges(rows: DataFrame) -> DataFrame:
     sum over query terms of the term's best weighted block-max inside
     the range (micro units, +1 quantization margin exactly like
     _group_to_terms). Queries with NULL thresholds keep every range."""
+    if "max_score_q" in rows.columns:  # wand_data_compressed segments
+        bm = F.col("max_score_q") / F.lit(255.0) * F.col("term_max_score")
+    else:
+        bm = F.col("max_score")
     term_ub = rows.groupBy("query_id", "bucket", "term_id").agg(
-        (F.max(F.col("weight") * F.col("max_score")) * F.lit(MICRO)
+        (F.max(F.col("weight") * bm) * F.lit(MICRO)
          + F.lit(1.0)).alias("t_ub"),
         F.first("threshold_micro").alias("thr"),
     )

@@ -94,6 +94,42 @@ def test_varblock_same_topk_fewer_block_decodes(spark):
     assert blk_v < blk_f, (blk_v, blk_f)
 
 
+def test_compressed_blockmax_same_topk(spark):
+    """wand_data_compressed parity: u8 block maxes (relative to the
+    term max, rounded up) must keep BMW rank-identical to the f32
+    bounds while the segments carry max_score_q instead of
+    max_score."""
+    from pisa_spark.corpus import synth_pages, synth_queries
+    from pisa_spark.index import build_index
+    from pisa_spark.query.executor import topk_search
+    from pisa_spark.query.parser import parse_queries
+
+    pages = synth_pages(spark, 400, vocab_size=800, max_len=120)
+    plain = build_index(
+        spark, pages, EngineConfig(index=IndexConfig(salt_bucket_docs=128))
+    )
+    comp = build_index(
+        spark, pages,
+        EngineConfig(
+            index=IndexConfig(salt_bucket_docs=128, compress_blockmax=True)
+        ),
+    )
+    assert "max_score_q" in comp.segments.columns
+    assert "max_score" not in comp.segments.columns
+    qdf = spark.createDataFrame(synth_queries(20, vocab_size=800))
+
+    def run(idx):
+        parsed = parse_queries(qdf, idx.lexicon, pre_tokenized=True)
+        return (
+            topk_search(idx, parsed, algorithm="block_max_wand", k=10)
+            .toPandas()
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)[["query_id", "rank", "doc_id", "score"]]
+        )
+
+    pd.testing.assert_frame_equal(run(plain), run(comp))
+
+
 def test_quantized_topk_close_to_exact(spark, qindex):
     """Quantized ranking approximates the exact BM25 ranking: the
     top-1 doc of each query agrees for most queries (the reference's
