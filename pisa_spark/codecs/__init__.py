@@ -1,4 +1,5 @@
 from pisa_spark.codecs.varint import varint_decode, varint_encode
+from pisa_spark.codecs.varintgb import vgb_decode, vgb_encode
 from pisa_spark.codecs.bitpack import bitpack_decode, bitpack_encode
 from pisa_spark.codecs.eliasfano import ef_decode, ef_encode
 from pisa_spark.codecs.hybrid import hybrid_decode, hybrid_encode
@@ -15,6 +16,7 @@ CODECS = {
     "ef": (ef_encode, ef_decode),
     "streamvbyte": (svb_encode, svb_decode),
     "simple8b": (s8b_encode, s8b_decode),
+    "varintgb": (vgb_encode, vgb_decode),
     # indexed_sequence-style per-block family choice + all_ones case
     "hybrid": (hybrid_encode, hybrid_decode),
 }
@@ -33,4 +35,6 @@ __all__ = [
     "svb_encode",
     "varint_decode",
     "varint_encode",
+    "vgb_decode",
+    "vgb_encode",
 ]

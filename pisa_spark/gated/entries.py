@@ -66,6 +66,10 @@ _GATE_VARIANTS = {
         analyzer=AnalyzerConfig(tokenizer="whitespace"),
         index=IndexConfig(salt_bucket_docs=256, codec="hybrid"),
     ),
+    "varintgb": EngineConfig(
+        analyzer=AnalyzerConfig(tokenizer="whitespace"),
+        index=IndexConfig(salt_bucket_docs=256, codec="varintgb"),
+    ),
     # wand_data_compressed: u8 block maxes relative to the term max
     "cwand": EngineConfig(
         analyzer=AnalyzerConfig(tokenizer="whitespace"),
@@ -336,6 +340,7 @@ def gated_queries():
     q["segments_decode_check_svb"] = _decode_check("streamvbyte")
     q["segments_decode_check_s8b"] = _decode_check("simple8b")
     q["segments_decode_check_hybrid"] = _decode_check("hybrid")
+    q["segments_decode_check_vgb"] = _decode_check("varintgb")
     return q
 
 
@@ -363,4 +368,5 @@ def gated_oracle_sql():
     o["segments_decode_check_svb"] = _DUCK_SQL["postings"]
     o["segments_decode_check_s8b"] = _DUCK_SQL["postings"]
     o["segments_decode_check_hybrid"] = _DUCK_SQL["postings"]
+    o["segments_decode_check_vgb"] = _DUCK_SQL["postings"]
     return o
