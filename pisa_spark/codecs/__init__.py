@@ -3,6 +3,7 @@ from pisa_spark.codecs.varintgb import vgb_decode, vgb_encode
 from pisa_spark.codecs.bitpack import bitpack_decode, bitpack_encode
 from pisa_spark.codecs.eliasfano import ef_decode, ef_encode
 from pisa_spark.codecs.hybrid import hybrid_decode, hybrid_encode
+from pisa_spark.codecs.interpolative import bic_decode, bic_encode
 from pisa_spark.codecs.simple8b import s8b_decode, s8b_encode
 from pisa_spark.codecs.streamvbyte import svb_decode, svb_encode
 
@@ -17,12 +18,15 @@ CODECS = {
     "streamvbyte": (svb_encode, svb_decode),
     "simple8b": (s8b_encode, s8b_decode),
     "varintgb": (vgb_encode, vgb_decode),
+    "interpolative": (bic_encode, bic_decode),
     # indexed_sequence-style per-block family choice + all_ones case
     "hybrid": (hybrid_encode, hybrid_decode),
 }
 
 __all__ = [
     "CODECS",
+    "bic_decode",
+    "bic_encode",
     "bitpack_decode",
     "bitpack_encode",
     "ef_decode",

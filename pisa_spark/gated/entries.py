@@ -70,6 +70,10 @@ _GATE_VARIANTS = {
         analyzer=AnalyzerConfig(tokenizer="whitespace"),
         index=IndexConfig(salt_bucket_docs=256, codec="varintgb"),
     ),
+    "interpolative": EngineConfig(
+        analyzer=AnalyzerConfig(tokenizer="whitespace"),
+        index=IndexConfig(salt_bucket_docs=256, codec="interpolative"),
+    ),
     # wand_data_compressed: u8 block maxes relative to the term max
     "cwand": EngineConfig(
         analyzer=AnalyzerConfig(tokenizer="whitespace"),
@@ -341,6 +345,7 @@ def gated_queries():
     q["segments_decode_check_s8b"] = _decode_check("simple8b")
     q["segments_decode_check_hybrid"] = _decode_check("hybrid")
     q["segments_decode_check_vgb"] = _decode_check("varintgb")
+    q["segments_decode_check_bic"] = _decode_check("interpolative")
     return q
 
 
@@ -369,4 +374,5 @@ def gated_oracle_sql():
     o["segments_decode_check_s8b"] = _DUCK_SQL["postings"]
     o["segments_decode_check_hybrid"] = _DUCK_SQL["postings"]
     o["segments_decode_check_vgb"] = _DUCK_SQL["postings"]
+    o["segments_decode_check_bic"] = _DUCK_SQL["postings"]
     return o
