@@ -4,6 +4,7 @@ from pisa_spark.codecs.bitpack import bitpack_decode, bitpack_encode
 from pisa_spark.codecs.eliasfano import ef_decode, ef_encode
 from pisa_spark.codecs.hybrid import hybrid_decode, hybrid_encode
 from pisa_spark.codecs.interpolative import bic_decode, bic_encode
+from pisa_spark.codecs.optpfor import optpfor_decode, optpfor_encode
 from pisa_spark.codecs.simple8b import s8b_decode, s8b_encode
 from pisa_spark.codecs.streamvbyte import svb_decode, svb_encode
 
@@ -19,6 +20,7 @@ CODECS = {
     "simple8b": (s8b_encode, s8b_decode),
     "varintgb": (vgb_encode, vgb_decode),
     "interpolative": (bic_encode, bic_decode),
+    "optpfor": (optpfor_encode, optpfor_decode),
     # indexed_sequence-style per-block family choice + all_ones case
     "hybrid": (hybrid_encode, hybrid_decode),
 }
@@ -27,6 +29,8 @@ __all__ = [
     "CODECS",
     "bic_decode",
     "bic_encode",
+    "optpfor_decode",
+    "optpfor_encode",
     "bitpack_decode",
     "bitpack_encode",
     "ef_decode",

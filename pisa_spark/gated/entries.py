@@ -74,6 +74,10 @@ _GATE_VARIANTS = {
         analyzer=AnalyzerConfig(tokenizer="whitespace"),
         index=IndexConfig(salt_bucket_docs=256, codec="interpolative"),
     ),
+    "optpfor": EngineConfig(
+        analyzer=AnalyzerConfig(tokenizer="whitespace"),
+        index=IndexConfig(salt_bucket_docs=256, codec="optpfor"),
+    ),
     # wand_data_compressed: u8 block maxes relative to the term max
     "cwand": EngineConfig(
         analyzer=AnalyzerConfig(tokenizer="whitespace"),
@@ -346,6 +350,7 @@ def gated_queries():
     q["segments_decode_check_hybrid"] = _decode_check("hybrid")
     q["segments_decode_check_vgb"] = _decode_check("varintgb")
     q["segments_decode_check_bic"] = _decode_check("interpolative")
+    q["segments_decode_check_optpfor"] = _decode_check("optpfor")
     return q
 
 
@@ -375,4 +380,5 @@ def gated_oracle_sql():
     o["segments_decode_check_hybrid"] = _DUCK_SQL["postings"]
     o["segments_decode_check_vgb"] = _DUCK_SQL["postings"]
     o["segments_decode_check_bic"] = _DUCK_SQL["postings"]
+    o["segments_decode_check_optpfor"] = _DUCK_SQL["postings"]
     return o
