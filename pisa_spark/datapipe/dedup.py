@@ -318,26 +318,47 @@ def simhash_fingerprints(docs: DataFrame) -> DataFrame:
 def simhash_pairs(docs: DataFrame, max_hamming: int = MAX_HAMMING) -> DataFrame:
     """(doc_a, doc_b, hamming <= max_hamming).
 
-    Candidates come from {SIM_CHUNKS} 15-bit-chunk equi-joins: any
-    pair within Hamming {SIM_CHUNKS}-1 must agree on >= 1 chunk
-    (pigeonhole), so the union of chunk joins has perfect recall for
-    max_hamming <= {SIM_CHUNKS}-1 with NO cross join.
+    Candidates come from {SIM_CHUNKS} 15-bit chunks by pigeonhole:
+    any pair within Hamming {SIM_CHUNKS}-1 must agree on >= 1 chunk,
+    so chunk-equality bucketing has perfect recall for max_hamming <=
+    {SIM_CHUNKS}-1 with NO cross join. Like minhash banding, the
+    fingerprints EXPLODE to one (chunk_id, chunk_value) row each and
+    a single self-equi-join on the chunk key serves all chunks at
+    once — one bucketing shuffle instead of {SIM_CHUNKS} sequential
+    self-joins of the fingerprint table.
     """
     assert max_hamming < SIM_CHUNKS
-    # eager localCheckpoint: reused by all chunk joins, released when
-    # unreferenced (persist would pin a CacheManager entry forever)
-    fps = simhash_fingerprints(docs).localCheckpoint(eager=True)
     chunk_w = SIM_BITS // SIM_CHUNKS
-    cands = None
-    for ci in range(SIM_CHUNKS):
-        ch = F.expr(f"(fp >> {ci * chunk_w}) & {(1 << chunk_w) - 1}")
-        x = fps.select(F.col("doc_id").alias("doc_a"), F.col("fp").alias("fa"), ch.alias("ch"))
-        y = fps.select(F.col("doc_id").alias("doc_b"), F.col("fp").alias("fb"), ch.alias("ch"))
-        c = x.join(y, "ch").filter(F.col("doc_a") < F.col("doc_b")).select("doc_a", "doc_b", "fa", "fb")
-        cands = c if cands is None else cands.unionByName(c)
+    cmask = (1 << chunk_w) - 1
+    structs = [
+        F.struct(
+            F.lit(ci).alias("ci"),
+            F.expr(f"(fp >> {ci * chunk_w}) & {cmask}").alias("ch"),
+        )
+        for ci in range(SIM_CHUNKS)
+    ]
+    # eager localCheckpoint: both self-join sides read this, released
+    # when unreferenced (persist would pin a CacheManager entry)
+    ex = (
+        simhash_fingerprints(docs)
+        .select("doc_id", "fp", F.explode(F.array(*structs)).alias("b"))
+        .select("doc_id", "fp", F.col("b.ci").alias("ci"), F.col("b.ch").alias("ch"))
+        .localCheckpoint(eager=True)
+    )
+    x = ex.select(
+        F.col("doc_id").alias("doc_a"), F.col("fp").alias("fa"), "ci", "ch"
+    )
+    y = ex.select(
+        F.col("doc_id").alias("doc_b"), F.col("fp").alias("fb"), "ci", "ch"
+    )
+    cands = (
+        x.join(y, ["ci", "ch"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "fa", "fb")
+        .distinct()
+    )
     return (
-        cands.distinct()
-        .withColumn("hamming", F.expr("CAST(bit_count(fa ^ fb) AS BIGINT)"))
+        cands.withColumn("hamming", F.expr("CAST(bit_count(fa ^ fb) AS BIGINT)"))
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
