@@ -63,6 +63,15 @@ class IncrementalIndexer:
         self.spark = spark
         self.out = Path(out_dir)
         self.config = config or EngineConfig()
+        if self.config.index.compress_blockmax:
+            # the stale-bound repair rescales kept blocks' f32 maxima;
+            # u8-relative maxima would need the (changing) term max at
+            # repair time — reject loudly rather than corrupt bounds
+            raise ValueError(
+                "IncrementalIndexer does not support "
+                "compress_blockmax=True (kept-block bound repair needs "
+                "f32 block maxima); build compressed indexes in batch"
+            )
         self.out.mkdir(parents=True, exist_ok=True)
 
     # ------------------------------------------------------------ storage
