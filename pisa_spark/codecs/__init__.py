@@ -2,6 +2,7 @@ from pisa_spark.codecs.varint import varint_decode, varint_encode
 from pisa_spark.codecs.varintgb import vgb_decode, vgb_encode
 from pisa_spark.codecs.bitpack import bitpack_decode, bitpack_encode
 from pisa_spark.codecs.eliasfano import ef_decode, ef_encode
+from pisa_spark.codecs.g8iu import g8iu_decode, g8iu_encode
 from pisa_spark.codecs.hybrid import hybrid_decode, hybrid_encode
 from pisa_spark.codecs.interpolative import bic_decode, bic_encode
 from pisa_spark.codecs.optpfor import optpfor_decode, optpfor_encode
@@ -21,6 +22,9 @@ CODECS = {
     "varintgb": (vgb_encode, vgb_decode),
     "interpolative": (bic_encode, bic_decode),
     "optpfor": (optpfor_encode, optpfor_decode),
+    # u32-only (reference parity); u64 values raise — not for 10^12-doc
+    # absolute docIDs, fine for gaps/tfs/lens
+    "g8iu": (g8iu_encode, g8iu_decode),
     # indexed_sequence-style per-block family choice + all_ones case
     "hybrid": (hybrid_encode, hybrid_decode),
 }
@@ -35,6 +39,8 @@ __all__ = [
     "bitpack_encode",
     "ef_decode",
     "ef_encode",
+    "g8iu_decode",
+    "g8iu_encode",
     "hybrid_decode",
     "hybrid_encode",
     "s8b_decode",

@@ -60,6 +60,11 @@ def test_roundtrip_u64(codec):
     # simple8b's word layout caps values at 60 bits (4-bit selector +
     # 60 data bits) — far above the 10^12-doc docID space; it rejects
     # larger values loudly instead of corrupting.
+    if codec == "g8iu":
+        # u32-only format (reference parity): rejects u64 loudly
+        with pytest.raises(ValueError):
+            enc(np.array([2**32], dtype=np.uint64))
+        return
     top = 2**59 + 3 if codec == "simple8b" else 2**63 - 1
     vals = np.array([0, 2**32, 2**40 + 7, top, 10**12], dtype=np.uint64)
     np.testing.assert_array_equal(dec(enc(vals), len(vals)), vals)
