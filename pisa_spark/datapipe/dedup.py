@@ -79,17 +79,35 @@ def _jaccard_from_shingles(shd: DataFrame, pairs: DataFrame | None = None) -> Da
 
     ``pairs`` restricts to candidate (doc_a, doc_b) pairs (the LSH
     verification path); None means exhaustive shared-shingle pairs.
+
+    With ``pairs`` given the intersection counts come from joining
+    the CANDIDATES to the shingle sets (cost linear in candidates x
+    shingles-per-doc) — never from the exhaustive shared-shingle
+    self-join, which is exactly the quadratic blowup the LSH
+    prefilter exists to avoid. Shingle sets are distinct, so both
+    formulations count |A ∩ B| identically.
     """
     cnt = shd.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = shd.alias("a")
-    b = shd.alias("b")
-    inter = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("i"))
-    )
     if pairs is not None:
-        inter = inter.join(pairs, ["doc_a", "doc_b"])
+        inter = (
+            pairs.join(
+                shd.select(F.col("doc_id").alias("doc_a"), "sh"), "doc_a"
+            )
+            .join(
+                shd.select(F.col("doc_id").alias("doc_b"), "sh"),
+                ["doc_b", "sh"],
+            )
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("i"))
+        )
+    else:
+        a = shd.alias("a")
+        b = shd.alias("b")
+        inter = (
+            a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+            .agg(F.count("*").alias("i"))
+        )
     joined = (
         inter.join(cnt.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
         .join(cnt.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
