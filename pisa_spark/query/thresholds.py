@@ -41,11 +41,25 @@ def kth_score_cache(index: InvertedIndex, k: int = 10) -> DataFrame:
         k1=index.config.bm25.k1, b=index.config.bm25.b,
     )
     with_micro = scored.withColumn("micro", F.expr(micro_sql(bm25)))
-    w = Window.partitionBy("term_id").orderBy(
+    # Two-phase top-k so no window partition ever spans a full
+    # head-term posting list (at 10^12 docs a head term has ~10^11
+    # postings — one window partition would be a straggler): per-salt
+    # top-k first (any salt's top-k superset-contains the global
+    # top-k members that landed in it), then the exact k-th over the
+    # <= 64k survivors per term.
+    salted = with_micro.withColumn("salt", F.col("doc_id") % 64)
+    w1 = Window.partitionBy("term_id", "salt").orderBy(
+        F.col("micro").desc(), F.col("doc_id").asc()
+    )
+    cand = (
+        salted.withColumn("rn1", F.row_number().over(w1))
+        .filter(F.col("rn1") <= k)
+    )
+    w2 = Window.partitionBy("term_id").orderBy(
         F.col("micro").desc(), F.col("doc_id").asc()
     )
     return (
-        with_micro.withColumn("rn", F.row_number().over(w))
+        cand.withColumn("rn", F.row_number().over(w2))
         .filter(F.col("rn") == k)
         .select(
             "term_id",
@@ -142,11 +156,22 @@ def pair_kth_thresholds(index: InvertedIndex, parsed: DataFrame,
         .groupBy("query_id", "ta", "tb", "doc_id")
         .agg(F.sum("m").cast("long").alias("m2"))
     )
-    w = Window.partitionBy("query_id", "ta", "tb").orderBy(
+    # same two-phase top-k as kth_score_cache: head-term pairs have
+    # posting-list-sized doc sets, so no single window partition may
+    # span one
+    salted = pairdoc.withColumn("salt", F.col("doc_id") % 64)
+    w1 = Window.partitionBy("query_id", "ta", "tb", "salt").orderBy(
+        F.col("m2").desc(), F.col("doc_id").asc()
+    )
+    cand = (
+        salted.withColumn("rn1", F.row_number().over(w1))
+        .filter(F.col("rn1") <= k)
+    )
+    w2 = Window.partitionBy("query_id", "ta", "tb").orderBy(
         F.col("m2").desc(), F.col("doc_id").asc()
     )
     return (
-        pairdoc.withColumn("rn", F.row_number().over(w))
+        cand.withColumn("rn", F.row_number().over(w2))
         .filter(F.col("rn") == k)
         .groupBy("query_id")
         .agg(F.max("m2").alias("pair_micro"))
