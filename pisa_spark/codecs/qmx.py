@@ -1,0 +1,132 @@
+"""QMX codec (Trotman, ADCS 2014; reference ``codec/qmx.hpp`` wraps
+the QMX library).
+
+QMX's defining structure, kept here: VALUES are packed at a fixed bit
+width into 128-bit payload words ("Quantities"), the width choice per
+word comes from a 4-bit selector, and selectors are RUN-LENGTH
+encoded in a separate stream ("Multipliers") so long stretches of
+same-width words cost one byte per 16 words. The byte-level layout is
+engine-defined (the reference's exact layout belongs to the external
+QMX library); decoded-posting equality is the pinned invariant, as
+with every codec here.
+
+Layout:
+    [4B n_words LE] [4B n_selector_bytes LE]
+    [n_words x 16B payload words] [selector bytes]
+
+Selector byte: high nibble = width index into _WIDTHS, low nibble =
+run length - 1 (1..16 words per byte). Width index 0 means "a run of
+256 zeros per word" and consumes NO payload word (QMX's zero
+selector). Values must fit 64 bits; each w-bit word holds
+floor(128/w) values, the final word zero-padded (decode trims to n).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_WIDTHS = [0, 1, 2, 3, 4, 5, 6, 7, 8, 10, 12, 16, 21, 32, 64]
+_ZERO_RUN = 256  # values per zero-width "word"
+
+
+def _capacity(w: int) -> int:
+    return _ZERO_RUN if w == 0 else 128 // w
+
+
+def _pack_word(vals: np.ndarray, w: int) -> bytes:
+    c = 128 // w
+    buf = np.zeros(c, dtype=np.uint64)
+    buf[: len(vals)] = vals
+    shifts = np.arange(w, dtype=np.uint64)
+    bits = ((buf[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.uint8)
+    packed = np.packbits(bits.reshape(-1), bitorder="little")
+    out = np.zeros(16, dtype=np.uint8)
+    out[: len(packed)] = packed
+    return out.tobytes()
+
+
+def qmx_encode(values: np.ndarray) -> bytes:
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    n = v.size
+    if n == 0:
+        return b""
+    blens = np.zeros(n, dtype=np.int64)
+    nz = v > 0
+    blens[nz] = np.floor(np.log2(v[nz].astype(np.float64))).astype(np.int64) + 1
+    too_small = (v >> np.minimum(blens, 63).astype(np.uint64)) > 0
+    blens[too_small] += 1
+
+    sels: list[int] = []  # width index per word
+    words: list[bytes] = []
+    i = 0
+    while i < n:
+        # zero selector ONLY for a full 256-zero run or an all-zero
+        # tail (decode emits capacity-or-remaining zeros per zero
+        # word, so partial interior runs must go through bit packing)
+        if blens[i] == 0:
+            hi = min(i + _ZERO_RUN, n)
+            if not (blens[i:hi] != 0).any() and (hi - i == _ZERO_RUN or hi == n):
+                sels.append(0)
+                i = hi
+                continue
+        # smallest width whose capacity-chunk max fits
+        for wi in range(1, len(_WIDTHS)):
+            w = _WIDTHS[wi]
+            c = 128 // w
+            hi = min(i + c, n)
+            if int(blens[i:hi].max()) <= w:
+                sels.append(wi)
+                words.append(_pack_word(v[i:hi], w))
+                i = hi
+                break
+        else:  # pragma: no cover — width 64 always fits
+            raise AssertionError("no qmx width fits")
+
+    # run-length encode selectors
+    sel_bytes = bytearray()
+    j = 0
+    while j < len(sels):
+        k = j
+        while k < len(sels) and sels[k] == sels[j] and k - j < 16:
+            k += 1
+        sel_bytes.append((sels[j] << 4) | (k - j - 1))
+        j = k
+    header = len(words).to_bytes(4, "little") + len(sel_bytes).to_bytes(4, "little")
+    return header + b"".join(words) + bytes(sel_bytes)
+
+
+def qmx_decode(data: bytes, n: int) -> np.ndarray:
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    n_words = int.from_bytes(data[0:4], "little")
+    n_sel = int.from_bytes(data[4:8], "little")
+    payload = np.frombuffer(data, dtype=np.uint8, offset=8, count=n_words * 16)
+    sel_raw = data[8 + n_words * 16: 8 + n_words * 16 + n_sel]
+    out = np.empty(n, dtype=np.uint64)
+    pos = 0
+    word_i = 0
+    for sb in sel_raw:
+        wi = sb >> 4
+        run = (sb & 0xF) + 1
+        if wi == 0:
+            for _ in range(run):
+                take = min(_ZERO_RUN, n - pos)
+                out[pos: pos + take] = 0
+                pos += take
+            continue
+        w = _WIDTHS[wi]
+        c = 128 // w
+        weights = np.uint64(1) << np.arange(w, dtype=np.uint64)
+        for _ in range(run):
+            raw = payload[word_i * 16: (word_i + 1) * 16]
+            bits = np.unpackbits(raw, bitorder="little", count=c * w)
+            vals = (bits.reshape(c, w).astype(np.uint64) @ weights)
+            take = min(c, n - pos)
+            out[pos: pos + take] = vals[:take]
+            pos += take
+            word_i += 1
+        if pos >= n:
+            break
+    if pos < n:
+        raise ValueError("qmx payload shorter than expected")
+    return out
