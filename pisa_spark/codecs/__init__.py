@@ -6,6 +6,7 @@ from pisa_spark.codecs.g8iu import g8iu_decode, g8iu_encode
 from pisa_spark.codecs.hybrid import hybrid_decode, hybrid_encode
 from pisa_spark.codecs.interpolative import bic_decode, bic_encode
 from pisa_spark.codecs.optpfor import optpfor_decode, optpfor_encode
+from pisa_spark.codecs.pef import pef_decode, pef_opt_encode, pef_uniform_encode
 from pisa_spark.codecs.qmx import qmx_decode, qmx_encode
 from pisa_spark.codecs.simple8b import s8b_decode, s8b_encode
 from pisa_spark.codecs.streamvbyte import svb_decode, svb_encode
@@ -24,6 +25,10 @@ CODECS = {
     "interpolative": (bic_encode, bic_decode),
     "optpfor": (optpfor_encode, optpfor_decode),
     "qmx": (qmx_encode, qmx_decode),
+    # partitioned sequences (PEF): optimal-partition DP or uniform
+    # chunks, per-chunk hybrid family choice + skip table
+    "pef": (pef_opt_encode, pef_decode),
+    "pef_uniform": (pef_uniform_encode, pef_decode),
     # u32-only (reference parity); u64 values raise — not for 10^12-doc
     # absolute docIDs, fine for gaps/tfs/lens
     "g8iu": (g8iu_encode, g8iu_decode),
@@ -37,6 +42,9 @@ __all__ = [
     "bic_encode",
     "optpfor_decode",
     "optpfor_encode",
+    "pef_decode",
+    "pef_opt_encode",
+    "pef_uniform_encode",
     "qmx_decode",
     "qmx_encode",
     "bitpack_decode",

@@ -1,0 +1,176 @@
+"""Partitioned Elias-Fano sequences (Ottaviano & Venturini, SIGIR
+2014; reference ``optimal_partition.hpp`` + the partitioned/uniform
+sequence family).
+
+A payload's strictly-increasing form (prefix sums + i, as in the EF
+codec) is cut into chunks; each chunk is stored with whichever family
+is cheapest for ITS local universe/density — the indexed_sequence
+hybrid choice (EF / dense / all-ones, realized here by
+``codecs.hybrid`` which picks by exact encoded size) — behind a chunk
+table that doubles as skip pointers.
+
+Two partitioners:
+- ``pef_opt_*``:     chunk boundaries from the reference's windowed
+  DP (optimal_partition.hpp:54-118, published PEF defaults eps1=0.03
+  eps2=0.3) minimizing the closed-form cost model
+  cost(universe, size) = min(EF bits, bitvector bits, 0 if dense)
+  + fixed per-chunk overhead;
+- ``pef_uniform_*``: fixed-size chunks (uniform_partitioned_sequence).
+
+Layout: [2B n_chunks LE] [per chunk: 2B count LE + 4B bytes LE]
+[chunk payloads (hybrid codec)].
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from pisa_spark.codecs.hybrid import hybrid_decode, hybrid_encode
+
+EPS1 = 0.03
+EPS2 = 0.3
+_FIXED = 64  # per-chunk overhead bits (pointer + size), as in PEF
+_UNIFORM_CHUNK = 64
+
+
+def _chunk_cost_bits(universe: int, size: int) -> float:
+    """indexed_sequence cost model (indexed_sequence.hpp:13-77):
+    cheapest of all-ones (dense run), Elias-Fano, plain bitvector."""
+    if universe <= 0 or size <= 0:
+        return _FIXED
+    if universe == size:
+        return _FIXED  # all-ones: no payload bits
+    l = max(0, int(math.floor(math.log2(universe / size))))
+    ef_bits = size * (2 + l)
+    bv_bits = universe
+    return min(ef_bits, bv_bits) + _FIXED
+
+
+class _Window:
+    __slots__ = ("m", "start", "end", "min_p", "max_p", "bound")
+
+    def __init__(self, m, bound):
+        self.m = m
+        self.start = 0
+        self.end = 0
+        self.min_p = 0
+        self.max_p = 0
+        self.bound = bound
+
+    def advance_start(self):
+        self.min_p = self.m[self.start] + 1
+        self.start += 1
+
+    def advance_end(self):
+        self.max_p = self.m[self.end]
+        self.end += 1
+
+
+def optimal_partition_ends(m: list[int], eps1: float = EPS1,
+                           eps2: float = EPS2) -> np.ndarray:
+    """Chunk END positions (exclusive, last == n) minimizing the sum
+    of _chunk_cost_bits — the reference DP (optimal_partition.hpp)
+    with its geometric cost-bound windows."""
+    n = len(m)
+    single = _chunk_cost_bits(m[-1], n)
+    min_cost = [single] * (n + 1)
+    min_cost[0] = 0.0
+    path = [0] * (n + 1)
+    cost_lb = _chunk_cost_bits(1, 1)
+    bounds = []
+    cb = float(cost_lb)
+    while eps1 == 0 or cb < cost_lb / eps1:
+        bounds.append(cb)
+        if cb >= single:
+            break
+        cb *= 1 + eps2
+    windows = [_Window(m, b) for b in bounds]
+    for i in range(n):
+        last_end = i + 1
+        for w in windows:
+            while w.end < last_end:
+                w.advance_end()
+            while True:
+                wc = _chunk_cost_bits(w.max_p - w.min_p + 1, w.end - w.start)
+                if min_cost[i] + wc < min_cost[w.end]:
+                    min_cost[w.end] = min_cost[i] + wc
+                    path[w.end] = i
+                last_end = w.end
+                if w.end == n:
+                    break
+                if wc >= w.bound:
+                    break
+                w.advance_end()
+            w.advance_start()
+    ends = []
+    cur = n
+    while cur != 0:
+        ends.append(cur)
+        cur = path[cur]
+    return np.array(ends[::-1], dtype=np.int64)
+
+
+def _encode(values: np.ndarray, opt: bool) -> bytes:
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    n = v.size
+    if n == 0:
+        return b""
+    if opt:
+        m = (np.cumsum(v) + np.arange(1, n + 1, dtype=np.uint64)).tolist()
+        ends = optimal_partition_ends([int(x) for x in m])
+    else:
+        ends = np.arange(_UNIFORM_CHUNK, n, _UNIFORM_CHUNK, dtype=np.int64)
+        ends = np.concatenate([ends, [n]]) if (len(ends) == 0 or ends[-1] != n) else ends
+    # 2-byte chunk counts: subdivide any chunk beyond 65535 values
+    capped, prev = [], 0
+    for e in ends.tolist():
+        while e - prev > 0xFFFF:
+            prev += 0xFFFF
+            capped.append(prev)
+        capped.append(int(e))
+        prev = int(e)
+    ends = np.array(capped, dtype=np.int64)
+    starts = np.concatenate(([0], ends[:-1]))
+    chunks = [hybrid_encode(v[s:e]) for s, e in zip(starts, ends)]
+    out = bytearray(len(chunks).to_bytes(2, "little"))
+    for (s, e), c in zip(zip(starts, ends), chunks):
+        out += int(e - s).to_bytes(2, "little")
+        out += len(c).to_bytes(4, "little")
+    for c in chunks:
+        out += c
+    return bytes(out)
+
+
+def _decode(data: bytes, n: int) -> np.ndarray:
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    n_chunks = int.from_bytes(data[0:2], "little")
+    pos = 2
+    meta = []
+    for _ in range(n_chunks):
+        cnt = int.from_bytes(data[pos:pos + 2], "little")
+        ln = int.from_bytes(data[pos + 2:pos + 6], "little")
+        meta.append((cnt, ln))
+        pos += 6
+    parts = []
+    for cnt, ln in meta:
+        parts.append(hybrid_decode(data[pos:pos + ln], cnt))
+        pos += ln
+    out = np.concatenate(parts) if parts else np.empty(0, np.uint64)
+    if out.size != n:
+        raise ValueError("pef payload count mismatch")
+    return out
+
+
+def pef_opt_encode(values: np.ndarray) -> bytes:
+    return _encode(values, opt=True)
+
+
+def pef_uniform_encode(values: np.ndarray) -> bytes:
+    return _encode(values, opt=False)
+
+
+def pef_decode(data: bytes, n: int) -> np.ndarray:
+    return _decode(data, n)

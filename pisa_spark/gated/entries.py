@@ -86,6 +86,10 @@ _GATE_VARIANTS = {
         analyzer=AnalyzerConfig(tokenizer="whitespace"),
         index=IndexConfig(salt_bucket_docs=256, codec="qmx"),
     ),
+    "pef": EngineConfig(
+        analyzer=AnalyzerConfig(tokenizer="whitespace"),
+        index=IndexConfig(salt_bucket_docs=256, codec="pef"),
+    ),
     # wand_data_compressed: u8 block maxes relative to the term max
     "cwand": EngineConfig(
         analyzer=AnalyzerConfig(tokenizer="whitespace"),
@@ -361,6 +365,7 @@ def gated_queries():
     q["segments_decode_check_optpfor"] = _decode_check("optpfor")
     q["segments_decode_check_g8iu"] = _decode_check("g8iu")
     q["segments_decode_check_qmx"] = _decode_check("qmx")
+    q["segments_decode_check_pef"] = _decode_check("pef")
     return q
 
 
@@ -393,4 +398,5 @@ def gated_oracle_sql():
     o["segments_decode_check_optpfor"] = _DUCK_SQL["postings"]
     o["segments_decode_check_g8iu"] = _DUCK_SQL["postings"]
     o["segments_decode_check_qmx"] = _DUCK_SQL["postings"]
+    o["segments_decode_check_pef"] = _DUCK_SQL["postings"]
     return o

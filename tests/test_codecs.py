@@ -73,6 +73,27 @@ def test_roundtrip_u64(codec):
             enc(np.array([2**60], dtype=np.uint64))
 
 
+def test_pef_opt_partition_beats_uniform_on_clustered():
+    """The optimal-partition DP (optimal_partition.hpp semantics) must
+    cut mixed-density payloads at the density changes — strictly
+    smaller output than fixed-size chunks, same round-trip."""
+    import numpy as np
+
+    from pisa_spark.codecs.pef import (
+        pef_decode, pef_opt_encode, pef_uniform_encode,
+    )
+
+    rng = np.random.default_rng(13)
+    dense = np.zeros(500, np.uint64)  # consecutive docIDs (gaps-1 = 0)
+    sparse = rng.integers(1000, 100000, 100, dtype=np.uint64)
+    v = np.concatenate([dense, sparse, dense])
+    opt = pef_opt_encode(v)
+    uni = pef_uniform_encode(v)
+    assert (pef_decode(opt, len(v)) == v).all()
+    assert (pef_decode(uni, len(v)) == v).all()
+    assert len(opt) < len(uni), (len(opt), len(uni))
+
+
 def test_ef_roundtrip_edges():
     """Elias-Fano round-trip on the reference's edge sizes
     (test/test_block_codecs.cpp:18-57): 1, 16, 127, 128 values,
