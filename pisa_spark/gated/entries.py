@@ -272,6 +272,38 @@ def _taily_shard_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _incremental_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental indexing end-to-end (streaming/incremental.py):
+    index the corpus as TWO generations (prefix split), then decode
+    the resulting segments back to (term, doc_id, tf). The oracle is
+    the plain batch postings SQL — an incrementally-built index must
+    be VALUE-IDENTICAL to a batch build of the same corpus (terms
+    compared by string: the incremental lexicon appends new terms
+    after existing ids instead of re-sorting globally)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from pisa_spark.build import decode_segments
+    from pisa_spark.corpus import pages_from_documents
+    from pisa_spark.streaming.incremental import IncrementalIndexer
+
+    pages = pages_from_documents(spark, sf_dir)
+    n = pages.count()
+    cut = sorted(r["doc_id"] for r in pages.select("doc_id").collect())[n // 2]
+    out = tempfile.mkdtemp(prefix="pisa_incr_gate_")
+    indexer = IncrementalIndexer(spark, out, _GATE_CONFIG)
+    indexer.add_generation(pages.filter(F.col("doc_id") < cut))
+    indexer.add_generation(pages.filter(F.col("doc_id") >= cut))
+    index = indexer.index()
+    decoded = decode_segments(index.segments, _GATE_CONFIG.index)
+    return (
+        decoded.join(index.lexicon.select("term_id", "term"), "term_id")
+        .select("term", "doc_id", "tf")
+        .orderBy("term", "doc_id")
+    )
+
+
 def _reorder_bp_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recursive-graph-bisection reordering vs the default docID
     order, scored by the log-gap objective side by side
@@ -354,6 +386,9 @@ def gated_queries():
     q["porter2_lexicon"] = _porter2_lexicon
     q["taily_shard_ranking"] = _taily_shard_ranking
     q["reorder_bp_compare"] = _reorder_bp_compare
+    # Spark side = the incremental ENGINE (two generations + decode);
+    # the SQL skeleton stays as the DuckDB oracle.
+    q["incremental_postings"] = _incremental_postings
     q["segments_decode_check"] = _decode_check()
     q["segments_decode_check_ef"] = _decode_check("ef")
     q["segments_decode_check_bitpack"] = _decode_check("bitpack")

@@ -184,6 +184,15 @@ def core_sql_entries(d: Dialect) -> dict[str, str]:
         f"{base}\nSELECT term_id, doc_id, tf FROM postings ORDER BY term_id, doc_id"
     )
 
+    # Batch postings keyed by term STRING — the oracle for the
+    # incremental indexer (its lexicon appends new generations' terms
+    # after existing ids, so ids differ from the global sort while
+    # the (term, doc, tf) content must be identical).
+    e["incremental_postings"] = f"""{base}
+SELECT l.term, p.doc_id, p.tf
+FROM postings p JOIN lex l ON l.term_id = p.term_id
+ORDER BY l.term, p.doc_id"""
+
     e["term_meta"] = f"""{base}
 SELECT p.term_id,
        CAST(MAX(l.df) AS BIGINT) AS df,
