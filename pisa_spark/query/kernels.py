@@ -214,7 +214,7 @@ class _Cursor:
     """
 
     __slots__ = ("tp", "bi", "pos", "docs", "scores", "done", "docid",
-                 "_bmd", "_n_blocks", "_stats")
+                 "_bmd", "_bms", "_n_blocks", "_stats", "ms", "bms", "bld")
 
     SENTINEL = np.iinfo(np.int64).max
 
@@ -222,7 +222,11 @@ class _Cursor:
         self.tp = tp
         self._stats = stats
         self._bmd = tp.block_max_doc.tolist()
+        self._bms = tp.block_max_score.tolist()
         self._n_blocks = len(tp.doc_payloads)
+        self.ms = tp.max_score  # hot-path copy (skip two attr hops)
+        self.bms = 0.0  # current block's max score (python float)
+        self.bld = self.SENTINEL  # current block's last docID
         self.bi = -1
         self.done = self._n_blocks == 0
         self.docs: list[int] = []
@@ -234,6 +238,8 @@ class _Cursor:
         if bi >= self._n_blocks:
             self.done = True
             self.docid = self.SENTINEL
+            self.bms = 0.0
+            self.bld = self.SENTINEL
             return
         self.bi = bi
         d, t, L = self.tp.decode_block(bi)
@@ -241,6 +247,8 @@ class _Cursor:
         self.scores = _score(self.tp, t, L, self._stats).tolist()
         self.pos = 0
         self.docid = self.docs[0]
+        self.bms = self._bms[bi]
+        self.bld = self._bmd[bi]
 
     def score(self) -> int:
         return self.scores[self.pos]
@@ -272,11 +280,14 @@ class _Cursor:
             self.pos = pos
             self.docid = self.docs[pos]
 
+    # current-block bounds live as plain attributes (self.bms /
+    # self.bld, refreshed by _load) — kept as methods too for any
+    # external callers
     def block_max_score(self) -> float:
-        return float(self.tp.block_max_score[self.bi]) if not self.done else 0.0
+        return self.bms if not self.done else 0.0
 
     def block_last_doc(self) -> int:
-        return self._bmd[self.bi] if not self.done else self.SENTINEL
+        return self.bld
 
 
 # Pruning margin in MICRO units: per-posting quantization moves a
@@ -328,17 +339,22 @@ class _TopK:
 def wand_kernel(terms: list[TermPostings], k: int,
                 stats: Stats, init_threshold: float = 0.0) -> tuple[np.ndarray, np.ndarray]:
     """WAND (wand_query.hpp:10-93): pivot by cumulative max-score."""
+    from operator import attrgetter
+
+    by_docid = attrgetter("docid")
+    by_ms = attrgetter("ms")
     cursors = [_Cursor(tp, stats) for tp in terms if len(tp.doc_payloads)]
     topk = _TopK(k, init_threshold)
     while True:
         cursors = [c for c in cursors if not c.done]
         if not cursors:
             break
-        cursors.sort(key=lambda c: c.docid)
+        cursors.sort(key=by_docid)
+        threshold = topk.threshold
         ub, pivot = 0.0, -1
         for i, c in enumerate(cursors):
-            ub += c.tp.max_score
-            if topk.would_enter(ub):
+            ub += c.ms
+            if ub > threshold:
                 pivot = i
                 break
         if pivot < 0:
@@ -349,7 +365,7 @@ def wand_kernel(terms: list[TermPostings], k: int,
             for c in cursors:
                 if c.docid != pivot_doc:
                     break
-                score += c.score()
+                score += c.scores[c.pos]
             topk.insert(score, pivot_doc)
             for c in cursors:
                 if c.docid == pivot_doc:
@@ -359,7 +375,7 @@ def wand_kernel(terms: list[TermPostings], k: int,
             # independent of the choice; only the trace differs).
             lag = max(
                 (c for c in cursors[:pivot] if c.docid < pivot_doc),
-                key=lambda c: c.tp.max_score,
+                key=by_ms,
             )
             lag.next_geq(pivot_doc)
     return topk.finalize(k)
@@ -371,17 +387,22 @@ def block_max_wand_kernel(terms: list[TermPostings], k: int,
     """BMW (block_max_wand_query.hpp:8-167): WAND pivot + block-max
     refinement + jump to min block boundary when the shallow check
     fails."""
+    from operator import attrgetter
+
+    by_docid = attrgetter("docid")
+    by_ms = attrgetter("ms")
     cursors = [_Cursor(tp, stats) for tp in terms if len(tp.doc_payloads)]
     topk = _TopK(k, init_threshold)
     while True:
         cursors = [c for c in cursors if not c.done]
         if not cursors:
             break
-        cursors.sort(key=lambda c: c.docid)
+        cursors.sort(key=by_docid)
+        threshold = topk.threshold
         ub, pivot = 0.0, -1
         for i, c in enumerate(cursors):
-            ub += c.tp.max_score
-            if topk.would_enter(ub):
+            ub += c.ms
+            if ub > threshold:
                 pivot = i
                 break
         if pivot < 0:
@@ -398,20 +419,20 @@ def block_max_wand_kernel(terms: list[TermPostings], k: int,
             # 0..pivot are positioned AT pivot_doc); sum block maxes.
             block_ub = 0.0
             for c in cursors[: pivot + 1]:
-                block_ub += c.block_max_score()
-            if topk.would_enter(block_ub):
+                block_ub += c.bms
+            if block_ub > threshold:
                 score = 0
                 for c in cursors:
                     if c.docid != pivot_doc:
                         break
-                    score += c.score()
+                    score += c.scores[c.pos]
                 topk.insert(score, pivot_doc)
                 for c in cursors:
                     if c.docid == pivot_doc:
                         c.next()
             else:
                 # Jump past the limiting block boundary (:120-156).
-                nxt = min(c.block_last_doc() for c in cursors[: pivot + 1]) + 1
+                nxt = min(c.bld for c in cursors[: pivot + 1]) + 1
                 if pivot + 1 < len(cursors):
                     nxt = min(nxt, cursors[pivot + 1].docid)
                 nxt = max(nxt, pivot_doc + 1)
@@ -421,7 +442,7 @@ def block_max_wand_kernel(terms: list[TermPostings], k: int,
         else:
             lag = max(
                 (c for c in cursors[:pivot] if c.docid < pivot_doc),
-                key=lambda c: c.tp.max_score,
+                key=by_ms,
             )
             lag.next_geq(pivot_doc)
     return topk.finalize(k)
