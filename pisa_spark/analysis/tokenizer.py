@@ -117,15 +117,17 @@ def analyze_series(
     vals = pd.Series(flat)
     if lowercase:
         vals = vals.str.lower()
-    if stemmer == "porter2":
+    if stemmer is not None:
         # Stem the *distinct* token dictionary, then map occurrences
         # back — stem cost is per unique term, not per occurrence.
-        from pisa_spark.analysis.porter2 import stem
-
+        if stemmer == "porter2":
+            from pisa_spark.analysis.porter2 import stem
+        elif stemmer == "krovetz":
+            from pisa_spark.analysis.krovetz import stem
+        else:
+            raise ValueError(f"unknown stemmer: {stemmer}")
         uniq = pd.unique(vals)
         vals = vals.map({u: stem(u) for u in uniq})
-    elif stemmer is not None:
-        raise ValueError(f"unknown stemmer: {stemmer}")
     if stopwords:
         keep = ~vals.isin(stopwords).to_numpy()
         rows = np.repeat(np.arange(len(counts)), counts)[keep]

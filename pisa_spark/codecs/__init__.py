@@ -9,6 +9,7 @@ from pisa_spark.codecs.optpfor import optpfor_decode, optpfor_encode
 from pisa_spark.codecs.pef import pef_decode, pef_opt_encode, pef_uniform_encode
 from pisa_spark.codecs.qmx import qmx_decode, qmx_encode
 from pisa_spark.codecs.simple8b import s8b_decode, s8b_encode
+from pisa_spark.codecs.simple16 import s16_decode, s16_encode
 from pisa_spark.codecs.streamvbyte import svb_decode, svb_encode
 
 CODECS = {
@@ -21,6 +22,8 @@ CODECS = {
     "ef": (ef_encode, ef_decode),
     "streamvbyte": (svb_encode, svb_decode),
     "simple8b": (s8b_encode, s8b_decode),
+    # 28-bit/16-mode sibling (codec/simple16.hpp): mixed-width lanes
+    "simple16": (s16_encode, s16_decode),
     "varintgb": (vgb_encode, vgb_decode),
     "interpolative": (bic_encode, bic_decode),
     "optpfor": (optpfor_encode, optpfor_decode),
@@ -57,6 +60,8 @@ __all__ = [
     "hybrid_encode",
     "s8b_decode",
     "s8b_encode",
+    "s16_decode",
+    "s16_encode",
     "svb_decode",
     "svb_encode",
     "varint_decode",

@@ -17,8 +17,12 @@ Two partitioners:
   + fixed per-chunk overhead;
 - ``pef_uniform_*``: fixed-size chunks (uniform_partitioned_sequence).
 
-Layout: [2B n_chunks LE] [per chunk: 2B count LE + 4B bytes LE]
-[chunk payloads (hybrid codec)].
+Layout: [4B n_chunks LE] [per chunk: 2B count LE + 4B bytes LE]
+[chunk payloads (hybrid codec)]. n_chunks is 4 bytes because with
+``block_partition="variable"`` a single encoded list can span a whole
+salt bucket (up to ~2^20 postings) and the optimal DP may emit more
+than 65535 chunks; per-chunk counts stay 2 bytes (chunks are capped
+at 0xFFFF values by subdivision below).
 """
 
 from __future__ import annotations
@@ -134,7 +138,7 @@ def _encode(values: np.ndarray, opt: bool) -> bytes:
     ends = np.array(capped, dtype=np.int64)
     starts = np.concatenate(([0], ends[:-1]))
     chunks = [hybrid_encode(v[s:e]) for s, e in zip(starts, ends)]
-    out = bytearray(len(chunks).to_bytes(2, "little"))
+    out = bytearray(len(chunks).to_bytes(4, "little"))
     for (s, e), c in zip(zip(starts, ends), chunks):
         out += int(e - s).to_bytes(2, "little")
         out += len(c).to_bytes(4, "little")
@@ -146,8 +150,8 @@ def _encode(values: np.ndarray, opt: bool) -> bytes:
 def _decode(data: bytes, n: int) -> np.ndarray:
     if n == 0:
         return np.empty(0, dtype=np.uint64)
-    n_chunks = int.from_bytes(data[0:2], "little")
-    pos = 2
+    n_chunks = int.from_bytes(data[0:4], "little")
+    pos = 4
     meta = []
     for _ in range(n_chunks):
         cnt = int.from_bytes(data[pos:pos + 2], "little")

@@ -1,0 +1,97 @@
+"""Simple16 codec (Zhang, Long & Suel, WWW 2008; reference
+``codec/simple16.hpp``): 32-bit words, 4-bit selector + 28 data bits.
+
+Unlike simple8b's uniform lanes, each of the 16 modes is a fixed
+SEQUENCE of lane widths summing to 28 bits — the mixed-width rows
+(e.g. 7x2 then 14x1) absorb a single outlier without forcing the
+whole word wide. Encode is greedy first-match over the table (ordered
+densest-first); a final word may cover more lanes than values remain
+— surplus lanes are zero-padded and the decoder trims to ``n``.
+
+Values must fit 28 bits (docID gaps within a 128-posting block, tfs
+and doc lens all qualify; a larger value raises, like g8iu's u32
+guard). Words are little-endian u32.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# Lane-width sequences per selector (each sums to 28 bits).
+S16_TABLE: list[list[int]] = [
+    [1] * 28,
+    [2] * 7 + [1] * 14,
+    [1] * 7 + [2] * 7 + [1] * 7,
+    [1] * 14 + [2] * 7,
+    [2] * 14,
+    [4] + [3] * 8,
+    [3] + [4] * 4 + [3] * 3,
+    [4] * 7,
+    [5] * 4 + [4] * 2,
+    [4] * 2 + [5] * 4,
+    [6] * 3 + [5] * 2,
+    [5] * 2 + [6] * 3,
+    [7] * 4,
+    [10] + [9] * 2,
+    [14] * 2,
+    [28],
+]
+
+# Precomputed per-selector numpy views: widths, shift offsets, masks.
+_LANES = [np.array(ws, dtype=np.uint64) for ws in S16_TABLE]
+_SHIFTS = [
+    np.concatenate(([0], np.cumsum(ws[:-1]))).astype(np.uint64)
+    for ws in (S16_TABLE)
+]
+_MASKS = [((np.uint64(1) << w) - np.uint64(1)) for w in _LANES]
+
+
+def s16_encode(values: np.ndarray) -> bytes:
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    n = v.size
+    if n == 0:
+        return b""
+    if int(v.max()) >= (1 << 28):
+        raise ValueError("simple16 value exceeds 28 bits")
+    widths = np.zeros(n, dtype=np.uint64)
+    nz = v > 0
+    widths[nz] = np.floor(np.log2(v[nz].astype(np.float64))).astype(np.uint64) + 1
+    # float log2 can undershoot near powers of two: repair exactly
+    too_small = (v >> np.minimum(widths, np.uint64(63))) > 0
+    widths[too_small] += np.uint64(1)
+    words = []
+    i = 0
+    while i < n:
+        for sel in range(16):
+            lanes = _LANES[sel]
+            take = min(len(lanes), n - i)
+            if np.all(widths[i:i + take] <= lanes[:take]):
+                chunk = v[i:i + take]
+                word = np.uint64(sel) << np.uint64(28)
+                word |= np.bitwise_or.reduce(
+                    chunk << _SHIFTS[sel][:take]
+                ) if take else np.uint64(0)
+                words.append(word)
+                i += take
+                break
+        else:  # pragma: no cover — selector 15 (1x28) always fits
+            raise AssertionError("no simple16 selector fits")
+    return np.array(words, dtype="<u4").tobytes()
+
+
+def s16_decode(data: bytes, n: int) -> np.ndarray:
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    words = np.frombuffer(data, dtype="<u4").astype(np.uint64)
+    out = np.empty(n, dtype=np.uint64)
+    pos = 0
+    for word in words:
+        if pos >= n:
+            break
+        sel = int(word >> np.uint64(28))
+        take = min(len(_LANES[sel]), n - pos)
+        out[pos:pos + take] = (word >> _SHIFTS[sel][:take]) & _MASKS[sel][:take]
+        pos += take
+    if pos < n:
+        raise ValueError("simple16 payload shorter than expected")
+    return out

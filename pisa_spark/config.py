@@ -1,7 +1,7 @@
 """Engine configuration dataclasses.
 
 Mirrors the reference CLI surface (tokenizer in {english, whitespace};
-token filters in {lowercase, stopwords, porter2}; scorer params;
+token filters in {lowercase, stopwords, porter2, krovetz}; scorer params;
 block/codec choices) — see reference ``tools/app.hpp:88-101`` and
 ``include/pisa/scorer/scorer.hpp:17-22`` for the knobs being modeled.
 """
@@ -29,7 +29,7 @@ class AnalyzerConfig:
     tokenizer: str = "english"  # "english" | "whitespace"
     lowercase: bool = True
     stopwords: frozenset[str] = field(default_factory=frozenset)
-    stemmer: str | None = None  # None | "porter2"
+    stemmer: str | None = None  # None | "porter2" | "krovetz"
     strip_html: bool = False  # apply HTML text extraction before tokenizing
 
 

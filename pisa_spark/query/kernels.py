@@ -271,6 +271,8 @@ class _Cursor:
             if nbi >= self._n_blocks:
                 self.done = True
                 self.docid = self.SENTINEL
+                self.bms = 0.0  # match _load's done branch so external
+                self.bld = self.SENTINEL  # block_* reads are never stale
                 return
             self._load(nbi)
         pos = bisect_left(self.docs, target, self.pos)

@@ -116,9 +116,17 @@ def pair_kth_thresholds(index: InvertedIndex, parsed: DataFrame,
     query's own weights in the SAME micro quantization the kernels
     use, so the bound is exact-integer tight (no -1 slack needed).
     Pairs come from the workload itself — the budgeted form of the
-    fork's pairs file."""
+    fork's pairs file.
+
+    Mirrors the single-term cache_k guard: a query whose own ``k``
+    differs from this cache's ``k`` gets NO pair estimate (its pair
+    k-th score at a different k is not a lower bound for its k), so
+    it falls back to estimate_thresholds' own guarded value."""
     from pisa_spark.build.segments import scored_postings
     from pisa_spark.functions.scoring import bm25_sql_expr
+
+    if "k" in parsed.columns:
+        parsed = parsed.filter(F.col("k") == F.lit(k))
 
     scored = scored_postings(
         index.postings, index.doc_sizes, index.lexicon,

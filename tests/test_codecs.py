@@ -14,7 +14,8 @@ SIZES = [1, 2, 16, 127, 128, 129, 1000]
 def test_roundtrip_random(codec, n):
     enc, dec = CODECS[codec]
     rng = np.random.default_rng(42 + n)
-    vals = rng.integers(0, 1 << 32, size=n, dtype=np.uint64).astype(np.uint32)
+    hi = 1 << (28 if codec == "simple16" else 32)
+    vals = rng.integers(0, hi, size=n, dtype=np.uint64).astype(np.uint32)
     out = dec(enc(vals), n)
     np.testing.assert_array_equal(out, vals)
 
@@ -24,6 +25,10 @@ def test_roundtrip_edge_values(codec):
     enc, dec = CODECS[codec]
     vals = np.array([0, 1, 127, 128, 16383, 16384, 2**21 - 1, 2**28, 2**32 - 1],
                     dtype=np.uint32)
+    if codec == "simple16":  # 28-bit payload format: rejects loudly
+        with pytest.raises(ValueError):
+            enc(vals)
+        vals = vals[vals < 2**28]
     np.testing.assert_array_equal(dec(enc(vals), len(vals)), vals)
 
 
@@ -60,8 +65,8 @@ def test_roundtrip_u64(codec):
     # simple8b's word layout caps values at 60 bits (4-bit selector +
     # 60 data bits) — far above the 10^12-doc docID space; it rejects
     # larger values loudly instead of corrupting.
-    if codec == "g8iu":
-        # u32-only format (reference parity): rejects u64 loudly
+    if codec in ("g8iu", "simple16"):
+        # width-capped formats (u32 / 28-bit): reject u64 loudly
         with pytest.raises(ValueError):
             enc(np.array([2**32], dtype=np.uint64))
         return

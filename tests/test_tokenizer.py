@@ -80,6 +80,39 @@ def test_analyze_with_stemmer():
     assert eng("running dogs", stemmer="porter2") == ["run", "dog"]
 
 
+KROVETZ_GOLDENS = {
+    # regular inflection (kstem rule cascade)
+    "cities": "city", "boxes": "box", "watches": "watch",
+    "horses": "horse", "dogs": "dog", "glasses": "glass",
+    "stopped": "stop", "baked": "bake", "tried": "try",
+    "walked": "walk", "running": "run", "flying": "fly",
+    "making": "make", "hoping": "hope", "sitting": "sit",
+    "queries": "query", "hashed": "hash", "scanned": "scan",
+    # irregulars via the embedded exception table
+    "children": "child", "men": "man", "feet": "foot",
+    "knives": "knife", "indices": "index", "agreed": "agree",
+    # protected headwords: no false stemming
+    "news": "news", "series": "series", "during": "during",
+    "thing": "thing", "king": "king", "morning": "morning",
+    "red": "red", "bus": "bus", "this": "this", "speed": "speed",
+    # non-alpha / short tokens pass through
+    "x1y2": "x1y2", "at": "at",
+}
+
+
+def test_krovetz_goldens():
+    from pisa_spark.analysis.krovetz import stem as kstem
+
+    for w, want in KROVETZ_GOLDENS.items():
+        assert kstem(w) == want, (w, kstem(w), want)
+
+
+def test_analyze_with_krovetz():
+    assert eng("running dogs and children", stemmer="krovetz") == [
+        "run", "dog", "and", "child",
+    ]
+
+
 # ------------------------------------------------------- native JVM parity
 
 ADVERSARIAL = [
