@@ -81,6 +81,23 @@ DIALECT_DUCKDB = Dialect(
     _EN_DUCK, "VARCHAR",
 )
 
+# Codecs exercised by the consolidated segments_decode_check entry —
+# one full index build + round-trip decode per codec, union-tagged so
+# a single driver CORRECTNESS row covers the whole registry.
+# (maskedvbyte is wire-identical to varint by construction and is not
+# re-run.)
+DECODE_CHECK_CODECS = [
+    "bitpack", "ef", "g8iu", "hybrid", "interpolative", "optpfor",
+    "pef", "qmx", "simple16", "simple8b", "streamvbyte", "varint",
+    "varintgb",
+]
+
+# Tags for the consolidated BMW-variant and range-execution entries;
+# shared between the Spark union builders (gated/entries.py) and the
+# oracle SQL so both engines emit identical tag values.
+BMW_VARIANT_TAGS = ["bootstrap", "cwand", "quantized", "varblock"]
+RANGE_MODE_TAGS = ["bmw", "bmw_live", "maxscore"]
+
 
 def _queries_cte() -> str:
     """Inline weighted query table (query_id, term, weight)."""
@@ -713,5 +730,145 @@ FROM (
            AS gap
   FROM postings
 ) g WHERE gap IS NOT NULL AND gap > 0"""
+
+    # ----------------------------------------------------------------
+    # Consolidated entries: the driver's CORRECTNESS file records a
+    # bounded number of rows, so related operators are union-TAGGED
+    # into one statement each — every component family lands a driver
+    # row. The per-piece entries above are kept for targeted
+    # debugging (scripts/selfcheck.py <name>) but only the
+    # consolidated names are registered with the driver.
+
+    # qld + pl2 + dph exhaustive disjunctions, tagged by scorer.
+    pl2 = pl2_sql_expr(
+        tf="p.tf", ctf="c.ctf", doc_len="s.doc_len",
+        num_docs="st.num_docs", avg_len="st.avg_len",
+    )
+    dph = dph_sql_expr(
+        tf="p.tf", ctf="c.ctf", doc_len="s.doc_len",
+        num_docs="st.num_docs", avg_len="st.avg_len",
+    )
+    scorer_qscs = []
+    for tag, expr in (("qld", qld), ("pl2", pl2), ("dph", dph)):
+        scorer_qscs.append(f"""qsc_{tag} AS (
+  SELECT qt.query_id, p.doc_id,
+         CAST(SUM({micro_sql(expr, weight="qt.weight")}) AS BIGINT) AS micro
+  FROM qterms qt
+  JOIN postings p ON p.term_id = qt.term_id
+  JOIN sizes s ON s.doc_id = p.doc_id
+  JOIN ctfs c ON c.term_id = p.term_id
+  CROSS JOIN stats st
+  GROUP BY qt.query_id, p.doc_id
+)""")
+    scorer_qscs_sql = ",\n".join(scorer_qscs)
+    scorer_union = "\n    UNION ALL\n    ".join(
+        f"SELECT '{tag}' AS scorer, query_id, doc_id, micro"
+        f" FROM qsc_{tag} WHERE micro > 0"
+        for tag in ("qld", "pl2", "dph")
+    )
+    e["scorers_ranked_or_topk"] = f"""{base},
+ctfs AS (SELECT term_id, CAST(SUM(tf) AS DOUBLE) AS ctf
+         FROM postings GROUP BY term_id),
+{scorer_qscs_sql}
+SELECT scorer, query_id, rank, doc_id, score FROM (
+  SELECT scorer, query_id, doc_id, micro / {dlit(1e6)} AS score,
+         CAST(ROW_NUMBER() OVER (PARTITION BY scorer, query_id
+                                 ORDER BY micro DESC, doc_id ASC) AS INT) AS rank
+  FROM (
+    {scorer_union}
+  ) u
+) r WHERE rank <= {K} ORDER BY scorer, query_id, rank"""
+
+    # singles / singles+pairs / singles+pairs+triples threshold
+    # estimates side by side, tagged by method. The 'single' branch is
+    # value-identical to kth_threshold_estimate (max over terms of the
+    # term's k-th single-term score, 0 when no term reaches rank k).
+    _kth_all = e["kth_threshold_triples"].rsplit("allk AS", 1)[0]
+    e["kth_thresholds"] = f"""{_kth_all}qids AS (SELECT DISTINCT query_id FROM qterms),
+m_b AS (SELECT query_id, kth FROM skth UNION ALL SELECT query_id, kth FROM pkth),
+m_c AS (SELECT query_id, kth FROM skth UNION ALL SELECT query_id, kth FROM pkth
+        UNION ALL SELECT query_id, kth FROM trikth)
+SELECT method, query_id, threshold_micro FROM (
+  SELECT 'single' AS method, q.query_id,
+         CAST(MAX(COALESCE(a.kth, 0)) AS BIGINT) AS threshold_micro
+  FROM qids q LEFT JOIN skth a ON a.query_id = q.query_id GROUP BY q.query_id
+  UNION ALL
+  SELECT 'pairs' AS method, q.query_id,
+         CAST(MAX(COALESCE(b.kth, 0)) AS BIGINT) AS threshold_micro
+  FROM qids q LEFT JOIN m_b b ON b.query_id = q.query_id GROUP BY q.query_id
+  UNION ALL
+  SELECT 'triples' AS method, q.query_id,
+         CAST(MAX(COALESCE(c.kth, 0)) AS BIGINT) AS threshold_micro
+  FROM qids q LEFT JOIN m_c c ON c.query_id = q.query_id GROUP BY q.query_id
+) u ORDER BY method, query_id"""
+
+    # AND + OR result sets in one statement, tagged by op (oracle for
+    # the kernel-side and_query/or_query union).
+    e["boolean_docs"] = f"""{base}
+SELECT op, query_id, doc_id FROM (
+  SELECT 'and' AS op, sc.query_id, sc.doc_id
+  FROM scored sc JOIN qsize qs ON sc.query_id = qs.query_id
+  WHERE sc.n_matched = qs.n_terms
+  UNION ALL
+  SELECT 'or' AS op, query_id, doc_id FROM scored
+) u ORDER BY op, query_id, doc_id"""
+
+    # shard_stats + shard_vocab joined on shard_id (partition_fwd_index
+    # + shards meta-tool in one row set).
+    e["shard_summary"] = f"""{base},
+ss AS (SELECT CAST(s.doc_id % 4 AS INT) AS shard_id,
+              CAST(COUNT(*) AS BIGINT) AS num_docs,
+              CAST(SUM(s.doc_len) AS BIGINT) AS collection_len
+       FROM sizes s GROUP BY s.doc_id % 4),
+sv AS (SELECT shard_id, CAST(COUNT(*) AS BIGINT) AS vocab_size FROM (
+         SELECT DISTINCT CAST(p.doc_id % 4 AS INT) AS shard_id, p.term_id
+         FROM postings p) x GROUP BY shard_id)
+SELECT ss.shard_id, ss.num_docs, ss.collection_len, sv.vocab_size
+FROM ss JOIN sv ON sv.shard_id = ss.shard_id ORDER BY ss.shard_id"""
+
+    # Round-trip decode of EVERY registered codec's segments in one
+    # entry: the engine side unions per-codec decodes tagged by codec;
+    # the oracle is the postings table replicated per codec tag.
+    codec_tags = " UNION ALL ".join(
+        f"SELECT '{c}' AS codec" for c in DECODE_CHECK_CODECS
+    )
+    e["segments_decode_check"] = f"""{base}
+SELECT c.codec, p.term_id, p.doc_id, p.tf
+FROM postings p CROSS JOIN ({codec_tags}) c
+ORDER BY c.codec, p.term_id, p.doc_id"""
+
+    # BMW under bootstrap/cwand/quantized/varblock configurations,
+    # tagged by variant: non-quantized variants must equal ranked_or;
+    # the quantized variant must equal the impact-quantized oracle.
+    quant_common = e["quantized_ranked_or_topk"].rsplit(
+        "SELECT query_id, rank", 1
+    )[0]
+    bmw_ranked_tags = " UNION ALL ".join(
+        f"SELECT '{t}' AS variant" for t in BMW_VARIANT_TAGS
+        if t != "quantized"
+    )
+    e["bmw_variants_topk"] = f"""{quant_common}
+SELECT variant, query_id, rank, doc_id, score FROM (
+  SELECT v.variant, r.query_id, r.rank, r.doc_id, r.score
+  FROM ranked r CROSS JOIN ({bmw_ranked_tags}) v WHERE r.rank <= {K}
+  UNION ALL
+  SELECT 'quantized' AS variant, query_id, rank, doc_id, score FROM (
+    SELECT query_id, doc_id, CAST(units AS DOUBLE) AS score,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY units DESC, doc_id ASC) AS INT) AS rank
+    FROM qsc WHERE units > 0
+  ) qq WHERE qq.rank <= {K}
+) u ORDER BY variant, query_id, rank"""
+
+    # Range execution (doc-range-partitioned) under maxscore / BMW /
+    # BMW+live-block pruning, tagged by range_mode — all three must be
+    # rank-identical to the exhaustive disjunction.
+    range_tags = " UNION ALL ".join(
+        f"SELECT '{m}' AS range_mode" for m in RANGE_MODE_TAGS
+    )
+    e["range_topk"] = f"""{base}
+SELECT m.range_mode, r.query_id, r.rank, r.doc_id, r.score
+FROM ranked r CROSS JOIN ({range_tags}) m
+WHERE r.rank <= {K} ORDER BY m.range_mode, r.query_id, r.rank"""
 
     return e

@@ -110,14 +110,37 @@ def _query_segments(index: InvertedIndex, parsed: DataFrame) -> DataFrame:
 
     The parsed-query side is tiny -> broadcast, so the segment table
     (the 100TB side) is scanned once with a broadcast-hash join and
-    never shuffled."""
+    never shuffled.
+
+    Incrementally-built indexes carry a per-term ``bound_factor`` in
+    term_meta (streaming/incremental.py): the sound upper-bound
+    inflation for terms whose stored blocks were encoded under older
+    global stats. It is applied HERE — to the term max and the block
+    maxes — so stored segments stay immutable while every kernel's
+    pruning bounds stay one-sided. Batch indexes have no such column
+    (factor 1 by construction)."""
     # Broadcast the PARSED side into the vocabulary-sized term_meta
     # (never the reverse), then the query-sized result into the
     # segment scan.
-    qt = index.term_meta.select(
-        "term_id", "df", F.col("max_score").alias("term_max_score")
-    ).join(F.broadcast(parsed), "term_id")
-    return index.segments.join(F.broadcast(qt), "term_id")
+    tm = index.term_meta
+    has_factor = "bound_factor" in tm.columns
+    cols = ["term_id", "df", F.col("max_score").alias("term_max_score")]
+    if has_factor:
+        cols.append("bound_factor")
+    qt = tm.select(*cols).join(F.broadcast(parsed), "term_id")
+    rows = index.segments.join(F.broadcast(qt), "term_id")
+    if has_factor:
+        rows = rows.withColumn(
+            "term_max_score", F.col("term_max_score") * F.col("bound_factor")
+        )
+        if "max_score" in rows.columns:
+            rows = rows.withColumn(
+                "max_score", F.col("max_score") * F.col("bound_factor")
+            )
+        # compressed block maxes (max_score_q) are relative to the
+        # term max and inherit its scaling automatically
+        rows = rows.drop("bound_factor")
+    return rows
 
 
 def topk_search(

@@ -8,12 +8,18 @@ row count, column names, and an order-insensitive value hash
 rows sorted by their string form — a stand-in for whatever exact
 hash the driver uses; any mismatch here is a real mismatch there).
 
-Usage: python scripts/selfcheck.py [entry ...] [--sf DIR]
+Usage: python scripts/selfcheck.py [entry ...] [--sf=DIR] [--out=FILE]
+
+With ``--out=FILE`` (e.g. ``--out=SELFCHECK_r3.json``) the per-entry
+results are also written in the driver's CORRECTNESS_r{N}.json format
+(rows/schema/hash match booleans + row counts), so the full matrix is
+recorded in-repo each round regardless of the driver's row budget.
 """
 
 from __future__ import annotations
 
 import hashlib
+import json
 import sys
 import time
 
@@ -49,9 +55,12 @@ def normalize(df: pd.DataFrame) -> tuple[int, list[str], str]:
 def main() -> int:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     sf_dir = "/root/testdata/sf0.01"
+    out_path = None
     for a in sys.argv[1:]:
         if a.startswith("--sf="):
             sf_dir = a.split("=", 1)[1]
+        elif a.startswith("--out="):
+            out_path = a.split("=", 1)[1]
 
     import __spark_entry__ as e
     from pisa_spark.session import get_spark
@@ -68,26 +77,47 @@ def main() -> int:
         )
 
     failures = 0
+    record: dict[str, dict] = {}
     for name in names:
         t0 = time.time()
         try:
             sdf = qs[name](spark, sf_dir).toPandas()
         except Exception as ex:  # noqa: BLE001
             print(f"FAIL {name}: spark error: {ex}")
+            record[name] = {
+                "rows_match": None, "schema_match": None, "hash_match": None,
+                "spark_rows": None, "oracle_rows": None,
+                "err": f"spark_error: {ex}"[:200],
+            }
             failures += 1
             continue
         if name not in oracles:
             print(f"ok   {name}: rows={len(sdf)} (rows-only, no oracle) "
                   f"[{time.time()-t0:.1f}s]")
+            record[name] = {
+                "rows_match": None, "schema_match": None, "hash_match": None,
+                "spark_rows": len(sdf), "oracle_rows": None,
+                "err": "no_oracle",
+            }
             continue
         try:
             odf = con.sql(oracles[name]).df()
         except Exception as ex:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error: {ex}")
+            record[name] = {
+                "rows_match": None, "schema_match": None, "hash_match": None,
+                "spark_rows": len(sdf), "oracle_rows": None,
+                "err": f"duckdb_error: {ex}"[:200],
+            }
             failures += 1
             continue
         sn, sc, sh = normalize(sdf)
         on, oc, oh = normalize(odf)
+        record[name] = {
+            "rows_match": sn == on, "schema_match": sc == oc,
+            "hash_match": sh == oh, "spark_rows": sn, "oracle_rows": on,
+            "err": None,
+        }
         status = "ok  " if (sn, sc, sh) == (on, oc, oh) else "FAIL"
         if status == "FAIL":
             failures += 1
@@ -106,6 +136,10 @@ def main() -> int:
             except Exception:  # noqa: BLE001
                 pass
     print(f"\n{len(names) - failures}/{len(names)} entries match")
+    if out_path:
+        with open(out_path, "w") as f:
+            json.dump(record, f, indent=2)
+        print(f"wrote {out_path} ({len(record)} entries)")
     return 1 if failures else 0
 
 

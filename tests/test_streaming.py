@@ -81,8 +81,9 @@ def test_incremental_matches_batch_build(spark, tmp_path):
 
 def test_kept_block_bounds_stay_sound(spark, tmp_path):
     """After a generation that does NOT touch a term, its kept blocks'
-    repaired max_score must still upper-bound the true (fresh-stats)
-    block max score."""
+    stored max_score TIMES the query-side term_meta.bound_factor must
+    still upper-bound the true (fresh-stats) block max score — the
+    executor applies exactly this product (_query_segments)."""
     from pisa_spark.build import decode_segments
     from pisa_spark.functions.scoring import bm25_score_np
     from pisa_spark.streaming import IncrementalIndexer
@@ -131,16 +132,96 @@ def test_kept_block_bounds_stay_sound(spark, tmp_path):
     dec = dec.assign(score=scores)
     # per-block soundness: assign each posting to its block by
     # (term, first block whose max_doc_id >= doc_id) and compare
+    # stored_max * bound_factor (the executor's effective bound)
+    factors = idx.term_meta.toPandas().set_index("term_id")["bound_factor"]
+    assert (factors[factors.index.isin(untouched_ids)] >= 1.0).all()
     seg_u = seg[seg["term_id"].isin(untouched_ids)]
     for tid, g in seg_u.groupby("term_id"):
         g = g.sort_values("block_id")
         term_dec = dec[dec["term_id"] == tid].sort_values("doc_id")
         bounds = g["max_doc_id"].to_numpy()
         blk = np.searchsorted(bounds, term_dec["doc_id"].to_numpy())
+        fac = float(factors[tid])
         for bi, bmax in enumerate(g["max_score"].to_numpy()):
             mask = blk == bi
             if mask.any():
-                assert bmax + 1e-6 >= term_dec["score"].to_numpy()[mask].max()
+                assert bmax * fac + 1e-6 >= (
+                    term_dec["score"].to_numpy()[mask].max()
+                )
+
+
+def _dir_snapshot(root):
+    """{relative file path: (size, md5)} over all parquet data files."""
+    import hashlib
+    from pathlib import Path
+
+    out = {}
+    for p in Path(root).rglob("*.parquet"):
+        out[str(p.relative_to(root))] = (
+            p.stat().st_size, hashlib.md5(p.read_bytes()).hexdigest()
+        )
+    return out
+
+
+def test_refresh_writes_are_delta_proportional(spark, tmp_path):
+    """Generation g's refresh must leave generation <g segment files
+    BYTE-IDENTICAL on disk (append-only, partitioned by segment_gen)
+    and never rewrite the corpus-sized docs/postings/doc_sizes tables
+    — the incremental story's write volume is O(delta) + O(vocab)."""
+    from pisa_spark.streaming import IncrementalIndexer
+
+    pages = _pages(spark).persist()
+    gen0 = pages.filter(F.crc32(F.col("url")) % 2 == 0)
+    gen1 = pages.filter(F.crc32(F.col("url")) % 2 == 1)
+
+    out = tmp_path / "inc3"
+    inc = IncrementalIndexer(spark, str(out), CFG)
+    inc.add_generation(gen0)
+    before = {
+        name: _dir_snapshot(out / name)
+        for name in ("segments", "docs", "postings", "doc_sizes")
+    }
+    inc.add_generation(gen1)
+    after = {
+        name: _dir_snapshot(out / name)
+        for name in ("segments", "docs", "postings", "doc_sizes")
+    }
+    for name in before:
+        for path, sig in before[name].items():
+            assert path in after[name], f"{name}/{path} deleted by refresh"
+            assert after[name][path] == sig, f"{name}/{path} rewritten"
+        # and the new generation really appended something
+        assert len(after[name]) > len(before[name]), f"{name}: nothing appended"
+    # gen-0 segment partition untouched, gen-1 partition created
+    assert any("segment_gen=1" in p for p in after["segments"])
+
+
+def test_compact_reclaims_superseded_generations(spark, tmp_path):
+    """compact() folds the current view into one generation, resets
+    bound_factor to exactly 1, and queries stay identical."""
+    from pisa_spark.streaming import IncrementalIndexer
+
+    pages = _pages(spark).persist()
+    gen0 = pages.filter(F.crc32(F.col("url")) % 2 == 0)
+    gen1 = pages.filter(F.crc32(F.col("url")) % 2 == 1)
+    inc = IncrementalIndexer(spark, str(tmp_path / "inc4"), CFG)
+    inc.add_generation(gen0)
+    inc.add_generation(gen1)
+    terms = [r["term"] for r in inc.index().lexicon.limit(20).collect()]
+    want = _query(spark, inc.index(), terms, n=4).sort_values(
+        ["query_id", "score", "url"], ascending=[True, False, True]
+    )
+    inc.compact()
+    idx = inc.index()
+    tm = idx.term_meta.toPandas()
+    assert (tm["bound_factor"] == 1.0).all()
+    gens = {r["seg_gen"] for r in idx.lexicon.select("seg_gen").distinct().collect()}
+    assert gens == {1}
+    got = _query(spark, idx, terms, n=4).sort_values(
+        ["query_id", "score", "url"], ascending=[True, False, True]
+    )
+    assert (got["url"].values == want["url"].values).all()
+    assert np.allclose(got["score"].values, want["score"].values, atol=1e-9)
 
 
 def test_structured_streaming_drains_landing_zone(spark, tmp_path):
