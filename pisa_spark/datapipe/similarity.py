@@ -34,6 +34,15 @@ COS_TAU_MICRO = 400_000
 N_QUERIES = 10  # vec_id < N_QUERIES are the ANN query vectors
 N_CENTROIDS = 8  # vec_id < N_CENTROIDS seed the IVF coarse quantizer
 N_PROBE = 2
+# Cells with more than MAX_CELL members are dropped before the
+# candidate self-join (the embedding twin of dedup.MAX_BUCKET): a
+# C-member cell emits C*(C-1)/2 candidates, so one dominant cell
+# (boilerplate embeddings, or an unlucky seed centroid) makes the
+# join quadratic. Dropped cells are reported by
+# ``embedding_dropped_cells`` — a pipeline should alert on rows there
+# (and retrain centroids / raise n_centroids) rather than silently
+# treating those vectors as unique.
+MAX_CELL = 4096
 
 
 def _quantize(mat: np.ndarray) -> np.ndarray:
@@ -84,24 +93,10 @@ def _cosm_expr(dot: str, na: str, nb: str) -> str:
     )
 
 
-def embedding_dup_pairs(emb: DataFrame, tau_micro: int = COS_TAU_MICRO,
-                        n_centroids: int = N_CENTROIDS,
-                        n_probe: int = N_PROBE) -> DataFrame:
-    """(vec_a, vec_b, cos_micro >= tau): quantized-cosine near-dups
-    via an IVF-cell prefilter — the 100 TB shape.
-
-    Every vector (base AND probe side symmetrically) is assigned to
-    its ``n_probe`` closest coarse cells (centroids = first
-    ``n_centroids`` vectors, as in ivf_topk); candidate pairs are
-    vectors sharing a cell; candidates are verified with the exact
-    quantized cosine. Nothing is ever collected to the driver and no
-    all-pairs product exists anywhere: the only joins are a broadcast
-    of the tiny centroid set, a self-equi-join on cell id, and two
-    hash joins to fetch candidate features. Entirely
-    Catalyst-native (transform/zip_with/aggregate int64 math — no
-    Python at all). Recall vs the exhaustive operator is pinned in
-    tests/test_datapipe.py; ``embedding_dup_pairs_exhaustive`` remains
-    the small-scale baseline."""
+def _cell_assignments(emb: DataFrame, n_centroids: int,
+                      n_probe: int) -> DataFrame:
+    """(vec_id, cell): every vector assigned to its n_probe closest
+    coarse cells (centroids = first n_centroids vectors)."""
     q = (
         emb.select("vec_id", F.expr(_qarr_expr()).alias("qarr"))
         .withColumn("n2", F.expr(_n2_expr()))
@@ -119,13 +114,47 @@ def embedding_dup_pairs(emb: DataFrame, tau_micro: int = COS_TAU_MICRO,
     w = Window.partitionBy("vec_id").orderBy(
         F.col("cm").desc(), F.col("cid").asc()
     )
-    assign = (
+    return (
         cos_c.withColumn("r", F.row_number().over(w))
         .filter(F.col("r") <= n_probe)
         .select("vec_id", F.col("cid").alias("cell"))
     )
-    x = assign.select(F.col("vec_id").alias("vec_a"), "cell")
-    y = assign.select(F.col("vec_id").alias("vec_b"), "cell")
+
+
+def embedding_dup_pairs(emb: DataFrame, tau_micro: int = COS_TAU_MICRO,
+                        n_centroids: int = N_CENTROIDS,
+                        n_probe: int = N_PROBE,
+                        max_cell: int = MAX_CELL) -> DataFrame:
+    """(vec_a, vec_b, cos_micro >= tau): quantized-cosine near-dups
+    via an IVF-cell prefilter — the 100 TB shape.
+
+    Every vector (base AND probe side symmetrically) is assigned to
+    its ``n_probe`` closest coarse cells (centroids = first
+    ``n_centroids`` vectors, as in ivf_topk); candidate pairs are
+    vectors sharing a cell; candidates are verified with the exact
+    quantized cosine. Nothing is ever collected to the driver and no
+    all-pairs product exists anywhere: the only joins are a broadcast
+    of the tiny centroid set, a self-equi-join on cell id, and two
+    hash joins to fetch candidate features. Entirely
+    Catalyst-native (transform/zip_with/aggregate int64 math — no
+    Python at all). Cells over ``max_cell`` members are dropped
+    before the self-join (quadratic-cell guard; audit via
+    ``embedding_dropped_cells``). Recall vs the exhaustive operator is
+    pinned in tests/test_datapipe.py; ``embedding_dup_pairs_exhaustive``
+    remains the small-scale baseline."""
+    q = (
+        emb.select("vec_id", F.expr(_qarr_expr()).alias("qarr"))
+        .withColumn("n2", F.expr(_n2_expr()))
+    )
+    assign = _cell_assignments(emb, n_centroids, n_probe)
+    wc = Window.partitionBy("cell")
+    capped = (
+        assign.withColumn("csz", F.count("*").over(wc))
+        .filter(F.col("csz") <= max_cell)
+        .drop("csz")
+    )
+    x = capped.select(F.col("vec_id").alias("vec_a"), "cell")
+    y = capped.select(F.col("vec_id").alias("vec_b"), "cell")
     cand = (
         x.join(y, "cell")
         .filter(F.col("vec_a") < F.col("vec_b"))
@@ -148,6 +177,80 @@ def embedding_dup_pairs(emb: DataFrame, tau_micro: int = COS_TAU_MICRO,
         .filter(F.col("cos_micro") >= tau_micro)
         .select("vec_a", "vec_b", "cos_micro")
     )
+
+
+def embedding_dropped_cells(emb: DataFrame, n_centroids: int = N_CENTROIDS,
+                            n_probe: int = N_PROBE,
+                            max_cell: int = MAX_CELL) -> DataFrame:
+    """(cell, cell_size) for every IVF cell the cap excluded — the
+    audit trail for embedding_dup_pairs' coverage, mirroring
+    dedup.minhash_dropped_buckets."""
+    return (
+        _cell_assignments(emb, n_centroids, n_probe)
+        .groupBy("cell")
+        .agg(F.count("*").alias("cell_size"))
+        .filter(F.col("cell_size") > max_cell)
+    )
+
+
+def ivf_train_centroids(emb: DataFrame, n_centroids: int = N_CENTROIDS,
+                        iters: int = 2) -> DataFrame:
+    """(cid, carr): first-N seed centroids refined by ``iters`` Lloyd
+    passes — assign every vector to its max-cosine cell, recenter each
+    cell to the component-wise mean (floor-quantized back to the int
+    domain). Balances cell sizes when the first-N seed is unlucky
+    (the residual risk behind MAX_CELL); fully distributed — the only
+    non-lazy step per pass is an eager localCheckpoint of the
+    centroid table (n_centroids rows).
+
+    The gated operators keep the deterministic first-N seed (oracle
+    parity); production pipelines pass these refined centroids to a
+    bespoke assignment instead."""
+    q = (
+        emb.select("vec_id", F.expr(_qarr_expr()).alias("qarr"))
+        .withColumn("n2", F.expr(_n2_expr()))
+    )
+    cent = q.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cid"), F.col("qarr").alias("carr")
+    )
+    for _ in range(iters):
+        cc = cent.withColumn(
+            "cn2", F.expr(_n2_expr("carr"))
+        )
+        cos_c = (
+            q.crossJoin(F.broadcast(cc))
+            .withColumn("dot", F.expr(_dot_expr("qarr", "carr")))
+            .withColumn("cm", F.expr(_cosm_expr("dot", "n2", "cn2")))
+        )
+        w = Window.partitionBy("vec_id").orderBy(
+            F.col("cm").desc(), F.col("cid").asc()
+        )
+        assigned = (
+            cos_c.withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") == 1)
+            .select("vec_id", "cid", "qarr")
+        )
+        # recenter: component-wise mean per cell, floored back to int
+        means = (
+            assigned.select(
+                "cid", F.posexplode("qarr").alias("pos", "qv")
+            )
+            .groupBy("cid", "pos")
+            .agg(F.floor(F.avg("qv") + F.lit(0.5)).cast("long").alias("m"))
+        )
+        cent = (
+            means.groupBy("cid")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "m"))
+                ).alias("pm")
+            )
+            .select("cid", F.expr("transform(pm, x -> x.m)").alias("carr"))
+            # iterative loop: checkpoint each pass or the crossJoin
+            # lineage compounds (CLAUDE.md / build/bp.py convention)
+            .localCheckpoint(eager=True)
+        )
+    return cent
 
 
 def embedding_dup_pairs_exhaustive(emb: DataFrame, tau_micro: int = COS_TAU_MICRO) -> DataFrame:
@@ -215,10 +318,11 @@ _COS_EXPR = (
 
 def embedding_dup_oracle(tau_micro: int = COS_TAU_MICRO,
                          n_centroids: int = N_CENTROIDS,
-                         n_probe: int = N_PROBE) -> str:
+                         n_probe: int = N_PROBE,
+                         max_cell: int = MAX_CELL) -> str:
     """Same IVF-prefilter algorithm in DuckDB: assign every vector to
-    its n_probe closest cells, pair within cells, verify exact
-    quantized cosine."""
+    its n_probe closest cells, drop over-cap cells, pair within
+    cells, verify exact quantized cosine."""
     return f"""WITH {_quant_dot_cte('TRUE', f'b.vec_id < {n_centroids}')},
 cos_all AS (
   SELECT d.va AS vec_id, d.vb AS cid, {_COS_EXPR} AS cm
@@ -234,9 +338,15 @@ assign AS (
     FROM cos_all
   ) z WHERE r <= {n_probe}
 ),
+capped AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell, COUNT(*) OVER (PARTITION BY cell) AS csz
+    FROM assign
+  ) zz WHERE csz <= {max_cell}
+),
 cand AS (
   SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
-  FROM assign x JOIN assign y ON x.cell = y.cell AND x.vec_id < y.vec_id
+  FROM capped x JOIN capped y ON x.cell = y.cell AND x.vec_id < y.vec_id
 ),
 qc2 AS (SELECT * FROM qc),
 pairdots AS (

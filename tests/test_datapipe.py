@@ -146,6 +146,96 @@ def test_embedding_dup_prefilter_recall(emb):
     assert planted <= got
 
 
+def test_embedding_cell_cap_engages_and_is_audited(spark, emb):
+    """A planted dominant cell (many near-identical vectors) must be
+    DROPPED by max_cell before the candidate self-join — and reported
+    by embedding_dropped_cells — while normal cells still pair. The
+    quadratic-cell guard mirrors dedup.MAX_BUCKET."""
+    from pisa_spark.datapipe.similarity import (
+        embedding_dropped_cells, embedding_dup_pairs,
+    )
+
+    base = emb.limit(40).toPandas()
+    dim = len(base["embedding"].iloc[0])
+    # 30 near-identical vectors -> one dominant cell of >= 30 members
+    dom = pd.DataFrame(
+        {
+            "vec_id": [10_000 + i for i in range(30)],
+            "embedding": [
+                [1.0 + 1e-4 * i] + [0.0] * (dim - 1) for i in range(30)
+            ],
+        }
+    )
+    both = spark.createDataFrame(
+        pd.concat([base[["vec_id", "embedding"]], dom]),
+        schema="vec_id long, embedding array<double>",
+    )
+    cap = 20
+    dropped = embedding_dropped_cells(both, max_cell=cap).toPandas()
+    assert len(dropped) >= 1 and (dropped["cell_size"] > cap).all()
+    pairs = embedding_dup_pairs(both, tau_micro=999_000, max_cell=cap).toPandas()
+    planted = set(range(10_000, 10_030))
+    got_ids = set(pairs["vec_a"]) | set(pairs["vec_b"])
+    # the dominant cell's members produced no pairs (capped out)...
+    assert not (got_ids & planted)
+    # ...but WITHOUT the cap they would all pair up
+    uncapped = embedding_dup_pairs(
+        both, tau_micro=999_000, max_cell=10_000
+    ).toPandas()
+    un_ids = set(uncapped["vec_a"]) | set(uncapped["vec_b"])
+    assert planted <= un_ids
+
+
+def test_ivf_lloyd_refinement_balances_cells(spark, emb):
+    """1-2 Lloyd passes on the first-N seed must reduce cell-size
+    imbalance on a corpus where the seed is unlucky (all seed vectors
+    drawn from one cluster)."""
+    from pisa_spark.datapipe.similarity import (
+        _cosm_expr, _dot_expr, _n2_expr, _qarr_expr, ivf_train_centroids,
+    )
+    from pyspark.sql import Window
+
+    rng = np.random.default_rng(7)
+    dim = 8
+    # two well-separated clusters; the first 4 vectors (the seed) all
+    # come from cluster A -> seeded cells can't split cluster B
+    a = rng.normal(loc=[5] * 4 + [0] * 4, scale=0.2, size=(40, dim))
+    b = rng.normal(loc=[0] * 4 + [5] * 4, scale=0.2, size=(40, dim))
+    mat = np.vstack([a[:4], np.vstack([a[4:], b])])
+    pdf = pd.DataFrame(
+        {"vec_id": range(len(mat)), "embedding": [list(r) for r in mat]}
+    )
+    vdf = spark.createDataFrame(pdf, schema="vec_id long, embedding array<double>")
+
+    def cell_sizes(cent_df):
+        q = (
+            vdf.select("vec_id", F.expr(_qarr_expr()).alias("qarr"))
+            .withColumn("n2", F.expr(_n2_expr()))
+        )
+        cc = cent_df.withColumn("cn2", F.expr(_n2_expr("carr")))
+        cos_c = (
+            q.crossJoin(F.broadcast(cc))
+            .withColumn("dot", F.expr(_dot_expr("qarr", "carr")))
+            .withColumn("cm", F.expr(_cosm_expr("dot", "n2", "cn2")))
+        )
+        w = Window.partitionBy("vec_id").orderBy(
+            F.col("cm").desc(), F.col("cid").asc()
+        )
+        sizes = (
+            cos_c.withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") == 1)
+            .groupBy("cid").count().toPandas()["count"]
+        )
+        return sizes.to_numpy()
+
+    seed = ivf_train_centroids(vdf, n_centroids=4, iters=0)
+    refined = ivf_train_centroids(vdf, n_centroids=4, iters=2)
+    s0, s2 = cell_sizes(seed), cell_sizes(refined)
+    # seed: one cell swallows cluster B (max size ~> half the corpus);
+    # refined: the dominant cell shrinks
+    assert s2.max() < s0.max(), (s0.tolist(), s2.tolist())
+
+
 # --------------------------------------------------------------------- ANN
 
 def test_ann_topk_matches_numpy_bruteforce(emb):
