@@ -64,6 +64,13 @@ def varint_decode(data: bytes, n: int | None = None) -> np.ndarray:
     if raw.size == 0:
         return np.empty(0, dtype=np.uint64)
     term = (raw & 0x80) != 0
+    if term.all():  # every value fits 7 bits (tfs, short gaps): one op
+        vals = (raw & 0x7F).astype(np.uint64)
+        if n is not None and vals.size != n:
+            raise ValueError(
+                f"varint_decode: expected {n} values, got {vals.size}"
+            )
+        return vals
     ends = np.flatnonzero(term)  # index of last byte of each value
     starts = np.empty_like(ends)
     starts[0] = 0
@@ -79,3 +86,10 @@ def varint_decode(data: bytes, n: int | None = None) -> np.ndarray:
     if n is not None and vals.size != n:
         raise ValueError(f"varint_decode: expected {n} values, got {vals.size}")
     return vals
+
+
+# Self-delimiting per-value code: decode(a + b, n_a + n_b) ==
+# concat(decode(a, n_a), decode(b, n_b)). Kernels exploit this to
+# decode a block's doc/tf/len payloads in ONE call (TermPostings.
+# decode_block) — fixed-layout codecs must NOT set this.
+varint_decode.concat_safe = True

@@ -22,8 +22,12 @@ Kernel inventory:
                       reference's ranked_or/taat, ranked_or_query.hpp)
 - ranked_and_kernel   exhaustive conjunction (ranked_and_query.hpp)
 - and_kernel/or_kernel  Boolean (and_query.hpp / or_query.hpp)
-- wand_kernel         WAND dynamic pruning (wand_query.hpp:10-93)
-- block_max_wand_kernel  BMW (block_max_wand_query.hpp:8-167)
+- wand_kernel         WAND dynamic pruning (wand_query.hpp:10-93),
+                      batched interval-sweep form (_interval_sweep);
+                      wand_kernel_daat is the literal cursor loop
+- block_max_wand_kernel  BMW (block_max_wand_query.hpp:8-167), batched
+                      interval-sweep form; block_max_wand_kernel_daat
+                      is the literal cursor loop (agreement-tested)
 - maxscore_kernel     batch-vectorized MaxScore (maxscore_query.hpp:
                       13-143): essential/non-essential split by
                       max-score suffix sums, vectorized lookup phase —
@@ -75,21 +79,36 @@ class TermPostings:
     tf_payloads: list[bytes]
     len_payloads: list[bytes]  # per-posting doc_len-1 (rides in the block)
     decode: object  # codec decode fn
+    idf_cache: object = None  # lazily-built constant-idf array (_score)
 
     def decode_block(self, bi: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """(docs, tfs, doc_lens) for one block. Doc lengths are stored
         inline (segments.py len_bytes) — the wand_data.hpp:38-117
         design of keeping lengths WITH the index data — so no kernel
-        ever needs a driver-side doc-length array."""
+        ever needs a driver-side doc-length array.
+
+        Self-delimiting codecs (varint_decode.concat_safe) decode the
+        three payloads in ONE call — the per-call numpy overhead at
+        128-value granularity is the kernels' hot path."""
         n = int(self.block_count[bi])
         Profiler.blocks += 1
         Profiler.postings += n
-        payload = self.decode(self.doc_payloads[bi], n).astype(np.int64)
+        if getattr(self.decode, "concat_safe", False):
+            fused = self.decode(
+                self.doc_payloads[bi] + self.tf_payloads[bi]
+                + self.len_payloads[bi],
+                3 * n,
+            ).astype(np.int64)
+            payload = fused[:n]
+            tfs = fused[n:2 * n] + 1
+            lens = fused[2 * n:] + 1
+        else:
+            payload = self.decode(self.doc_payloads[bi], n).astype(np.int64)
+            tfs = self.decode(self.tf_payloads[bi], n).astype(np.int64) + 1
+            lens = self.decode(self.len_payloads[bi], n).astype(np.int64) + 1
         docs = payload.copy()
         docs[1:] += 1
         docs = np.cumsum(docs)
-        tfs = self.decode(self.tf_payloads[bi], n).astype(np.int64) + 1
-        lens = self.decode(self.len_payloads[bi], n).astype(np.int64) + 1
         return docs, tfs, lens
 
     def decode_all(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -122,14 +141,27 @@ def _score(tp: TermPostings, tfs: np.ndarray, lens: np.ndarray,
 
     Quantized indexes (scorer/quantized.hpp): the decoded "tf" IS the
     impact; the scorer is identity, so micro = weight * q * 1e6
-    exactly (integers)."""
+    exactly (integers).
+
+    The idf factor is constant per term, so its (np.log-based) array
+    is computed once per TermPostings and sliced — elementwise ops
+    identical to bm25_score_np, so micro quantization is unchanged."""
     if stats.quantized:
         return to_micro_np(tfs.astype(np.float64), tp.weight)
-    raw = bm25_score_np(
-        tfs, np.full(len(tfs), tp.df), lens,
-        stats.num_docs, stats.avg_len, k1=stats.k1, b=stats.b,
+    n = len(tfs)
+    idf = tp.idf_cache
+    if idf is None or len(idf) < n:
+        from pisa_spark.functions.scoring import bm25_idf_np
+
+        idf = bm25_idf_np(
+            np.full(max(n, 256), tp.df), stats.num_docs, k1=stats.k1
+        )
+        tp.idf_cache = idf
+    tf = tfs.astype(np.float64)
+    norm = tf + stats.k1 * (
+        (1.0 - stats.b) + stats.b * lens.astype(np.float64) / stats.avg_len
     )
-    return to_micro_np(raw, tp.weight)
+    return to_micro_np(idf[:n] * tf / norm, tp.weight)
 
 
 def _finalize(docs: np.ndarray, micros: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
@@ -338,9 +370,136 @@ class _TopK:
         return _finalize(docs, scores, k)
 
 
+def _interval_sweep(terms: list[TermPostings], k: int, stats: Stats,
+                    init_threshold: float,
+                    block_level: bool) -> tuple[np.ndarray, np.ndarray]:
+    """Batched WAND/BMW engine: the numpy form of the cursor loop.
+
+    The docID space is partitioned at the union of every term's block
+    boundaries, so each interval lies inside exactly ONE block per
+    term; each interval's score upper bound is the sum of the
+    overlapping blocks' maxima (``block_level=True``, BMW's shallow
+    check) or of the overlapping TERM maxima (``block_level=False``,
+    WAND's pivot bound) — both computed in one vectorized
+    searchsorted per term. Intervals are then processed in DESCENDING
+    bound order: every candidate inside a surviving interval is
+    scored exactly (vectorized per block, each block decoded at most
+    once), the running k-th score raises θ, and the first interval
+    whose bound fails ``> θ`` ends the query (bounds are sorted, so
+    all later intervals fail too).
+
+    Python cost is per INTERVAL (≈ per block), never per posting —
+    the same batching that makes block_max_maxscore_kernel fast —
+    while the pruning decisions are the cursor algorithms' own:
+    a skipped doc has true score <= interval bound <= θ = k-th − eps,
+    exactly _TopK.would_enter's test, so the top-k (incl. docID
+    tie-breaks) is identical to the DAAT form (pinned by
+    test_batched_kernels_match_daat)."""
+    terms = [t for t in terms if len(t.doc_payloads)]
+    if not terms:
+        return np.empty(0, np.int64), np.empty(0, np.float64)
+    ends = np.unique(np.concatenate([t.block_max_doc for t in terms]))
+    n_iv = len(ends)
+    ubs = np.zeros(n_iv, dtype=np.float64)
+    term_bi = []
+    for t in terms:
+        nb = len(t.block_max_doc)
+        bi = np.searchsorted(t.block_max_doc, ends, side="left")
+        in_r = bi < nb
+        if block_level:
+            contrib = np.where(in_r, t.block_max_score[np.minimum(bi, nb - 1)], 0.0)
+        else:
+            contrib = np.where(in_r, t.max_score, 0.0)
+        ubs += contrib
+        term_bi.append(bi)
+    order = np.argsort(-ubs, kind="stable")
+
+    # Intervals are consumed in geometrically-growing ROUNDS (by ub
+    # desc): per round every needed block is decoded once (cached with
+    # its doc->interval mapping) and its postings inside the round's
+    # chosen intervals are selected with one boolean gather — Python
+    # cost is per (round, block), and θ rises between rounds so the
+    # sorted tail is abandoned wholesale at the first failing bound.
+    ubs_sorted = ubs[order]
+    theta = float(init_threshold)
+    caches: list[dict] = [{} for _ in terms]
+    cand_d: list[np.ndarray] = []
+    cand_s: list[np.ndarray] = []
+    topk_buf = np.empty(0, dtype=np.int64)  # best k micros so far
+    chosen_mask = np.zeros(n_iv, dtype=bool)
+    pos = 0
+    batch = max(2, k // 16)
+    while pos < n_iv and ubs_sorted[pos] > theta:
+        # sorted desc: the prefix with ub > theta ends at `cut`
+        cut = int(np.searchsorted(-ubs_sorted, -theta, side="left"))
+        hi = min(pos + batch, cut)
+        chosen = order[pos:hi]
+        chosen_mask[chosen] = True
+        parts_d, parts_s = [], []
+        for ti, t in enumerate(terms):
+            nb = len(t.block_max_doc)
+            bis = np.unique(term_bi[ti][chosen])
+            cache = caches[ti]
+            for bi in bis:
+                if bi >= nb:
+                    continue
+                blk = cache.get(bi)
+                if blk is None:
+                    d, tf, ln = t.decode_block(int(bi))
+                    blk = (d, _score(t, tf, ln, stats),
+                           np.searchsorted(ends, d, side="left"))
+                    cache[bi] = blk
+                d, s, iv = blk
+                keep = chosen_mask[iv]
+                parts_d.append(d[keep])
+                parts_s.append(s[keep])
+        chosen_mask[chosen] = False
+        pos = hi
+        batch *= 2
+        if not parts_d:
+            continue
+        docs, micros = _aggregate(
+            np.concatenate(parts_d), np.concatenate(parts_s)
+        )
+        if docs.size == 0:
+            continue
+        cand_d.append(docs)
+        cand_s.append(micros)
+        topk_buf = np.concatenate([topk_buf, micros])
+        if len(topk_buf) > k:
+            topk_buf = np.partition(topk_buf, -k)[-k:]
+        if len(topk_buf) >= k:
+            t_new = int(topk_buf.min()) - PRUNE_EPS
+            if t_new > theta:
+                theta = float(t_new)
+    if not cand_d:
+        return np.empty(0, np.int64), np.empty(0, np.float64)
+    return _finalize(np.concatenate(cand_d), np.concatenate(cand_s), k)
+
+
 def wand_kernel(terms: list[TermPostings], k: int,
                 stats: Stats, init_threshold: float = 0.0) -> tuple[np.ndarray, np.ndarray]:
-    """WAND (wand_query.hpp:10-93): pivot by cumulative max-score."""
+    """WAND (wand_query.hpp:10-93), batched: the pivot's cumulative
+    term-max bound becomes a per-interval overlapping-term-max bound
+    (see _interval_sweep). Identical top-k to wand_kernel_daat."""
+    return _interval_sweep(terms, k, stats, init_threshold, block_level=False)
+
+
+def block_max_wand_kernel(terms: list[TermPostings], k: int,
+                          stats: Stats,
+                          init_threshold: float = 0.0) -> tuple[np.ndarray, np.ndarray]:
+    """BMW (block_max_wand_query.hpp:8-167), batched: the shallow
+    block-max check becomes the per-interval bound and the "jump to
+    the next block boundary" becomes interval skipping (see
+    _interval_sweep). Identical top-k to block_max_wand_kernel_daat."""
+    return _interval_sweep(terms, k, stats, init_threshold, block_level=True)
+
+
+def wand_kernel_daat(terms: list[TermPostings], k: int,
+                     stats: Stats, init_threshold: float = 0.0) -> tuple[np.ndarray, np.ndarray]:
+    """WAND (wand_query.hpp:10-93): per-posting DAAT cursor loop with
+    pivot by cumulative max-score — the reference's literal control
+    flow, kept as the agreement baseline for the batched kernel."""
     from operator import attrgetter
 
     by_docid = attrgetter("docid")
@@ -383,12 +542,13 @@ def wand_kernel(terms: list[TermPostings], k: int,
     return topk.finalize(k)
 
 
-def block_max_wand_kernel(terms: list[TermPostings], k: int,
-                          stats: Stats,
-                          init_threshold: float = 0.0) -> tuple[np.ndarray, np.ndarray]:
-    """BMW (block_max_wand_query.hpp:8-167): WAND pivot + block-max
-    refinement + jump to min block boundary when the shallow check
-    fails."""
+def block_max_wand_kernel_daat(terms: list[TermPostings], k: int,
+                               stats: Stats,
+                               init_threshold: float = 0.0) -> tuple[np.ndarray, np.ndarray]:
+    """BMW (block_max_wand_query.hpp:8-167): per-posting DAAT cursor
+    loop — WAND pivot + block-max refinement + jump to min block
+    boundary when the shallow check fails. Kept as the agreement
+    baseline for the batched kernel."""
     from operator import attrgetter
 
     by_docid = attrgetter("docid")

@@ -407,3 +407,52 @@ def test_pruned_kernels_decode_fewer_blocks(spark, index, parsed):
     assert bmm <= exhaustive
     # on the gate workload at least SOME pruning must happen
     assert bmw < exhaustive or bmm < exhaustive
+
+
+def test_batched_kernels_match_daat(index, parsed, spark):
+    """The batched interval-sweep WAND/BMW kernels must return the
+    IDENTICAL top-k (docs and scores, incl. docID tie-breaks) as the
+    literal per-posting DAAT cursor implementations on the gate
+    workload — the agreement test behind the batched rewrite."""
+    import numpy as np
+
+    from pisa_spark.codecs import CODECS
+    from pisa_spark.query.executor import _group_to_terms, _query_segments
+    from pisa_spark.query.kernels import (
+        Stats,
+        block_max_wand_kernel,
+        block_max_wand_kernel_daat,
+        wand_kernel,
+        wand_kernel_daat,
+    )
+
+    decode = CODECS[index.config.index.codec][1]
+    stats = Stats(
+        num_docs=float(index.num_docs), avg_len=float(index.avg_len),
+        k1=index.config.bm25.k1, b=index.config.bm25.b,
+    )
+    from pisa_spark.query.kernels import PRUNE_EPS, ranked_or_kernel
+
+    pdf = _query_segments(index, parsed).toPandas()
+    n_q = 0
+    for _, g in pdf.groupby("query_id"):
+        terms = _group_to_terms(g, decode)
+        # thresholds must be SOUND lower bounds on the k-th final
+        # score (the executor contract) — with an unsound bound the
+        # tail below the true k-th may legitimately differ between
+        # pruning strategies
+        _, ref_scores = ranked_or_kernel(terms, 10, stats)
+        inits = [0.0]
+        if len(ref_scores) >= 10:
+            inits.append(round(ref_scores[-1] * 1e6) - PRUNE_EPS)
+        for batched, daat in (
+            (block_max_wand_kernel, block_max_wand_kernel_daat),
+            (wand_kernel, wand_kernel_daat),
+        ):
+            for init in inits:
+                got = batched(terms, 10, stats, init_threshold=init)
+                want = daat(terms, 10, stats, init_threshold=init)
+                assert np.array_equal(got[0], want[0])
+                assert np.allclose(got[1], want[1])
+        n_q += 1
+    assert n_q >= 10
