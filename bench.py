@@ -15,9 +15,17 @@ tools/queries.cpp:74-115) measured in-process over the workload's
 decoded segments, so round-over-round per-algorithm regressions are
 visible independent of Spark scheduling noise.
 
+Noise robustness: this box is a shared-host VM with up to 2x
+neighbor CPU steal (BENCH.md), so every job is timed as BEST-OF-N
+after one untimed warmup (the scripts/scaling.py protocol) — the
+reported number reflects the code, not the neighbors. Repeat counts
+ride in the output JSON.
+
 Env:
   SPARK_GRAFT_SF_DIR      input dir (default /root/testdata/sf0.1)
   SPARK_GRAFT_CPUS        local[N] cores (default 32)
+  SPARK_GRAFT_REPEATS     timed runs per query job, best-of (default 3)
+  SPARK_GRAFT_BUILD_REPEATS  full index builds, best-of (default 2)
   SPARK_GRAFT_SYNTH_DOCS  if set (e.g. 50000), ALSO build a
                           deterministic synthetic corpus of that many
                           docs (corpus.synth_pages — sf1.0-equivalent
@@ -45,7 +53,7 @@ def kernel_latencies(index, parsed, algos, k: int = 10) -> dict:
     """Per-query kernel latency stats (µs): pull the workload's
     segment rows once (query-term lists only — workload-sized, the
     in-memory form the reference benchmarks), then per query run each
-    kernel with 1 warmup + 2 timed runs and keep the min."""
+    kernel with 1 warmup + 3 timed runs and keep the min."""
     from pisa_spark.codecs import CODECS
     from pisa_spark.query.executor import (
         RANKED_KERNELS, _group_to_terms, _query_segments,
@@ -69,7 +77,7 @@ def kernel_latencies(index, parsed, algos, k: int = 10) -> dict:
             kernel = RANKED_KERNELS[algo]
             kernel(terms, kk, stats)  # warmup
             best = float("inf")
-            for _ in range(2):
+            for _ in range(3):
                 t = time.perf_counter()
                 kernel(terms, kk, stats)
                 best = min(best, time.perf_counter() - t)
@@ -107,6 +115,9 @@ def main() -> None:
     from pisa_spark.corpus import pages_from_documents
     from pisa_spark.index import build_index
 
+    repeats = int(os.environ.get("SPARK_GRAFT_REPEATS", "3"))
+    build_repeats = int(os.environ.get("SPARK_GRAFT_BUILD_REPEATS", "2"))
+
     pages = pages_from_documents(spark, sf_dir)
     n_docs = pages.count()  # warms the session + pins the input size
 
@@ -115,19 +126,31 @@ def main() -> None:
         index=IndexConfig(salt_bucket_docs=1 << 20),
     )
 
-    t0 = time.perf_counter()
-    index = build_index(spark, pages, cfg)
-    # Force every artifact the queries need (segments + meta + lexicon).
-    index.segments.persist().count()
-    index.term_meta.persist().count()
-    build_sec = time.perf_counter() - t0
+    # Best-of-N full builds (neighbor-steal robustness); the LAST
+    # build's artifacts are persisted for the query jobs.
+    build_sec = float("inf")
+    index = None
+    for _ in range(max(1, build_repeats)):
+        if index is not None:
+            index.segments.unpersist()
+            index.term_meta.unpersist()
+        t0 = time.perf_counter()
+        index = build_index(spark, pages, cfg)
+        # Force every artifact the queries need (segments + meta + lexicon).
+        index.segments.persist().count()
+        index.term_meta.persist().count()
+        build_sec = min(build_sec, time.perf_counter() - t0)
 
     queries: dict[str, float] = {}
 
     def timed(name: str, fn) -> None:
-        t = time.perf_counter()
-        fn()
-        queries[name] = round(time.perf_counter() - t, 4)
+        fn()  # untimed warmup (plan compilation, shuffle file warmup)
+        best = float("inf")
+        for _ in range(max(1, repeats)):
+            t = time.perf_counter()
+            fn()
+            best = min(best, time.perf_counter() - t)
+        queries[name] = round(best, 4)
 
     # --- SQL path: exhaustive ranked_or over the documents view (Catalyst).
     from pisa_spark.gated.sql import DIALECT_SPARK, core_sql_entries
@@ -261,6 +284,8 @@ def main() -> None:
                 "queries": queries,
                 "kernel_latency_us": kernel_latency_us,
                 "sf": sf,
+                "repeats": repeats,
+                "build_repeats": build_repeats,
                 "build_sec": round(build_sec, 4),
                 "build_docs_per_sec": round(n_docs / build_sec, 2),
                 "n_docs": n_docs,

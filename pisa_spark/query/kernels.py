@@ -398,6 +398,39 @@ def _interval_sweep(terms: list[TermPostings], k: int, stats: Stats,
     terms = [t for t in terms if len(t.doc_payloads)]
     if not terms:
         return np.empty(0, np.int64), np.empty(0, np.float64)
+    if len(terms) == 1:
+        # Single term: intervals ARE the blocks and docs are already
+        # unique — skip the union/aggregate machinery. Blocks by
+        # descending bound (block max for BMW, term max for WAND),
+        # stop at the first failing bound; same pruning test as DAAT.
+        t = terms[0]
+        bounds = (
+            t.block_max_score if block_level
+            else np.full(len(t.block_max_doc), t.max_score)
+        )
+        order = np.argsort(-bounds, kind="stable")
+        theta = float(init_threshold)
+        cand_d, cand_s = [], []
+        topk_buf = np.empty(0, dtype=np.int64)
+        for bi in order:
+            if not bounds[bi] > theta:
+                break
+            d, tf, ln = t.decode_block(int(bi))
+            s = _score(t, tf, ln, stats)
+            cand_d.append(d)
+            cand_s.append(s)
+            topk_buf = np.concatenate([topk_buf, s])
+            if len(topk_buf) > k:
+                topk_buf = np.partition(topk_buf, -k)[-k:]
+            if len(topk_buf) >= k:
+                t_new = int(topk_buf.min()) - PRUNE_EPS
+                if t_new > theta:
+                    theta = float(t_new)
+        if not cand_d:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        return _finalize(
+            np.concatenate(cand_d), np.concatenate(cand_s), k
+        )
     ends = np.unique(np.concatenate([t.block_max_doc for t in terms]))
     n_iv = len(ends)
     ubs = np.zeros(n_iv, dtype=np.float64)
@@ -423,39 +456,75 @@ def _interval_sweep(terms: list[TermPostings], k: int, stats: Stats,
     ubs_sorted = ubs[order]
     theta = float(init_threshold)
     caches: list[dict] = [{} for _ in terms]
+    # Each block covers a CONTIGUOUS interval-id range [first, last]
+    # (intervals are docID-ordered cuts of contiguous block ranges) —
+    # with a per-round prefix sum over the chosen mask, "fully/partly/
+    # not chosen" is O(1) per block and the doc->interval gather runs
+    # only for partially-chosen blocks.
+    blk_last: list[np.ndarray] = []
+    blk_first: list[np.ndarray] = []
+    for t in terms:
+        last = np.searchsorted(ends, t.block_max_doc, side="left")
+        first = np.empty_like(last)
+        first[0] = 0
+        first[1:] = last[:-1] + 1
+        blk_last.append(last)
+        blk_first.append(first)
     cand_d: list[np.ndarray] = []
     cand_s: list[np.ndarray] = []
     topk_buf = np.empty(0, dtype=np.int64)  # best k micros so far
     chosen_mask = np.zeros(n_iv, dtype=bool)
     pos = 0
-    batch = max(2, k // 16)
+    # First round sized so the no-pruning case finishes in ~3 rounds
+    # (fixed per-round cost dominates when θ separates nothing, e.g.
+    # flat-score corpora); pruning-heavy queries still abandon the
+    # sorted tail after round 1.
+    batch = max(2, k // 16, n_iv // 16)
     while pos < n_iv and ubs_sorted[pos] > theta:
         # sorted desc: the prefix with ub > theta ends at `cut`
         cut = int(np.searchsorted(-ubs_sorted, -theta, side="left"))
-        hi = min(pos + batch, cut)
+        if cut >= n_iv and pos > 0:
+            # θ (seeded by round 1) prunes nothing: this is a
+            # flat-score/no-pruning query — finish in ONE round so
+            # each block is gathered once (≈ exhaustive TAAT cost)
+            # instead of re-masked every geometric round.
+            hi = n_iv
+        else:
+            hi = min(pos + batch, cut)
         chosen = order[pos:hi]
         chosen_mask[chosen] = True
+        pref = np.empty(n_iv + 1, dtype=np.int64)
+        pref[0] = 0
+        np.cumsum(chosen_mask, out=pref[1:])
         parts_d, parts_s = [], []
         for ti, t in enumerate(terms):
             nb = len(t.block_max_doc)
             bis = np.unique(term_bi[ti][chosen])
             cache = caches[ti]
+            first_a, last_a = blk_first[ti], blk_last[ti]
             for bi in bis:
                 if bi >= nb:
                     continue
                 blk = cache.get(bi)
                 if blk is None:
                     d, tf, ln = t.decode_block(int(bi))
-                    blk = (d, _score(t, tf, ln, stats),
-                           np.searchsorted(ends, d, side="left"))
+                    blk = [d, _score(t, tf, ln, stats), None]
                     cache[bi] = blk
                 d, s, iv = blk
-                keep = chosen_mask[iv]
-                parts_d.append(d[keep])
-                parts_s.append(s[keep])
+                lo_iv, hi_iv = int(first_a[bi]), int(last_a[bi])
+                if pref[hi_iv + 1] - pref[lo_iv] == hi_iv - lo_iv + 1:
+                    parts_d.append(d)  # whole block chosen: no gather
+                    parts_s.append(s)
+                else:
+                    if iv is None:
+                        iv = np.searchsorted(ends, d, side="left")
+                        blk[2] = iv
+                    keep = chosen_mask[iv]
+                    parts_d.append(d[keep])
+                    parts_s.append(s[keep])
         chosen_mask[chosen] = False
         pos = hi
-        batch *= 2
+        batch *= 4
         if not parts_d:
             continue
         docs, micros = _aggregate(
