@@ -34,42 +34,6 @@ EPS1 = 0.01
 EPS2 = 0.4
 
 
-class _Window:
-    """Sliding window [start, end) with monotonic-deque max and a cost
-    cap (score_opt_partition.hpp score_window)."""
-
-    __slots__ = ("s", "start", "end", "sum", "maxq", "cost_bound", "fixed")
-
-    def __init__(self, s: list, cost_bound: float, fixed_cost: float):
-        self.s = s
-        self.start = 0
-        self.end = 0
-        self.sum = 0.0
-        self.maxq: deque = deque()
-        self.cost_bound = cost_bound
-        self.fixed = fixed_cost
-
-    def advance_start(self):
-        v = self.s[self.start]
-        if self.maxq and v == self.maxq[0]:
-            self.maxq.popleft()
-        self.sum -= v
-        self.start += 1
-
-    def advance_end(self):
-        v = self.s[self.end]
-        self.sum += v
-        while self.maxq and self.maxq[-1] < v:
-            self.maxq.pop()
-        self.maxq.append(v)
-        self.end += 1
-
-    def cost(self) -> float:
-        if self.end - self.start < 2:
-            return self.fixed
-        return (self.end - self.start) * self.maxq[0] - self.sum + self.fixed
-
-
 def score_opt_partition(
     scores: np.ndarray,
     fixed_cost: float,
@@ -99,25 +63,57 @@ def score_opt_partition(
         if cb >= single_block_cost:
             break
         cb *= 1 + eps2
-    windows = [_Window(s, b, fixed_cost) for b in bounds]
 
+    # Hot loop: the relaxation is inherently sequential (min_cost[i]
+    # feeds every later end — same O(n * n_windows) shape as the
+    # reference C++), so the optimization here is constants: window
+    # state lives in parallel local lists with the deque/cost math
+    # inlined (no attribute hops, no method calls per posting).
+    nw = len(bounds)
+    w_start = [0] * nw
+    w_end = [0] * nw
+    w_sum = [0.0] * nw
+    w_maxq = [deque() for _ in range(nw)]
     for i in range(n):
         last_end = i + 1
-        for w in windows:
-            while w.end < last_end:
-                w.advance_end()
+        mc_i = min_cost[i]
+        for wi in range(nw):
+            end = w_end[wi]
+            start = w_start[wi]
+            ssum = w_sum[wi]
+            maxq = w_maxq[wi]
+            while end < last_end:
+                v = s[end]
+                ssum += v
+                while maxq and maxq[-1] < v:
+                    maxq.pop()
+                maxq.append(v)
+                end += 1
+            bound = bounds[wi]
             while True:
-                wc = w.cost()
-                if min_cost[i] + wc < min_cost[w.end]:
-                    min_cost[w.end] = min_cost[i] + wc
-                    path[w.end] = i
-                last_end = w.end
-                if w.end == n:
+                width = end - start
+                wc = (width * maxq[0] - ssum + fixed_cost
+                      if width >= 2 else fixed_cost)
+                cand = mc_i + wc
+                if cand < min_cost[end]:
+                    min_cost[end] = cand
+                    path[end] = i
+                last_end = end
+                if end == n or wc >= bound:
                     break
-                if wc >= w.cost_bound:
-                    break
-                w.advance_end()
-            w.advance_start()
+                v = s[end]
+                ssum += v
+                while maxq and maxq[-1] < v:
+                    maxq.pop()
+                maxq.append(v)
+                end += 1
+            # advance_start
+            v = s[start]
+            if maxq and v == maxq[0]:
+                maxq.popleft()
+            w_sum[wi] = ssum - v
+            w_start[wi] = start + 1
+            w_end[wi] = end
 
     ends = []
     cur = n

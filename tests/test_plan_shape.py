@@ -1,0 +1,161 @@
+"""Physical-plan shape regression tests.
+
+BENCH.md's plan audit makes three structural claims about the engine;
+these tests pin them so future edits can't silently reintroduce the
+round-1 scale-killers:
+
+1. the kernel query path plans NO SortMergeJoin (the query side is
+   broadcast into the segment scan — segments never shuffle);
+2. no BroadcastExchange is ever fed by the SEGMENTS side (broadcasting
+   the 100 TB side would OOM every executor);
+3. with ``lexicon_broadcast_threshold=0`` the build path adds no
+   broadcast hint anywhere (maybe_broadcast is identity).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from pisa_spark.config import AnalyzerConfig, EngineConfig, IndexConfig
+
+SF = "/root/testdata/sf0.001"
+CFG = EngineConfig(
+    analyzer=AnalyzerConfig(tokenizer="whitespace"),
+    index=IndexConfig(salt_bucket_docs=256),
+)
+
+
+@pytest.fixture(scope="module")
+def index(spark):
+    from pisa_spark.corpus import pages_from_documents
+    from pisa_spark.index import build_index
+
+    pages = pages_from_documents(spark, SF).limit(200)
+    idx = build_index(spark, pages, CFG)
+    idx.segments.persist().count()
+    idx.term_meta.persist().count()
+    return idx
+
+
+@pytest.fixture(scope="module")
+def parsed(spark, index):
+    from pisa_spark.query.parser import parse_queries
+
+    terms = [r["term"] for r in index.lexicon.limit(12).collect()]
+    rows = [(f"q{i}", [terms[i], terms[(i + 5) % len(terms)]], 10)
+            for i in range(4)]
+    qdf = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["query_id", "terms", "k"]),
+        schema="query_id string, terms array<string>, k int",
+    )
+    return parse_queries(qdf, index.lexicon, pre_tokenized=True)
+
+
+def _plan_str(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _subtree_lines(plan: str, marker: str):
+    """Yield the text of each subtree rooted at a line containing
+    ``marker`` (tree-art indentation: a child's first alphanumeric
+    column is strictly greater than its parent's)."""
+    lines = plan.splitlines()
+
+    def depth(line: str) -> int:
+        for i, ch in enumerate(line):
+            if ch.isalnum() or ch == "*":
+                return i
+        return len(line)
+
+    for i, line in enumerate(lines):
+        if marker not in line:
+            continue
+        d = depth(line)
+        sub = [line]
+        for nxt in lines[i + 1:]:
+            if not nxt.strip():
+                break
+            if depth(nxt) <= d:
+                break
+            sub.append(nxt)
+        yield "\n".join(sub)
+
+
+def test_kernel_path_has_no_sort_merge_join(index, parsed):
+    from pisa_spark.query.executor import topk_search
+
+    plan = _plan_str(topk_search(index, parsed, algorithm="block_max_wand"))
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan  # the intended strategy
+
+
+def test_segments_never_broadcast(index, parsed):
+    """No BroadcastExchange subtree may contain the segments payload
+    columns (doc_bytes is segments-only) — the broadcast sides must be
+    the query-sized parsed/term_meta tables."""
+    from pisa_spark.query.executor import topk_range, topk_search
+
+    for df in (
+        topk_search(index, parsed, algorithm="block_max_wand"),
+        topk_range(index, parsed, algorithm="maxscore"),
+    ):
+        plan = _plan_str(df)
+        subtrees = list(_subtree_lines(plan, "BroadcastExchange"))
+        assert subtrees, plan  # the hinted joins must exist
+        for sub in subtrees:
+            assert "doc_bytes" not in sub, sub
+
+
+def test_threshold_zero_disables_lexicon_broadcast(spark):
+    from pisa_spark.build.invert import maybe_broadcast
+    from pisa_spark.corpus import pages_from_documents
+    from pisa_spark.index import build_index
+
+    df = spark.range(5).toDF("term_id")
+    # identity when disabled or unknown size; hint only when counted small
+    assert maybe_broadcast(df, 5, 0) is df
+    assert maybe_broadcast(df, None, 10_000) is df
+    assert maybe_broadcast(df, 5, 10_000) is not df
+
+    cfg = EngineConfig(
+        analyzer=AnalyzerConfig(tokenizer="whitespace"),
+        index=IndexConfig(salt_bucket_docs=256, lexicon_broadcast_threshold=0),
+    )
+    pages = pages_from_documents(spark, SF).limit(100)
+    idx = build_index(spark, pages, cfg)
+    for art in (idx.postings, idx.segments, idx.term_meta):
+        analyzed = art._jdf.queryExecution().analyzed().toString()
+        # The ONLY permitted hint is assign_global_ids' per-partition
+        # offset table (__pid/__off: one row per partition — small by
+        # construction, never corpus- or vocabulary-proportional).
+        lines = analyzed.splitlines()
+        for i, line in enumerate(lines):
+            if "ResolvedHint" not in line:
+                continue
+            target = lines[i + 1] if i + 1 < len(lines) else ""
+            assert "__off" in target, f"unexpected broadcast hint:\n{line}\n{target}"
+    # results still correct without hints (pinned cheaply by counts)
+    assert idx.postings.count() > 0 and idx.segments.count() > 0
+
+
+def test_live_range_join_is_unhinted(index, parsed, spark):
+    """The (rows x live_ranges) join deliberately carries NO broadcast
+    hint — at 10^12 docs the live set can be large; AQE must pick the
+    strategy. Pin: no BroadcastExchange subtree under that join's
+    aggregate contains doc_bytes (covered above) and the plan builds
+    without a hard hint from our side."""
+    from pisa_spark.query.executor import topk_range
+
+    thr = parsed.select("query_id").distinct().withColumn(
+        "threshold_micro", F.lit(0).cast("long")
+    )
+    df = topk_range(index, parsed, algorithm="maxscore", thresholds=thr)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    # exactly the broadcasts we hint (parsed/qt/thresholds) — counted
+    # conservatively: every ResolvedHint line must reference a
+    # query-sized relation, never the segments schema
+    for line in analyzed.splitlines():
+        if "ResolvedHint" in line:
+            assert "doc_bytes" not in line
