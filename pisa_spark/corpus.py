@@ -134,6 +134,38 @@ def synth_queries(
     return pd.DataFrame(rows, columns=["query_id", "terms", "k"])
 
 
+def pages_source(
+    spark: SparkSession,
+    source: str,
+    fmt: str | None = None,
+) -> DataFrame:
+    """input_hint pages table from any Spark source.
+
+    ``source`` is either a catalog table name (e.g. an ICEBERG table
+    — ``spark.read.table`` goes through the configured catalog, so
+    snapshot isolation, hidden partitioning, and partition/file
+    pruning come for free on a real cluster; the north-star input is
+    an Iceberg table of Common-Crawl-style pages) or a filesystem
+    path read with ``fmt`` (default parquet). This sandbox ships no
+    Iceberg runtime jar, so catalog reads are exercised on clusters;
+    the path branch is tested here — the engine itself only depends
+    on the input_hint SCHEMA, never on the storage format.
+
+    Validates the required columns and prunes to exactly the
+    input_hint shape (column pruning reaches the scan)."""
+    if "/" not in source and fmt is None:
+        df = spark.read.table(source)
+    else:
+        df = spark.read.format(fmt or "parquet").load(source)
+    required = ["url", "warc_ts", "html", "text", "lang"]
+    missing = [c for c in required if c not in df.columns]
+    if missing:
+        raise ValueError(
+            f"pages source {source!r} is missing input_hint columns: {missing}"
+        )
+    return df.select(*required)
+
+
 def pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Derive an input_hint-shaped pages table from the driver's
     ``documents`` parquet (deterministic; used by the gated queries so

@@ -64,8 +64,11 @@ def datapipe_oracle_sql():
         "doc_fingerprints": textstats.doc_fingerprints_oracle(),
         "mm_blob_meta": multimodal.blob_meta_oracle(),
         "mm_frame_sample": multimodal.frame_sample_oracle(),
-        # mm_decode_stub: fake-decoder output is not SQL-expressible
-        # (byte-level mean over binary) -> rows-only check by design.
+        # mm_decode_stub: the FAKE decoder's byte-level reduction IS
+        # SQL-expressible (hex-dump byte math) — value-exact oracle
+        # pinning the plumbing contract; a real pixel decoder would
+        # revert this entry to rows-only.
+        "mm_decode_stub": multimodal.decode_stub_oracle(),
     }
 
 

@@ -111,6 +111,38 @@ def fake_decode(blob: bytes) -> dict:
     }
 
 
+def decode_stub_oracle() -> str:
+    """DuckDB reproduction of the FAKE decoder's output, value-exact:
+    the blob is reconstructed as UTF-8 of the html wrapper (same
+    construction as corpus.pages_from_documents), and the byte mean
+    is computed from its hex dump (16*hi + lo per byte) — integer
+    sums, one IEEE division, identical doubles. A real pixel decoder
+    has no SQL form; THIS oracle pins the plumbing contract (sizes,
+    derived dims, byte-level reduction) the fake decoder defines."""
+    html = "'<html><body>' || text || '</body></html>'"
+    return f"""WITH b AS (
+  SELECT doc_id,
+         hex(encode({html})) AS hx,
+         octet_length(encode({html})) AS n
+  FROM documents
+),
+s AS (
+  SELECT doc_id, n, hx,
+         list_sum(list_transform(range(1, CAST(2 * n AS BIGINT) + 1),
+           j -> (strpos('0123456789ABCDEF', substr(hx, CAST(j AS INT), 1)) - 1)
+                * CASE WHEN j % 2 = 1 THEN 16 ELSE 1 END)) AS byte_sum
+  FROM b
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_bytes,
+       CASE WHEN substr(hx, 1, 2) = '3C' THEN 'fake/html'
+            ELSE 'fake/bin' END AS format,
+       CAST(n % 640 + 1 AS INT) AS width,
+       CAST(n % 480 + 1 AS INT) AS height,
+       CAST(byte_sum AS DOUBLE) / CAST(n AS DOUBLE) AS mean_byte
+FROM s"""
+
+
 def real_decode(blob: bytes) -> dict:  # pragma: no cover - stub
     """Plug-in point for an actual decoder; the container ships no
     image/audio libraries, so this is intentionally unimplemented."""

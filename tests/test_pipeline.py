@@ -155,3 +155,22 @@ def test_resumed_index_answers_queries(spark, pages, tmp_path):
     res = topk_search(idx, parsed, algorithm="maxscore", k=5).toPandas()
     assert len(res) > 0
     assert (res["score"] > 0).all()
+
+
+def test_pages_source_path_roundtrip(spark, tmp_path):
+    """pages_source reads any Spark source into the input_hint shape
+    (path branch; the table branch goes through the catalog — Iceberg
+    on a real cluster) and rejects schema-incomplete sources."""
+    import pytest
+
+    from pisa_spark.corpus import pages_source, synth_pages
+
+    p = str(tmp_path / "pages_pq")
+    synth_pages(spark, 50).write.mode("overwrite").parquet(p)
+    df = pages_source(spark, p)
+    assert df.columns == ["url", "warc_ts", "html", "text", "lang"]
+    assert df.count() == 50
+    bad = str(tmp_path / "bad_pq")
+    spark.range(5).write.mode("overwrite").parquet(bad)
+    with pytest.raises(ValueError, match="missing input_hint columns"):
+        pages_source(spark, bad)
