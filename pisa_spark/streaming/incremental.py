@@ -77,16 +77,12 @@ class IncrementalIndexer:
         self.spark = spark
         self.out = Path(out_dir)
         self.config = config or EngineConfig()
-        if self.config.index.compress_blockmax:
-            # u8-relative block maxima re-anchor on the (changing)
-            # term max; the query-side bound_factor would compound
-            # against a moving base — reject loudly rather than
-            # corrupt bounds
-            raise ValueError(
-                "IncrementalIndexer does not support "
-                "compress_blockmax=True (kept-block bound repair needs "
-                "f32 block maxima); build compressed indexes in batch"
-            )
+        # compress_blockmax IS supported: u8 block maxima are relative
+        # to the term max AS STORED in term_meta at encode time, and
+        # the query-side recovery multiplies term_max * bound_factor
+        # (executor._query_segments) — so kept blocks' recovered
+        # bounds inflate by exactly the same sound factor as f32
+        # bounds, and re-encoded terms reset max+factor together.
         if self.config.index.quantize_bits:
             # impact quantization is relative to the GLOBAL index max
             # at build time; generations built at different maxima
@@ -246,18 +242,27 @@ class IncrementalIndexer:
             postings.join(affected, "term_id").select("term_id", "doc_id", "tf"),
             doc_sizes, self._read("lexicon"), n_new, avg_new,
         )
-        build_segments(
-            scored, n_new, avg_new, self.config.index, self.config.bm25
-        ).withColumn("segment_gen", F.lit(gen)).write.mode("append").partitionBy(
-            "segment_gen"
-        ).parquet(self._path("segments"))
-
         # term_meta: affected terms exactly from `scored` (already
         # needed for the re-encode); untouched terms keep their stored
         # values and accumulate the sound query-side bound inflation.
         affected_meta = build_term_meta(
             scored, n_new, avg_new, self.config.bm25
         ).withColumn("bound_factor", F.lit(1.0))
+
+        gen_segments = build_segments(
+            scored, n_new, avg_new, self.config.index, self.config.bm25
+        )
+        if self.config.index.compress_blockmax:
+            # u8 maxima relative to the FRESH affected-term max — the
+            # same max affected_meta stores, so query-side recovery
+            # (q/255 * term_max * bound_factor) is exact-generation
+            # sound; factor starts at 1 and inflates both together.
+            from pisa_spark.build.segments import compress_block_maxes
+
+            gen_segments = compress_block_maxes(gen_segments, affected_meta)
+        gen_segments.withColumn("segment_gen", F.lit(gen)).write.mode(
+            "append"
+        ).partitionBy("segment_gen").parquet(self._path("segments"))
         if first:
             term_meta = affected_meta
         else:
@@ -291,16 +296,36 @@ class IncrementalIndexer:
 
     def compact(self) -> None:
         """Reclaim superseded segment generations and reset bound
-        inflation: rewrite the CURRENT view as generation ``gen`` (one
-        partition), re-encode nothing, recompute term_meta max scores
-        exactly. Corpus-proportional by design — run occasionally, not
-        per batch (the reference's merge step, SURVEY §2.4)."""
+        inflation: RE-ENCODE the whole index as generation ``gen``
+        (one partition) with fresh global stats, recompute term_meta
+        exactly, reset bound_factor to 1. Re-encoding (not just
+        re-writing the current view) is what makes the factor reset
+        SOUND: stored block maxima were computed under the stats of
+        each term's last touch, so carrying them verbatim with
+        factor=1 would under-bound any term whose scores inflated
+        since — exactly the staleness the factor existed to cover.
+        Corpus-proportional by design — run occasionally, not per
+        batch (the reference's merge step, SURVEY §2.4)."""
         st = self._stats_row()
         gen = int(st["gen"])
         n, ln = int(st["num_docs"]), int(st["collection_len"])
         avg = (ln / n) if n else 0.0
-        current = self._segments_current()
-        current.withColumn("segment_gen", F.lit(gen)).write.mode(
+        # Eager localCheckpoint: `scored` feeds the segment write AND
+        # term_meta, and term_meta executes after the lexicon (one of
+        # scored's parquet inputs) is overwritten — pin the rows now.
+        scored = scored_postings(
+            self._read("postings").select("term_id", "doc_id", "tf"),
+            self._read("doc_sizes"), self._read("lexicon"), n, avg,
+        ).localCheckpoint(eager=True)
+        term_meta = build_term_meta(scored, n, avg, self.config.bm25)
+        fresh = build_segments(
+            scored, n, avg, self.config.index, self.config.bm25
+        )
+        if self.config.index.compress_blockmax:
+            from pisa_spark.build.segments import compress_block_maxes
+
+            fresh = compress_block_maxes(fresh, term_meta)
+        fresh.withColumn("segment_gen", F.lit(gen)).write.mode(
             "overwrite"
         ).partitionBy("segment_gen").parquet(self._path("segments_tmp"))
         self.spark.read.parquet(self._path("segments_tmp")).write.mode(
@@ -311,13 +336,7 @@ class IncrementalIndexer:
         self.spark.read.parquet(self._path("lexicon_tmp")).write.mode(
             "overwrite"
         ).parquet(self._path("lexicon"))
-        term_meta = build_term_meta(
-            scored_postings(
-                self._read("postings").select("term_id", "doc_id", "tf"),
-                self._read("doc_sizes"), self._read("lexicon"), n, avg,
-            ),
-            n, avg, self.config.bm25,
-        ).withColumn("bound_factor", F.lit(1.0))
+        term_meta = term_meta.withColumn("bound_factor", F.lit(1.0))
         term_meta.write.mode("overwrite").parquet(self._path("term_meta_tmp"))
         self.spark.read.parquet(self._path("term_meta_tmp")).write.mode(
             "overwrite"

@@ -196,6 +196,53 @@ def test_refresh_writes_are_delta_proportional(spark, tmp_path):
     assert any("segment_gen=1" in p for p in after["segments"])
 
 
+def test_incremental_with_compressed_blockmax(spark, tmp_path):
+    """compress_blockmax under incremental generations: the u8 block
+    maxima recover against term_max * bound_factor query-side, so a
+    two-generation compressed index must answer BMW queries
+    identically (by url+score) to the batch build — including for
+    untouched terms whose bounds ride the inflation factor."""
+    from pisa_spark.index import build_index
+    from pisa_spark.streaming import IncrementalIndexer
+
+    ccfg = EngineConfig(
+        analyzer=AnalyzerConfig(tokenizer="whitespace"),
+        index=IndexConfig(salt_bucket_docs=256, compress_blockmax=True),
+    )
+    pages = _pages(spark).persist()
+    gen0 = pages.filter(F.crc32(F.col("url")) % 2 == 0)
+    gen1 = pages.filter(F.crc32(F.col("url")) % 2 == 1)
+    inc = IncrementalIndexer(spark, str(tmp_path / "inc5"), ccfg)
+    inc.add_generation(gen0)
+    inc.add_generation(gen1)
+    inc_index = inc.index()
+    assert "max_score_q" in inc_index.segments.columns
+    batch_index = build_index(spark, pages, ccfg)
+    terms = [r["term"] for r in batch_index.lexicon.limit(20).collect()]
+    got = _query(spark, inc_index, terms, n=5).sort_values(
+        ["query_id", "score", "url"], ascending=[True, False, True]
+    )
+    want = _query(spark, batch_index, terms, n=5).sort_values(
+        ["query_id", "score", "url"], ascending=[True, False, True]
+    )
+    assert len(got) == len(want)
+    assert (got["url"].values == want["url"].values).all()
+    assert np.allclose(got["score"].values, want["score"].values, atol=1e-9)
+    # compact() must RE-ENCODE (fresh stats, fresh u8 maxima) — after
+    # it, the same queries still match batch exactly and the factor
+    # is reset to 1.
+    inc.compact()
+    cidx = inc.index()
+    assert "max_score_q" in cidx.segments.columns
+    factors = cidx.term_meta.select("bound_factor").distinct().collect()
+    assert [r[0] for r in factors] == [1.0]
+    got2 = _query(spark, cidx, terms, n=5).sort_values(
+        ["query_id", "score", "url"], ascending=[True, False, True]
+    )
+    assert (got2["url"].values == want["url"].values).all()
+    assert np.allclose(got2["score"].values, want["score"].values, atol=1e-9)
+
+
 def test_compact_reclaims_superseded_generations(spark, tmp_path):
     """compact() folds the current view into one generation, resets
     bound_factor to exactly 1, and queries stay identical."""
