@@ -35,6 +35,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q.update(datapipe_queries())
     except ImportError:
         pass
+    # The driver records the FIRST 50 entries (dict order). Entries
+    # beyond the 50-component core are redundant-coverage extras and
+    # must sit at the END so every component family keeps its driver
+    # CORRECTNESS row; selfcheck.py records the full matrix.
+    for extra in ("adaptive_topk",):
+        if extra in q:
+            q[extra] = q.pop(extra)
     return q
 
 

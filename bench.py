@@ -223,6 +223,7 @@ def main() -> None:
     # --- Per-query kernel latency percentiles (reference protocol).
     KERNEL_ALGOS = (
         "block_max_wand", "block_max_maxscore", "maxscore", "wand", "ranked_or",
+        "adaptive",
     )
     kernel_latency_us = kernel_latencies(index, parsed, KERNEL_ALGOS, k=10)
 

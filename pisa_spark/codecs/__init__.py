@@ -8,6 +8,12 @@ from pisa_spark.codecs.interpolative import bic_decode, bic_encode
 from pisa_spark.codecs.optpfor import optpfor_decode, optpfor_encode
 from pisa_spark.codecs.pef import pef_decode, pef_opt_encode, pef_uniform_encode
 from pisa_spark.codecs.qmx import qmx_decode, qmx_encode
+from pisa_spark.codecs.rankedbitvector import (
+    rbv_decode,
+    rbv_encode,
+    rbv_rank,
+    rbv_select,
+)
 from pisa_spark.codecs.simple8b import s8b_decode, s8b_encode
 from pisa_spark.codecs.simple16 import s16_decode, s16_encode
 from pisa_spark.codecs.streamvbyte import svb_decode, svb_encode
@@ -35,6 +41,10 @@ CODECS = {
     # u32-only (reference parity); u64 values raise — not for 10^12-doc
     # absolute docIDs, fine for gaps/tfs/lens
     "g8iu": (g8iu_encode, g8iu_decode),
+    # compact_ranked_bitvector: bitvector + on-wire rank directory
+    # (broadword rank/select point queries via rbv_rank/rbv_select);
+    # dense payloads only — loud guard above RBV_MAX_UNIVERSE
+    "rankedbv": (rbv_encode, rbv_decode),
     # indexed_sequence-style per-block family choice + all_ones case
     "hybrid": (hybrid_encode, hybrid_decode),
 }
@@ -50,6 +60,10 @@ __all__ = [
     "pef_uniform_encode",
     "qmx_decode",
     "qmx_encode",
+    "rbv_decode",
+    "rbv_encode",
+    "rbv_rank",
+    "rbv_select",
     "bitpack_decode",
     "bitpack_encode",
     "ef_decode",

@@ -13,11 +13,17 @@ and the smallest wins, prefixed by a 1-byte tag:
     tag 3  all-zeros (NO payload bytes — the all_ones case: a gaps-1
            doc payload of zeros IS a run of consecutive docIDs, and a
            tf-1 payload of zeros IS a run of tf=1 postings)
+    tag 4  ranked bitvector (compact_ranked_bitvector: bitvector +
+           rank directory — the dense-sequence case the reference's
+           indexed_sequence picks when it beats EF)
 
 Cost model = actual encoded size (exact, not estimated), evaluated
 per block at build time — blocks are <= block_size values, so trying
 all families costs microseconds and the decision parallelizes with
-the encode itself.
+the encode itself. The ranked-bitvector candidate's size is closed
+form (universe/8 + directory), so it is only materialized when that
+bound already beats the best-so-far — mirroring indexed_sequence's
+cost comparison, and never allocating a sparse payload's universe.
 """
 
 from __future__ import annotations
@@ -26,10 +32,11 @@ import numpy as np
 
 from pisa_spark.codecs.bitpack import bitpack_decode, bitpack_encode
 from pisa_spark.codecs.eliasfano import ef_decode, ef_encode
+from pisa_spark.codecs.rankedbitvector import rbv_decode, rbv_encode, rbv_size
 from pisa_spark.codecs.varint import varint_decode, varint_encode
 
-_ENC = (varint_encode, bitpack_encode, ef_encode)
-_DEC = (varint_decode, bitpack_decode, ef_decode)
+_ENC = (varint_encode, bitpack_encode, ef_encode, None, rbv_encode)
+_DEC = (varint_decode, bitpack_decode, ef_decode, None, rbv_decode)
 
 
 def hybrid_encode(values: np.ndarray) -> bytes:
@@ -43,6 +50,8 @@ def hybrid_encode(values: np.ndarray) -> bytes:
         cand = _ENC[tag](v)
         if len(cand) < len(best):
             best_tag, best = tag, cand
+    if rbv_size(v) < len(best):  # closed-form size check first
+        best_tag, best = 4, _ENC[4](v)
     return bytes([best_tag]) + best
 
 

@@ -97,6 +97,13 @@ _GATE_VARIANTS = {
         analyzer=AnalyzerConfig(tokenizer="whitespace"),
         index=IndexConfig(salt_bucket_docs=256, codec="pef"),
     ),
+    # compact_ranked_bitvector: dense bitvector + on-wire rank
+    # directory; viable here because block payload universes are
+    # bounded by the salt bucket (universe guard enforces it)
+    "rankedbv": EngineConfig(
+        analyzer=AnalyzerConfig(tokenizer="whitespace"),
+        index=IndexConfig(salt_bucket_docs=256, codec="rankedbv"),
+    ),
     # wand_data_compressed: u8 block maxes relative to the term max
     "cwand": EngineConfig(
         analyzer=AnalyzerConfig(tokenizer="whitespace"),
@@ -526,6 +533,11 @@ def gated_queries():
     # the SQL skeleton stays as the DuckDB oracle.
     q["incremental_postings"] = _incremental_postings
     q["nonsql_engine_checks"] = _nonsql_engine_checks
+    # Entry 51, deliberately LAST: outside the driver's 50-row window
+    # (every family above already lands a driver row) but recorded by
+    # scripts/selfcheck.py in SELFCHECK_r{N}.json. Redundant coverage:
+    # adaptive dispatches to kernels gated individually above.
+    q["adaptive_topk"] = _run_kernel("adaptive")
     return q
 
 
@@ -546,4 +558,5 @@ def gated_oracle_sql():
     o["segments_decode_check"] = _DUCK_SQL["segments_decode_check"]
     # nonsql_engine_checks: stemmers / gamma CDF / iterative BP are
     # not SQL-expressible -> rows-only by design (pytest-pinned).
+    o["adaptive_topk"] = _DUCK_SQL["ranked_or_topk"]
     return o

@@ -88,8 +88,8 @@ DIALECT_DUCKDB = Dialect(
 # re-run.)
 DECODE_CHECK_CODECS = [
     "bitpack", "ef", "g8iu", "hybrid", "interpolative", "optpfor",
-    "pef", "qmx", "simple16", "simple8b", "streamvbyte", "varint",
-    "varintgb",
+    "pef", "qmx", "rankedbv", "simple16", "simple8b", "streamvbyte",
+    "varint", "varintgb",
 ]
 
 # Tags for the consolidated BMW-variant and range-execution entries;

@@ -33,6 +33,7 @@ from pisa_spark.config import EngineConfig
 from pisa_spark.functions.scoring import MICRO
 from pisa_spark.index import InvertedIndex
 from pisa_spark.query.kernels import (
+    adaptive_kernel,
     PRUNE_EPS,
     Stats,
     TermPostings,
@@ -48,6 +49,9 @@ from pisa_spark.query.kernels import (
 )
 
 RANKED_KERNELS = {
+    # per-query algorithm selection from pre-decode metadata
+    # (kernels.choose_algorithm) — latency-only, answers identical
+    "adaptive": adaptive_kernel,
     "ranked_or": ranked_or_kernel,
     "ranked_and": ranked_and_kernel,
     "block_max_ranked_and": block_max_ranked_and_kernel,
@@ -66,7 +70,8 @@ BOOLEAN_KERNELS = {"and": and_kernel, "or": or_kernel}
 # LOWER than one term's k-th score — bootstrapping them with the same
 # cache silently drops valid results, so topk_search rejects it.
 DISJUNCTIVE_ALGORITHMS = frozenset(
-    {"ranked_or", "wand", "block_max_wand", "block_max_maxscore", "maxscore"}
+    {"ranked_or", "wand", "block_max_wand", "block_max_maxscore",
+     "maxscore", "adaptive"}  # adaptive dispatches to disjunctive only
 )
 
 

@@ -893,3 +893,39 @@ def maxscore_kernel(terms: list[TermPostings], k: int,
                     tp, b_tfs[pos_c[hit]], b_lens[pos_c[hit]], stats
                 )
     return _finalize(docs, partial, k)
+
+
+# ---------------------------------------------------------------------------
+# Adaptive per-query algorithm selection (beyond the reference: PISA
+# fixes the algorithm per run via --algorithm, tools/app.hpp; here the
+# executor may pick per query from pre-decode metadata only).
+
+# Candidate-set size below which exhaustive TAAT wins: decoding every
+# posting is cheaper than pruning bookkeeping (threshold maintenance,
+# block-bound scans) when the whole query touches few postings.
+# Calibrated with scripts/calibrate_adaptive.py on the sf0.1 workload
+# (BENCH.md): pruned kernels win 5-10% above ~4k total postings; at or
+# below, TAAT matches or beats them.
+ADAPTIVE_TAAT_MAX_POSTINGS = 4096
+
+
+def choose_algorithm(terms: list[TermPostings], k: int,
+                     init_threshold: float = 0.0) -> str:
+    """Pick a disjunctive algorithm from per-term metadata (df, block
+    bounds) WITHOUT decoding any payload. Every candidate is
+    rank-identical to the exhaustive result, so the choice affects
+    latency only — selection can never change answers."""
+    total = sum(int(t.df) for t in terms)
+    if total <= max(ADAPTIVE_TAAT_MAX_POSTINGS, 2 * k):
+        return "ranked_or"
+    return "block_max_maxscore"
+
+
+def adaptive_kernel(terms: list[TermPostings], k: int,
+                    stats: Stats, init_threshold: float = 0.0) -> tuple[np.ndarray, np.ndarray]:
+    """Dispatch to the chosen kernel; all candidates are disjunctive
+    (sound under threshold bootstrapping) and agreement-tested."""
+    algo = choose_algorithm(terms, k, init_threshold)
+    if algo == "ranked_or":
+        return ranked_or_kernel(terms, k, stats, init_threshold)
+    return block_max_maxscore_kernel(terms, k, stats, init_threshold)

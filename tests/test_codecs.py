@@ -14,7 +14,9 @@ SIZES = [1, 2, 16, 127, 128, 129, 1000]
 def test_roundtrip_random(codec, n):
     enc, dec = CODECS[codec]
     rng = np.random.default_rng(42 + n)
-    hi = 1 << (28 if codec == "simple16" else 32)
+    # simple16: 28-bit payload cap; rankedbv: universe = value sum
+    # (bitvector) — keep the sum under the guard at n=1000
+    hi = 1 << (28 if codec == "simple16" else 14 if codec == "rankedbv" else 32)
     vals = rng.integers(0, hi, size=n, dtype=np.uint64).astype(np.uint32)
     out = dec(enc(vals), n)
     np.testing.assert_array_equal(out, vals)
@@ -29,6 +31,10 @@ def test_roundtrip_edge_values(codec):
         with pytest.raises(ValueError):
             enc(vals)
         vals = vals[vals < 2**28]
+    if codec == "rankedbv":  # universe guard: rejects sparse loudly
+        with pytest.raises(ValueError):
+            enc(vals)
+        vals = vals[vals < 2**21]
     np.testing.assert_array_equal(dec(enc(vals), len(vals)), vals)
 
 
@@ -65,8 +71,8 @@ def test_roundtrip_u64(codec):
     # simple8b's word layout caps values at 60 bits (4-bit selector +
     # 60 data bits) — far above the 10^12-doc docID space; it rejects
     # larger values loudly instead of corrupting.
-    if codec in ("g8iu", "simple16"):
-        # width-capped formats (u32 / 28-bit): reject u64 loudly
+    if codec in ("g8iu", "simple16", "rankedbv"):
+        # width/universe-capped formats: reject u64 loudly
         with pytest.raises(ValueError):
             enc(np.array([2**32], dtype=np.uint64))
         return
@@ -154,3 +160,55 @@ def test_ef_codec_in_engine(spark):
     d = dec.sort_values(["term_id", "doc_id"]).reset_index(drop=True)
     x = exp.sort_values(["term_id", "doc_id"]).reset_index(drop=True)
     assert (d["doc_id"] == x["doc_id"]).all() and (d["tf"] == x["tf"]).all()
+
+
+def test_rankedbv_rank_select_vs_naive():
+    """rbv_rank/rbv_select answer point queries from the on-wire rank
+    directory (compact_ranked_bitvector.hpp:1-326 + broadword.hpp
+    parity) — checked against naive cumsum/flatnonzero over the
+    reconstructed bitvector, across superblock boundaries."""
+    from pisa_spark.codecs import rbv_encode, rbv_rank, rbv_select
+    from pisa_spark.codecs.rankedbitvector import _strictify
+
+    rng = np.random.default_rng(11)
+    for n in (1, 5, 100, 700):
+        vals = rng.integers(0, 9, size=n, dtype=np.uint64)
+        data = rbv_encode(vals)
+        m = _strictify(vals)
+        u = int(m[-1]) + 1
+        bits = np.zeros(u, np.uint8)
+        bits[m.astype(np.int64)] = 1
+        cum = np.concatenate([[0], np.cumsum(bits)])
+        for pos in list(rng.integers(0, u + 1, size=64)) + [0, u, 511, 512, 513]:
+            pos = min(int(pos), u)
+            assert rbv_rank(data, pos) == int(cum[pos])
+        ones = np.flatnonzero(bits)
+        for k in rng.integers(0, n, size=64):
+            assert rbv_select(data, int(k)) == int(ones[int(k)])
+        with pytest.raises(IndexError):
+            rbv_select(data, n)
+
+
+def test_rankedbv_size_is_exact_and_guarded():
+    from pisa_spark.codecs import rbv_encode
+    from pisa_spark.codecs.rankedbitvector import rbv_size
+
+    rng = np.random.default_rng(13)
+    for n in (1, 128, 1000):
+        vals = rng.integers(0, 12, size=n, dtype=np.uint64)
+        assert rbv_size(vals) == len(rbv_encode(vals))
+    assert rbv_size(np.array([1 << 40], dtype=np.uint64)) >= 1 << 62
+
+
+def test_hybrid_picks_rankedbv_on_tf_style_payloads():
+    """The dense case of indexed_sequence's cost model: a long
+    mostly-zero payload (tf-1 of a head term) is smaller as a
+    bitvector than as bitpack/EF/varint, and the hybrid selects it."""
+    from pisa_spark.codecs import hybrid_decode, hybrid_encode
+
+    rng = np.random.default_rng(17)
+    v = np.zeros(1000, dtype=np.uint64)
+    v[rng.integers(0, 1000, 20)] = rng.integers(1, 4, 20)
+    enc = hybrid_encode(v)
+    assert enc[0] == 4
+    np.testing.assert_array_equal(hybrid_decode(enc, 1000), v)

@@ -135,7 +135,8 @@ def test_segment_inline_doc_lens(index):
 
 @pytest.mark.parametrize(
     "algorithm",
-    ["ranked_or", "wand", "block_max_wand", "block_max_maxscore", "maxscore"],
+    ["ranked_or", "wand", "block_max_wand", "block_max_maxscore", "maxscore",
+     "adaptive"],
 )
 def test_kernels_match_oracle(index, parsed, oracle_topk, algorithm):
     got = _fetch(topk_search(index, parsed, algorithm=algorithm, k=10))
@@ -456,3 +457,22 @@ def test_batched_kernels_match_daat(index, parsed, spark):
                 assert np.allclose(got[1], want[1])
         n_q += 1
     assert n_q >= 10
+
+
+def test_adaptive_choice_is_metadata_only():
+    """choose_algorithm reads only pre-decode metadata (df): small
+    candidate sets route to exhaustive TAAT, large ones to the pruned
+    kernel; k widens the TAAT region (top-k of a barely-larger pool
+    cannot be pruned profitably)."""
+    from types import SimpleNamespace
+
+    from pisa_spark.query.kernels import (
+        ADAPTIVE_TAAT_MAX_POSTINGS, choose_algorithm,
+    )
+
+    small = [SimpleNamespace(df=100.0), SimpleNamespace(df=50.0)]
+    assert choose_algorithm(small, k=10) == "ranked_or"
+    big = [SimpleNamespace(df=float(ADAPTIVE_TAAT_MAX_POSTINGS))] * 2
+    assert choose_algorithm(big, k=10) == "block_max_maxscore"
+    # huge k pushes even a big query back to exhaustive
+    assert choose_algorithm(big, k=2 * ADAPTIVE_TAAT_MAX_POSTINGS) == "ranked_or"
