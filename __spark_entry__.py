@@ -39,7 +39,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # beyond the 50-component core are redundant-coverage extras and
     # must sit at the END so every component family keeps its driver
     # CORRECTNESS row; selfcheck.py records the full matrix.
-    for extra in ("adaptive_topk",):
+    for extra in ("adaptive_topk", "batched_topk"):
         if extra in q:
             q[extra] = q.pop(extra)
     return q

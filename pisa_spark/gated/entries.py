@@ -181,6 +181,27 @@ def _run_kernel(algorithm: str, range_mode: bool = False, variant: str = "defaul
     return fn
 
 
+def _run_batched(algorithm: str, batches: int = 7):
+    """Batch-major execution (executor.topk_search_batch): shared
+    term payloads + per-batch decoded-block cache; must stay
+    rank-identical to ranked_or."""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pisa_spark.query.executor import topk_search_batch
+        from pisa_spark.query.parser import parse_queries
+
+        index = _get_index(spark, sf_dir)
+        parsed = parse_queries(
+            _queries_df(spark), index.lexicon, pre_tokenized=True
+        )
+        return topk_search_batch(
+            index, parsed, algorithm=algorithm, k=K, batches=batches
+        )
+
+    fn.__name__ = f"gated_batched_{algorithm}"
+    return fn
+
+
 def _run_bootstrapped(algorithm: str):
     """Kernel run with kth-threshold bootstrapping (the fork's
     threshold-estimation pipeline end-to-end): single-term k-th-score
@@ -538,6 +559,7 @@ def gated_queries():
     # scripts/selfcheck.py in SELFCHECK_r{N}.json. Redundant coverage:
     # adaptive dispatches to kernels gated individually above.
     q["adaptive_topk"] = _run_kernel("adaptive")
+    q["batched_topk"] = _run_batched("block_max_maxscore")
     return q
 
 
@@ -559,4 +581,5 @@ def gated_oracle_sql():
     # nonsql_engine_checks: stemmers / gamma CDF / iterative BP are
     # not SQL-expressible -> rows-only by design (pytest-pinned).
     o["adaptive_topk"] = _DUCK_SQL["ranked_or_topk"]
+    o["batched_topk"] = _DUCK_SQL["ranked_or_topk"]
     return o

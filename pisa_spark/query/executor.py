@@ -345,3 +345,195 @@ def topk_range(
     return merged.filter(F.col("rank") <= k).select(
         "query_id", F.col("rank").cast("int"), "doc_id", "score"
     )
+
+
+# Working-set cap for the batch-major decoded-block cache: beyond
+# this many cached postings per term the cache stops growing (blocks
+# decode again per query, exactly as query-major execution). Bounds
+# task memory at ~24 bytes/posting regardless of batch composition.
+BATCH_CACHE_MAX_POSTINGS = 1 << 22
+
+
+def topk_search_batch(
+    index: InvertedIndex,
+    parsed: DataFrame,
+    algorithm: str = "block_max_maxscore",
+    k: int = 10,
+    thresholds: DataFrame | None = None,
+    batches: int | None = None,
+) -> DataFrame:
+    """(query_id, rank, doc_id, score) — BATCH-major execution.
+
+    Query-major `topk_search` ships each query's term lists to its
+    own task: a term shared by Q queries is Arrow-transferred and
+    block-decoded Q times. This variant hashes queries into
+    ``batches`` groups and cogroups (distinct term segments per
+    batch) with (the batch's query table): every term's list crosses
+    the wire ONCE per batch, and a shared per-term block cache
+    (TermPostings.block_cache) decodes each block at most once per
+    batch. Same kernels, same results — per-query weight/bound
+    fields are rebuilt per query (cheap per-block arrays), while the
+    decoded payloads and the weight-independent idf cache are shared.
+
+    This is the amortized shape a production workload wants (the
+    reference amortizes the same way through the OS page cache on a
+    resident index, tools/queries.cpp batch loop); query-major stays
+    the low-latency path. Parallelism = ``batches`` tasks; per-task
+    working set = the batch's distinct lists (same head-term caveat
+    as topk_search — use topk_range for beyond-task-size lists), with
+    cache growth capped at BATCH_CACHE_MAX_POSTINGS postings/term.
+
+    ``batches`` defaults to 16x the cluster's default parallelism:
+    enough tasks for scheduling balance (batch sizes are hash-uneven)
+    while keeping tens of queries per batch so payload sharing pays
+    (measured 1.6-1.7x over query-major at 3200 queries, BENCH.md).
+    """
+    from dataclasses import replace
+
+    from pisa_spark.functions.scoring import MICRO
+
+    kernel = RANKED_KERNELS[algorithm]
+    decode = CODECS[index.config.index.codec][1]
+    stats = Stats(
+        num_docs=float(index.num_docs),
+        avg_len=float(index.avg_len),
+        k1=index.config.bm25.k1,
+        b=index.config.bm25.b,
+        quantized=bool(index.config.index.quantize_bits),
+    )
+    if thresholds is not None:
+        if algorithm not in DISJUNCTIVE_ALGORITHMS:
+            raise ValueError(
+                f"threshold bootstrapping is unsound for conjunctive "
+                f"algorithm {algorithm!r}: the cached k-th single-term "
+                f"score can exceed the intersection's k-th score"
+            )
+        parsed = parsed.join(F.broadcast(thresholds), "query_id", "left")
+
+    if batches is None:
+        batches = 16 * index.segments.sparkSession.sparkContext.defaultParallelism
+    batch_expr = F.pmod(F.xxhash64("query_id"), F.lit(batches)).cast("int")
+    pq = parsed.withColumn("batch_id", batch_expr)
+    # Segments side: DISTINCT terms per batch (this dedup is the whole
+    # point) joined with term stats, then broadcast into the segment
+    # scan — segments still never shuffle and are never broadcast.
+    # batch_id is recomputed from `parsed` (not projected off `pq`) so
+    # the cogroup's two sides carry distinct attribute ids.
+    tm = index.term_meta
+    has_factor = "bound_factor" in tm.columns
+    cols = ["term_id", "df", F.col("max_score").alias("term_max_score")]
+    if has_factor:
+        cols.append("bound_factor")
+    bt = parsed.select(batch_expr.alias("batch_id"), "term_id").distinct()
+    qt = tm.select(*cols).join(F.broadcast(bt), "term_id")
+    rows = index.segments.join(F.broadcast(qt), "term_id")
+    if has_factor:
+        rows = rows.withColumn(
+            "term_max_score", F.col("term_max_score") * F.col("bound_factor")
+        )
+        if "max_score" in rows.columns:
+            rows = rows.withColumn(
+                "max_score", F.col("max_score") * F.col("bound_factor")
+            )
+        rows = rows.drop("bound_factor")
+
+    def run(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        # left: the batch's distinct term segment rows (+ term stats);
+        # right: the batch's parsed queries (query_id, k, term_id,
+        # weight[, threshold_micro]).
+        protos: dict[int, TermPostings] = {}
+        base_bm: dict[int, np.ndarray] = {}
+        for term_id, g in left.groupby("term_id", sort=True):
+            g = g.sort_values("block_id")
+            tmax = float(g["term_max_score"].iloc[0])
+            if "max_score_q" in g.columns:
+                bm = g["max_score_q"].to_numpy(np.float64) / 255.0 * tmax
+            else:
+                bm = g["max_score"].to_numpy(np.float64)
+            tid = int(term_id)
+            base_bm[tid] = bm * MICRO
+            cache: dict | None = {}
+            if int(g["count"].sum()) > BATCH_CACHE_MAX_POSTINGS:
+                cache = None
+            protos[tid] = TermPostings(
+                term_id=tid,
+                df=float(g["df"].iloc[0]),
+                weight=1.0,
+                max_score=tmax * MICRO + 1.0,
+                block_max_doc=g["max_doc_id"].to_numpy(np.uint64),
+                block_max_score=base_bm[tid] + 1.0,
+                block_count=g["count"].to_numpy(np.int64),
+                doc_payloads=[bytes(x) for x in g["doc_bytes"]],
+                tf_payloads=[bytes(x) for x in g["tf_bytes"]],
+                len_payloads=[bytes(x) for x in g["len_bytes"]],
+                decode=decode,
+                block_cache=cache,
+            )
+        # Column-array walk over the (query-sorted) right side — no
+        # per-query pandas groupby/iterrows; one output frame.
+        r = right.sort_values("query_id", kind="stable")
+        q_ids = r["query_id"].to_numpy()
+        t_ids = r["term_id"].to_numpy()
+        weights = r["weight"].to_numpy(np.float64)
+        ks = r["k"].to_numpy()
+        thr = (
+            r["threshold_micro"].to_numpy(np.float64)
+            if "threshold_micro" in r
+            else None
+        )
+        out_q: list = []
+        out_d: list = []
+        out_s: list = []
+        out_n: list = []
+        i, n_rows = 0, len(r)
+        while i < n_rows:
+            j = i
+            terms = []
+            while j < n_rows and q_ids[j] == q_ids[i]:
+                proto = protos.get(int(t_ids[j]))
+                if proto is not None:
+                    w = float(weights[j])
+                    terms.append(replace(
+                        proto,
+                        weight=w,
+                        max_score=w * (proto.max_score - 1.0) + 1.0,
+                        block_max_score=w * base_bm[proto.term_id] + 1.0,
+                    ))
+                j += 1
+            init = 0.0
+            if thr is not None and not np.isnan(thr[i]):
+                init = float(thr[i]) - PRUNE_EPS
+            docs, scores = kernel(
+                terms, int(ks[i]), stats, init_threshold=init
+            )
+            out_q.append(q_ids[i])
+            out_d.append(docs)
+            out_s.append(scores)
+            out_n.append(len(docs))
+            for tp in terms:  # idf grows once, shared thereafter
+                if tp.idf_cache is not None:
+                    protos[tp.term_id].idf_cache = tp.idf_cache
+            i = j
+        if not out_q:
+            return pd.DataFrame(
+                {"query_id": pd.Series(dtype=object),
+                 "rank": pd.Series(dtype=np.int32),
+                 "doc_id": pd.Series(dtype=np.int64),
+                 "score": pd.Series(dtype=np.float64)}
+            )
+        counts = np.asarray(out_n)
+        return pd.DataFrame(
+            {
+                "query_id": np.repeat(np.asarray(out_q, dtype=object), counts),
+                "rank": np.concatenate(
+                    [np.arange(1, c + 1, dtype=np.int32) for c in out_n]
+                ),
+                "doc_id": np.concatenate(out_d) if out_d else np.empty(0, np.int64),
+                "score": np.concatenate(out_s) if out_s else np.empty(0),
+            }
+        )
+
+    schema = "query_id string, rank int, doc_id long, score double"
+    return rows.groupBy("batch_id").cogroup(pq.groupBy("batch_id")).applyInPandas(
+        lambda left, right: run(left, right), schema
+    )

@@ -80,6 +80,12 @@ class TermPostings:
     len_payloads: list[bytes]  # per-posting doc_len-1 (rides in the block)
     decode: object  # codec decode fn
     idf_cache: object = None  # lazily-built constant-idf array (_score)
+    # Optional shared decoded-block cache {block_idx: (docs, tfs,
+    # lens)} — populated when batch-major execution (executor.
+    # topk_search_batch) runs many queries over the same term in one
+    # task, so each block decodes at most once per batch. None in
+    # query-major execution (one query per task; nothing to share).
+    block_cache: object = None
 
     def decode_block(self, bi: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """(docs, tfs, doc_lens) for one block. Doc lengths are stored
@@ -90,6 +96,10 @@ class TermPostings:
         Self-delimiting codecs (varint_decode.concat_safe) decode the
         three payloads in ONE call — the per-call numpy overhead at
         128-value granularity is the kernels' hot path."""
+        if self.block_cache is not None:
+            hit = self.block_cache.get(bi)
+            if hit is not None:
+                return hit
         n = int(self.block_count[bi])
         Profiler.blocks += 1
         Profiler.postings += n
@@ -109,6 +119,8 @@ class TermPostings:
         docs = payload.copy()
         docs[1:] += 1
         docs = np.cumsum(docs)
+        if self.block_cache is not None:
+            self.block_cache[bi] = (docs, tfs, lens)
         return docs, tfs, lens
 
     def decode_all(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:

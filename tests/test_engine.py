@@ -476,3 +476,44 @@ def test_adaptive_choice_is_metadata_only():
     assert choose_algorithm(big, k=10) == "block_max_maxscore"
     # huge k pushes even a big query back to exhaustive
     assert choose_algorithm(big, k=2 * ADAPTIVE_TAAT_MAX_POSTINGS) == "ranked_or"
+
+
+def test_batch_executor_matches_oracle(index, parsed, oracle_topk):
+    """Batch-major execution (shared term payloads + decoded-block
+    cache across a batch's queries) must be rank-identical to the
+    query-major path and the exhaustive oracle, across batch counts
+    (1 = everything shares one cache; 7 = uneven hash groups)."""
+    from pisa_spark.query.executor import topk_search_batch
+
+    exp = oracle_topk.astype({"rank": "int64", "doc_id": "int64"})
+    for algo in ("block_max_maxscore", "adaptive", "ranked_or"):
+        for b in (1, 7):
+            got = _fetch(topk_search_batch(
+                index, parsed, algorithm=algo, k=10, batches=b
+            ))
+            pd.testing.assert_frame_equal(
+                got[["query_id", "rank", "doc_id"]],
+                exp[["query_id", "rank", "doc_id"]],
+            )
+            np.testing.assert_allclose(
+                got["score"], exp["score"], rtol=0, atol=1e-6
+            )
+
+
+def test_batch_executor_with_thresholds(spark, index, parsed, oracle_topk):
+    from pisa_spark.query.executor import topk_search_batch
+    from pisa_spark.query.thresholds import (
+        estimate_thresholds, kth_score_cache,
+    )
+
+    cache = kth_score_cache(index, k=10)
+    est = estimate_thresholds(parsed, cache)
+    got = _fetch(topk_search_batch(
+        index, parsed, algorithm="block_max_maxscore", k=10,
+        thresholds=est, batches=5,
+    ))
+    exp = oracle_topk.astype({"rank": "int64", "doc_id": "int64"})
+    pd.testing.assert_frame_equal(
+        got[["query_id", "rank", "doc_id"]],
+        exp[["query_id", "rank", "doc_id"]],
+    )

@@ -84,3 +84,20 @@ def test_native_regex_tokens_never_crash(text):
     for t in out:
         assert t and "." not in t and "'" not in t
         assert t == t.lower()
+
+
+u12 = st.integers(min_value=0, max_value=(1 << 12) - 1)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(u12, min_size=1, max_size=300),
+       st.sampled_from(["simple16", "rankedbv", "g8iu", "hybrid", "qmx"]))
+def test_capped_codec_roundtrip_property(vals, codec):
+    """The width/universe-capped codecs (and the hybrid dispatcher)
+    under their in-range domain: 12-bit values keep simple16 under
+    its 28-bit lanes, g8iu under u32, and a 300-value sum far under
+    rankedbv's universe guard."""
+    enc, dec = CODECS[codec]
+    arr = np.array(vals, dtype=np.uint64)
+    out = dec(enc(arr), len(arr))
+    assert np.array_equal(out, arr)
