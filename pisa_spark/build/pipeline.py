@@ -243,13 +243,25 @@ class BuildPipeline:
                     scored, num_docs, avg_len, self.config.bm25
                 ),
             )
-        segments = self._stage(
-            "segments", seg_parents,
-            lambda: build_segments(
+        def _compute_segments():
+            seg = build_segments(
                 scored, num_docs, avg_len, self.config.index, self.config.bm25,
                 index_max_score=index_max_score,
-            ),
-        )
+            )
+            if self.config.index.compress_blockmax:
+                from pisa_spark.build.segments import compress_block_maxes
+
+                seg = compress_block_maxes(seg, term_meta)
+            # Cluster the stored table by term_id so parquet row-group
+            # min/max + dictionary stats are tight: the executor's
+            # workload IN(term_id) pushdown (_pruned_segments) then
+            # skips whole row groups instead of reading the corpus per
+            # query batch. Per-partition sort only — no extra shuffle.
+            return seg.sortWithinPartitions("term_id", "block_id")
+
+        if self.config.index.compress_blockmax:
+            seg_parents = seg_parents + ["term_meta"]
+        segments = self._stage("segments", seg_parents, _compute_segments)
         docmap = self._stage(
             "docmap", ["docs"], lambda: docs.select("doc_id", "url")
         )
@@ -264,6 +276,7 @@ class BuildPipeline:
             avg_len=avg_len,
             collection_len=collection_len,
             config=self.config,
+            segments_file_backed=True,
         )
 
     # ------------------------------------------------------------- report

@@ -40,6 +40,12 @@ class InvertedIndex:
     avg_len: float
     collection_len: int
     config: EngineConfig
+    # True when `segments` reads stored parquet (BuildPipeline /
+    # IncrementalIndexer): the executor then pushes the workload's
+    # term_ids into the scan (executor._pruned_segments) so each query
+    # batch reads O(workload lists), not O(corpus). In-memory builds
+    # leave it False — there is no scan to prune.
+    segments_file_backed: bool = False
     # NOTE deliberately no doc_lens_array(): per-posting doc lengths
     # are encoded inside the segment blocks (segments.py len_bytes),
     # so query execution never collects or broadcasts anything

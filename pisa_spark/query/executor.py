@@ -74,6 +74,60 @@ DISJUNCTIVE_ALGORITHMS = frozenset(
      "maxscore", "adaptive"}  # adaptive dispatches to disjunctive only
 )
 
+# Scan pruning: push the workload's distinct term_ids into the parquet
+# segment scan as a literal IN filter. The broadcast-hash join already
+# restricts ROWS, but a join alone prunes nothing at the SCAN — every
+# query batch reads the full 100TB segment table. An IN(term_id)
+# predicate reaches the parquet reader (PushedFilters) and skips whole
+# row groups via min/max + dictionary stats, which is what makes the
+# per-batch read O(workload lists), not O(corpus) — provided segments
+# were written sorted by term_id (build/pipeline.py does). The id list
+# is WORKLOAD-sized (distinct query terms, capped), never corpus-sized.
+SCAN_PRUNE_MAX_TERMS = 4096
+
+
+def _is_bare_relation(df: DataFrame) -> bool:
+    """True iff ``df`` is a direct table read (file-source relation at
+    the analyzed-plan root, no computation on top) — the artifact-backed
+    index shape produced by BuildPipeline.run / IncrementalIndexer._read
+    where an extra tiny collect to build the pushdown filter is always
+    worth one avoided full scan. In-memory indexes (the test/bench gate
+    builds) skip pruning: their segment "scan" is a computed DAG, so
+    there is no row group to skip and the filter would only add a job."""
+    try:
+        plan = df._jdf.queryExecution().analyzed().toString()
+    except Exception:
+        return False
+    return plan.split("\n", 1)[0].startswith("Relation")
+
+
+def _pruned_segments(
+    index: InvertedIndex, parsed: DataFrame, scan_prune: bool | None
+) -> DataFrame:
+    """index.segments, IN-filtered to the workload's term_ids when
+    pruning applies. ``scan_prune=None`` auto-enables for file-backed
+    segment tables only; True forces (useful when segments sit under a
+    view/filter the heuristic does not see); False disables. The
+    collect here is workload-sized and capped (SCAN_PRUNE_MAX_TERMS) —
+    beyond the cap the IN literal would bloat the plan, so we fall back
+    to the plain join (still correct, just unpruned)."""
+    if scan_prune is None:
+        scan_prune = index.segments_file_backed or _is_bare_relation(
+            index.segments
+        )
+    if not scan_prune:
+        return index.segments
+    ids = [
+        r[0]
+        for r in parsed.select("term_id")
+        .distinct()
+        .limit(SCAN_PRUNE_MAX_TERMS + 1)
+        .collect()
+    ]
+    if not ids or len(ids) > SCAN_PRUNE_MAX_TERMS:
+        return index.segments
+    return index.segments.filter(F.col("term_id").isin(ids))
+
 
 def _group_to_terms(pdf: pd.DataFrame, decode) -> list[TermPostings]:
     terms = []
@@ -110,12 +164,15 @@ def _group_to_terms(pdf: pd.DataFrame, decode) -> list[TermPostings]:
     return terms
 
 
-def _query_segments(index: InvertedIndex, parsed: DataFrame) -> DataFrame:
+def _query_segments(
+    index: InvertedIndex, parsed: DataFrame, scan_prune: bool | None = None
+) -> DataFrame:
     """parsed(query_id, k, term_id, weight) ⨝ term_meta ⨝ segments.
 
     The parsed-query side is tiny -> broadcast, so the segment table
     (the 100TB side) is scanned once with a broadcast-hash join and
-    never shuffled.
+    never shuffled — and for file-backed indexes the scan itself is
+    row-group-pruned by the workload's term_ids (_pruned_segments).
 
     Incrementally-built indexes carry a per-term ``bound_factor`` in
     term_meta (streaming/incremental.py): the sound upper-bound
@@ -133,7 +190,9 @@ def _query_segments(index: InvertedIndex, parsed: DataFrame) -> DataFrame:
     if has_factor:
         cols.append("bound_factor")
     qt = tm.select(*cols).join(F.broadcast(parsed), "term_id")
-    rows = index.segments.join(F.broadcast(qt), "term_id")
+    rows = _pruned_segments(index, parsed, scan_prune).join(
+        F.broadcast(qt), "term_id"
+    )
     if has_factor:
         rows = rows.withColumn(
             "term_max_score", F.col("term_max_score") * F.col("bound_factor")
@@ -155,6 +214,7 @@ def topk_search(
     k: int = 10,
     thresholds: DataFrame | None = None,
     profile: bool = False,
+    scan_prune: bool | None = None,
 ) -> DataFrame:
     """(query_id, rank, doc_id, score) — query-major execution.
 
@@ -216,11 +276,16 @@ def topk_search(
     schema = "query_id string, rank int, doc_id long, score double"
     if profile:
         schema += ", blocks_decoded long, postings_decoded long"
-    rows = _query_segments(index, parsed)
+    rows = _query_segments(index, parsed, scan_prune)
     return rows.groupBy("query_id").applyInPandas(run, schema)
 
 
-def boolean_query(index: InvertedIndex, parsed: DataFrame, op: str = "and") -> DataFrame:
+def boolean_query(
+    index: InvertedIndex,
+    parsed: DataFrame,
+    op: str = "and",
+    scan_prune: bool | None = None,
+) -> DataFrame:
     """(query_id, doc_id) Boolean AND/OR result sets."""
     kernel = BOOLEAN_KERNELS[op]
     decode = CODECS[index.config.index.codec][1]
@@ -229,7 +294,7 @@ def boolean_query(index: InvertedIndex, parsed: DataFrame, op: str = "and") -> D
         docs = kernel(_group_to_terms(pdf, decode))
         return pd.DataFrame({"query_id": pdf["query_id"].iloc[0], "doc_id": docs})
 
-    rows = _query_segments(index, parsed)
+    rows = _query_segments(index, parsed, scan_prune)
     return rows.groupBy("query_id").applyInPandas(
         run, "query_id string, doc_id long"
     )
@@ -273,6 +338,7 @@ def topk_range(
     k: int = 10,
     blocks_per_range: int | None = None,
     thresholds: DataFrame | None = None,
+    scan_prune: bool | None = None,
 ) -> DataFrame:
     """(query_id, rank, doc_id, score) — doc-range-major execution
     (range_query.hpp: run the algorithm per docID range with a shared
@@ -327,7 +393,7 @@ def topk_range(
 
     if thresholds is not None:
         parsed = parsed.join(F.broadcast(thresholds), "query_id", "left")
-    rows = _query_segments(index, parsed).withColumn(
+    rows = _query_segments(index, parsed, scan_prune).withColumn(
         "bucket", (F.col("block_id") / F.lit(bucket_stride)).cast("long")
     )
     if thresholds is not None:
@@ -361,6 +427,7 @@ def topk_search_batch(
     k: int = 10,
     thresholds: DataFrame | None = None,
     batches: int | None = None,
+    scan_prune: bool | None = None,
 ) -> DataFrame:
     """(query_id, rank, doc_id, score) — BATCH-major execution.
 
@@ -383,10 +450,17 @@ def topk_search_batch(
     as topk_search — use topk_range for beyond-task-size lists), with
     cache growth capped at BATCH_CACHE_MAX_POSTINGS postings/term.
 
-    ``batches`` defaults to 16x the cluster's default parallelism:
-    enough tasks for scheduling balance (batch sizes are hash-uneven)
-    while keeping tens of queries per batch so payload sharing pays
-    (measured 1.6-1.7x over query-major at 3200 queries, BENCH.md).
+    ``batches`` defaults to 2x the cluster's default parallelism —
+    the sharing/parallelism sweet spot measured in BENCH.md (at 3200
+    queries, sf0.1: 1x par = 3.7x over query-major but the largest
+    per-task frames; 2x = 2.9x; 4x = 2.3x; AQE-uncoalesced 16x =
+    1.2x). Fewer batches share more but each task's distinct-term
+    frame grows; 2x keeps working sets half the size of 1x and
+    smooths hash-collision stragglers across two waves. Both cogroup
+    sides are explicitly ``repartition(batches, batch_id)`` — the
+    count is then exempt from AQE coalescing, which otherwise merges
+    these byte-light, CPU-heavy Python groups onto a fraction of the
+    cores (measured: 512 batches coalesced to 10 tasks).
     """
     from dataclasses import replace
 
@@ -411,9 +485,18 @@ def topk_search_batch(
         parsed = parsed.join(F.broadcast(thresholds), "query_id", "left")
 
     if batches is None:
-        batches = 16 * index.segments.sparkSession.sparkContext.defaultParallelism
+        batches = 2 * index.segments.sparkSession.sparkContext.defaultParallelism
     batch_expr = F.pmod(F.xxhash64("query_id"), F.lit(batches)).cast("int")
-    pq = parsed.withColumn("batch_id", batch_expr)
+    # Explicit repartition(batches) on BOTH cogroup sides: the
+    # cogroup's required hash distribution on batch_id is already
+    # satisfied, so no extra shuffle is planned — and the
+    # user-specified partition count is exempt from AQE coalescing,
+    # which otherwise merges these byte-light but CPU-heavy Python
+    # groups onto a fraction of the cores (measured: AQE coalesced
+    # 512 batches to 10 tasks; pinning restored full parallelism).
+    pq = parsed.withColumn("batch_id", batch_expr).repartition(
+        batches, "batch_id"
+    )
     # Segments side: DISTINCT terms per batch (this dedup is the whole
     # point) joined with term stats, then broadcast into the segment
     # scan — segments still never shuffle and are never broadcast.
@@ -426,7 +509,9 @@ def topk_search_batch(
         cols.append("bound_factor")
     bt = parsed.select(batch_expr.alias("batch_id"), "term_id").distinct()
     qt = tm.select(*cols).join(F.broadcast(bt), "term_id")
-    rows = index.segments.join(F.broadcast(qt), "term_id")
+    rows = _pruned_segments(index, parsed, scan_prune).join(
+        F.broadcast(qt), "term_id"
+    )
     if has_factor:
         rows = rows.withColumn(
             "term_max_score", F.col("term_max_score") * F.col("bound_factor")
@@ -534,6 +619,7 @@ def topk_search_batch(
         )
 
     schema = "query_id string, rank int, doc_id long, score double"
+    rows = rows.repartition(batches, "batch_id")  # AQE-coalesce exempt
     return rows.groupBy("batch_id").cogroup(pq.groupBy("batch_id")).applyInPandas(
         lambda left, right: run(left, right), schema
     )

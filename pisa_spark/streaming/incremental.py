@@ -260,9 +260,13 @@ class IncrementalIndexer:
             from pisa_spark.build.segments import compress_block_maxes
 
             gen_segments = compress_block_maxes(gen_segments, affected_meta)
-        gen_segments.withColumn("segment_gen", F.lit(gen)).write.mode(
-            "append"
-        ).partitionBy("segment_gen").parquet(self._path("segments"))
+        # term_id-clustered files -> tight row-group stats for the
+        # executor's workload IN(term_id) scan pruning (_pruned_segments)
+        gen_segments.withColumn("segment_gen", F.lit(gen)).sortWithinPartitions(
+            "term_id", "block_id"
+        ).write.mode("append").partitionBy("segment_gen").parquet(
+            self._path("segments")
+        )
         if first:
             term_meta = affected_meta
         else:
@@ -325,9 +329,11 @@ class IncrementalIndexer:
             from pisa_spark.build.segments import compress_block_maxes
 
             fresh = compress_block_maxes(fresh, term_meta)
-        fresh.withColumn("segment_gen", F.lit(gen)).write.mode(
-            "overwrite"
-        ).partitionBy("segment_gen").parquet(self._path("segments_tmp"))
+        fresh.withColumn("segment_gen", F.lit(gen)).sortWithinPartitions(
+            "term_id", "block_id"
+        ).write.mode("overwrite").partitionBy("segment_gen").parquet(
+            self._path("segments_tmp")
+        )
         self.spark.read.parquet(self._path("segments_tmp")).write.mode(
             "overwrite"
         ).partitionBy("segment_gen").parquet(self._path("segments"))
@@ -376,6 +382,7 @@ class IncrementalIndexer:
             avg_len=(ln / n) if n else 0.0,
             collection_len=ln,
             config=self.config,
+            segments_file_backed=True,
         )
 
 

@@ -140,6 +140,51 @@ def test_threshold_zero_disables_lexicon_broadcast(spark):
     assert idx.postings.count() > 0 and idx.segments.count() > 0
 
 
+def test_workload_term_filter_reaches_parquet_scan(spark, tmp_path_factory):
+    """File-backed indexes (BuildPipeline) get the workload's term_ids
+    pushed INTO the parquet segment scan (PushedFilters: In(term_id,..))
+    so each query batch row-group-prunes instead of reading the whole
+    table; results are identical with pruning off; in-memory indexes
+    skip the extra job entirely."""
+    from pisa_spark.build.pipeline import BuildPipeline
+    from pisa_spark.corpus import pages_from_documents
+    from pisa_spark.query.executor import _pruned_segments, topk_search
+    from pisa_spark.query.parser import parse_queries
+
+    out = str(tmp_path_factory.mktemp("pipe_idx"))
+    pages = pages_from_documents(spark, SF).limit(200)
+    idx = BuildPipeline(spark, out, CFG).run(pages)
+    assert idx.segments_file_backed
+
+    terms = [r["term"] for r in idx.lexicon.limit(8).collect()]
+    qdf = spark.createDataFrame(
+        pd.DataFrame(
+            [(f"q{i}", [terms[i], terms[i + 4]], 10) for i in range(4)],
+            columns=["query_id", "terms", "k"],
+        ),
+        schema="query_id string, terms array<string>, k int",
+    )
+    parsed = parse_queries(qdf, idx.lexicon, pre_tokenized=True)
+
+    pruned = topk_search(idx, parsed, algorithm="maxscore")
+    plan = _plan_str(pruned)
+    assert "In(term_id" in plan or "term_id IN" in plan, plan
+
+    plain = topk_search(idx, parsed, algorithm="maxscore", scan_prune=False)
+    assert "In(term_id" not in _plan_str(plain)
+    a = pruned.toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    b = plain.toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_in_memory_index_skips_scan_prune(index, parsed):
+    """The auto heuristic must NOT add the collect+filter for computed
+    (non-file-backed) segment DAGs — there is no scan to prune."""
+    from pisa_spark.query.executor import _pruned_segments
+
+    assert _pruned_segments(index, parsed, None) is index.segments
+
+
 def test_live_range_join_is_unhinted(index, parsed, spark):
     """The (rows x live_ranges) join deliberately carries NO broadcast
     hint — at 10^12 docs the live set can be large; AQE must pick the
