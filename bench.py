@@ -220,6 +220,54 @@ def main() -> None:
     except ImportError:
         pass
 
+    # --- Batch throughput: query-major vs batch-major at 3200 queries
+    # (executor.topk_search_batch amortizes payload transfer + block
+    # decode across each batch — BENCH.md "Batch-major execution").
+    # Reported SEPARATELY from `queries` so the summed e2e headline
+    # stays comparable round-over-round.
+    from pisa_spark.query.executor import topk_search_batch
+
+    brows = []
+    for qi in range(3200):
+        n = 1 + qi % 5
+        brows.append(
+            (f"b{qi:05d}",
+             [terms[(qi * 7 + j * 13) % len(terms)] for j in range(n)], 10)
+        )
+    bqdf = spark.createDataFrame(
+        pd.DataFrame(brows, columns=["query_id", "terms", "k"]),
+        schema="query_id string, terms array<string>, k int",
+    )
+    bparsed = parse_queries(bqdf, index.lexicon, pre_tokenized=True).persist()
+    bparsed.count()
+
+    def best_of(fn) -> float:
+        fn()
+        best = float("inf")
+        for _ in range(max(1, repeats)):
+            t = time.perf_counter()
+            fn()
+            best = min(best, time.perf_counter() - t)
+        return best
+
+    qm_s = best_of(
+        lambda: topk_search(
+            index, bparsed, algorithm="block_max_maxscore", k=10
+        ).count()
+    )
+    bm_s = best_of(
+        lambda: topk_search_batch(
+            index, bparsed, algorithm="block_max_maxscore", k=10
+        ).count()
+    )
+    throughput = {
+        "n_queries": 3200,
+        "query_major_qps": round(3200 / qm_s, 1),
+        "batch_major_qps": round(3200 / bm_s, 1),
+        "batch_speedup": round(qm_s / bm_s, 2),
+    }
+    bparsed.unpersist()
+
     # --- Per-query kernel latency percentiles (reference protocol).
     KERNEL_ALGOS = (
         "block_max_wand", "block_max_maxscore", "maxscore", "wand", "ranked_or",
@@ -283,6 +331,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": queries,
+                "throughput": throughput,
                 "kernel_latency_us": kernel_latency_us,
                 "sf": sf,
                 "repeats": repeats,
