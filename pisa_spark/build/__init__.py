@@ -4,7 +4,9 @@ from pisa_spark.build.invert import (
     build_doc_sizes,
     build_lexicon,
     build_postings,
+    build_term_ids,
     collection_stats,
+    lexicon_with_df,
 )
 from pisa_spark.build.segments import build_segments, build_term_meta, decode_segments
 
@@ -14,6 +16,8 @@ __all__ = [
     "build_lexicon",
     "build_postings",
     "build_segments",
+    "build_term_ids",
+    "lexicon_with_df",
     "build_term_meta",
     "collection_stats",
     "decode_segments",

@@ -32,6 +32,15 @@ def build_lexicon(docs: DataFrame) -> DataFrame:
     term_id = dense rank of lexicographically sorted terms (parity
     with the reference's sorted global term space); df = number of
     distinct docs containing the term.
+
+    Standalone convenience (one corpus-pair shuffle of its own). The
+    full build (build_index / BuildPipeline) does NOT call this: it
+    goes ids-first — ``build_term_ids`` (distinct terms only, a tiny
+    shuffle thanks to map-side partial dedup) -> ``build_postings``
+    (the single corpus-pair shuffle) -> ``lexicon_with_df`` (df
+    counted off the postings, vocabulary-sized) — so the corpus is
+    exploded and pair-shuffled exactly once per build instead of
+    twice. Both routes produce value-identical lexicons.
     """
     term_docs = docs.select(
         F.explode("terms").alias("term"), F.col("doc_id")
@@ -39,6 +48,29 @@ def build_lexicon(docs: DataFrame) -> DataFrame:
     df_counts = term_docs.groupBy("term").agg(F.count("*").alias("df"))
     lex = assign_global_ids(df_counts, "term", "term_id")
     return lex.select("term", "term_id", "df")
+
+
+def build_term_ids(docs: DataFrame) -> DataFrame:
+    """docs(doc_id, terms) -> (term, term_id), df-free.
+
+    ``distinct`` over bare terms partially aggregates map-side, so the
+    shuffle carries each task's LOCAL vocabulary (bounded by Heaps'
+    law), not corpus pairs — cheap at any corpus size. Same dense
+    sorted-rank ids as build_lexicon (assign_global_ids is
+    deterministic in the value set, not the partitioning)."""
+    terms = docs.select(F.explode("terms").alias("term")).distinct()
+    return assign_global_ids(terms, "term", "term_id")
+
+
+def lexicon_with_df(term_ids: DataFrame, postings: DataFrame) -> DataFrame:
+    """(term, term_id) + postings -> lexicon(term, term_id, df).
+
+    df = rows per term_id in postings (postings are one row per
+    distinct (term, doc) pair by construction) — a vocabulary-sized
+    aggregate off the already-materialized postings, replacing
+    build_lexicon's corpus-wide distinct(term, doc_id) shuffle."""
+    df_counts = postings.groupBy("term_id").agg(F.count("*").alias("df"))
+    return term_ids.join(df_counts, "term_id").select("term", "term_id", "df")
 
 
 def maybe_broadcast(
@@ -65,10 +97,13 @@ def build_postings(
 ) -> DataFrame:
     """docs ⨝ lexicon -> postings(term_id, doc_id, tf).
 
-    The lexicon join is broadcast only when the vocabulary is known
-    to be small (``lexicon_size`` under ``broadcast_threshold`` —
-    build_index passes the counted size); otherwise a plain join lets
-    AQE choose. tf via hash aggregation with map-side partial combine.
+    ``lexicon`` may be a full lexicon or the df-free ``build_term_ids``
+    output — only (term, term_id) is read. The join is broadcast only
+    when the vocabulary is known to be small (``lexicon_size`` under
+    ``broadcast_threshold`` — build_index passes the counted size);
+    otherwise a plain join lets AQE choose. tf via hash aggregation
+    with map-side partial combine: this groupBy is the build's single
+    corpus-pair shuffle.
     """
     exploded = docs.select(F.col("doc_id"), F.explode("terms").alias("term"))
     lex_side = maybe_broadcast(

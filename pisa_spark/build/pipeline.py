@@ -155,7 +155,8 @@ class BuildPipeline:
         from pyspark.sql import functions as F
 
         from pisa_spark.build import (
-            build_doc_sizes, build_lexicon, build_postings,
+            build_doc_sizes, build_postings, build_term_ids,
+            lexicon_with_df,
             build_segments, build_term_meta, collection_stats, tokenize_pages,
         )
         from pisa_spark.build.segments import scored_postings
@@ -187,7 +188,17 @@ class BuildPipeline:
                     "doc_id", "url", "terms", "doc_len"
                 ),
             )
-        lexicon = self._stage("lexicon", ["docs"], lambda: build_lexicon(docs))
+        # Ids-first invert (invert.build_lexicon docstring): the
+        # term_ids stage shuffles only distinct terms (map-side partial
+        # dedup -> per-task local vocabularies), build_postings is the
+        # single corpus-pair shuffle, and the lexicon's df is a
+        # vocabulary-sized aggregate off the postings checkpoint — the
+        # old lexicon stage's second corpus-wide distinct(term, doc)
+        # pass is gone, and the extra checkpoint (term_ids) is
+        # vocabulary-sized, not corpus-sized.
+        term_ids = self._stage(
+            "term_ids", ["docs"], lambda: build_term_ids(docs)
+        )
         doc_sizes = self._stage(
             "doc_sizes", ["docs"], lambda: build_doc_sizes(docs)
         )
@@ -199,16 +210,20 @@ class BuildPipeline:
         avg_len = float(stats["avg_len"] or 0.0)
         collection_len = int(stats["collection_len"] or 0)
 
-        # Vocabulary size comes free from the lexicon stage manifest;
+        # Vocabulary size comes free from the term_ids stage manifest;
         # it gates the broadcast hints (invert.maybe_broadcast).
-        lexicon_size = (self._load_manifest("lexicon") or {}).get("n_rows")
+        lexicon_size = (self._load_manifest("term_ids") or {}).get("n_rows")
         bcast = self.config.index.lexicon_broadcast_threshold
         postings = self._stage(
-            "postings", ["docs", "lexicon"],
+            "postings", ["docs", "term_ids"],
             lambda: build_postings(
-                docs, lexicon,
+                docs, term_ids,
                 lexicon_size=lexicon_size, broadcast_threshold=bcast,
             ),
+        )
+        lexicon = self._stage(
+            "lexicon", ["term_ids", "postings"],
+            lambda: lexicon_with_df(term_ids, postings),
         )
         scored = scored_postings(
             postings, doc_sizes, lexicon, num_docs, avg_len,

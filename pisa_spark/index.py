@@ -20,8 +20,10 @@ from pisa_spark.build import (
     build_lexicon,
     build_postings,
     build_segments,
+    build_term_ids,
     build_term_meta,
     collection_stats,
+    lexicon_with_df,
     tokenize_pages,
 )
 from pisa_spark.build.segments import scored_postings
@@ -80,8 +82,10 @@ def build_index(
 
     Stage layout (each boundary is a shuffle, not a serial merge):
       1. tokenize (mapInPandas) + docID assignment (distributed sort)
-      2. lexicon (distinct+sort), postings (explode + broadcast join +
-         hash agg with map-side combine)
+      2. term ids (distinct terms + sort — tiny shuffle after map-side
+         dedup), postings (explode + broadcast join + hash agg with
+         map-side combine: the ONE corpus-pair shuffle), lexicon df
+         counted off the postings (vocabulary-sized)
       3. segments (salted groupBy + Arrow-batched numpy block encode)
     """
     config = config or EngineConfig()
@@ -89,19 +93,41 @@ def build_index(
     if cache:
         docs = docs.persist()
 
-    lexicon = build_lexicon(docs)
-    if cache:
-        lexicon = lexicon.persist()
-    # Counted vocabulary size gates the build-path broadcast hints
-    # (invert.maybe_broadcast): broadcast only a known-small lexicon.
-    lexicon_size = lexicon.count()
+    # Ids-first invert (see invert.build_lexicon docstring): term ids
+    # from distinct terms (tiny shuffle), ONE corpus-pair shuffle in
+    # build_postings, then df counted off the postings — instead of a
+    # second corpus-wide distinct(term, doc) pass for the lexicon.
+    # term_ids and lexicon get EAGER localCheckpoints (not persist):
+    # both are reused intra-build, and cutting their lineage keeps the
+    # postings self-reference (df comes FROM postings) out of every
+    # downstream plan — the lexicon joins into parsed queries and the
+    # query-side broadcasts, where a postings-deep subtree would bloat
+    # analysis and nest corpus lineage under broadcast hints.
     bcast = config.index.lexicon_broadcast_threshold
-    doc_sizes = build_doc_sizes(docs)
-    postings = build_postings(
-        docs, lexicon, lexicon_size=lexicon_size, broadcast_threshold=bcast
-    )
     if cache:
-        postings = postings.persist()
+        term_ids = build_term_ids(docs).localCheckpoint(eager=True)
+        # Counted vocabulary size gates the build-path broadcast hints
+        # (invert.maybe_broadcast): broadcast only a known-small side.
+        lexicon_size = term_ids.count()
+        doc_sizes = build_doc_sizes(docs)
+        postings = build_postings(
+            docs, term_ids,
+            lexicon_size=lexicon_size, broadcast_threshold=bcast,
+        ).persist()
+        lexicon = lexicon_with_df(term_ids, postings).localCheckpoint(
+            eager=True  # also materializes the postings cache
+        )
+    else:
+        # Lazy mode keeps every artifact recomputable from pages, so
+        # the lexicon takes the standalone route (independent lineage,
+        # no postings self-reference to recompute twice).
+        lexicon = build_lexicon(docs)
+        lexicon_size = lexicon.count()
+        doc_sizes = build_doc_sizes(docs)
+        postings = build_postings(
+            docs, lexicon,
+            lexicon_size=lexicon_size, broadcast_threshold=bcast,
+        )
 
     stats = collection_stats(doc_sizes).collect()[0]
     num_docs = int(stats["num_docs"])

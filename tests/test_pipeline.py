@@ -36,8 +36,8 @@ def test_build_checkpoint_resume_and_metrics(spark, pages, tmp_path):
     idx1 = pipe1.run(pages)
     n_seg = idx1.segments.count()
     assert n_seg > 0
-    all_stages = {"tokens", "docs", "lexicon", "doc_sizes", "stats",
-                  "postings", "segments", "term_meta", "docmap"}
+    all_stages = {"tokens", "docs", "term_ids", "lexicon", "doc_sizes",
+                  "stats", "postings", "segments", "term_meta", "docmap"}
     assert set(pipe1.executed) == all_stages
 
     # Manifests carry lineage + per-partition rows/bytes.
