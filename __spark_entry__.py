@@ -35,13 +35,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q.update(datapipe_queries())
     except ImportError:
         pass
-    # The driver records the FIRST 50 entries (dict order). Entries
-    # beyond the 50-component core are redundant-coverage extras and
-    # must sit at the END so every component family keeps its driver
-    # CORRECTNESS row; selfcheck.py records the full matrix.
-    for extra in ("adaptive_topk", "batched_topk"):
-        if extra in q:
-            q[extra] = q.pop(extra)
+    # The driver records the FIRST 50 entries (dict order); the
+    # registry is consolidated to exactly 50 so every component
+    # family lands a driver CORRECTNESS row (gated/entries.py).
     return q
 
 

@@ -29,6 +29,7 @@ from pisa_spark.gated.sql import (
     GATED_QUERIES,
     K,
     RANGE_MODE_TAGS,
+    STRATEGY_TAGS,
     core_sql_entries,
 )
 
@@ -456,6 +457,25 @@ def _range_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("range_mode", "query_id", "rank", "doc_id", "score")
 
 
+def _strategy_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Execution strategies over the same workload, tagged: 'adaptive'
+    (per-query kernel selection in executor.topk_search) and 'batched'
+    (batch-major executor.topk_search_batch with the shared
+    decoded-block cache) — each must stay rank-identical to the
+    exhaustive ranked_or oracle."""
+    from pyspark.sql import functions as F
+
+    runs = {
+        "adaptive": _run_kernel("adaptive"),
+        "batched": _run_batched("block_max_maxscore"),
+    }
+    out = None
+    for tag in STRATEGY_TAGS:
+        df = runs[tag](spark, sf_dir).withColumn("strategy", F.lit(tag))
+        out = df if out is None else out.unionByName(df)
+    return out.select("strategy", "query_id", "rank", "doc_id", "score")
+
+
 def _decode_check_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """compress --check across the ENTIRE codec registry: one full
     index build + segment round-trip decode per codec, union-tagged —
@@ -506,15 +526,17 @@ def _nonsql_engine_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The driver records a bounded number of CORRECTNESS rows (observed:
 # the first 50 queries() entries, dict order). This registry is
 # exactly 36 gated entries + 14 datapipe entries = 50, every
-# component family included — see VERDICT r2 task #1.
+# component family included — see VERDICT r2 task #1. The whitespace
+# and English analyzer lexicons share one tagged entry
+# (lexicon_analyzers) so the execution-strategy entry (strategy_topk)
+# fits inside the window too.
 _SQL_NATIVE_ENTRIES = [
-    "lexicon",
+    "lexicon_analyzers",
     "doc_sizes",
     "collection_stats",
     "postings",
     "incremental_postings",  # Spark side overridden with the engine run
     "term_meta",
-    "english_lexicon",
     "trec_run",
     "query_parse",
     "ranked_or_topk",
@@ -549,17 +571,12 @@ def gated_queries():
     q["taat_ranked_or_topk"] = _run_kernel("ranked_or")
     q["bmw_variants_topk"] = _bmw_variants
     q["range_topk"] = _range_union
+    q["strategy_topk"] = _strategy_topk
     q["segments_decode_check"] = _decode_check_all
     # Spark side = the incremental ENGINE (two generations + decode);
     # the SQL skeleton stays as the DuckDB oracle.
     q["incremental_postings"] = _incremental_postings
     q["nonsql_engine_checks"] = _nonsql_engine_checks
-    # Entry 51, deliberately LAST: outside the driver's 50-row window
-    # (every family above already lands a driver row) but recorded by
-    # scripts/selfcheck.py in SELFCHECK_r{N}.json. Redundant coverage:
-    # adaptive dispatches to kernels gated individually above.
-    q["adaptive_topk"] = _run_kernel("adaptive")
-    q["batched_topk"] = _run_batched("block_max_maxscore")
     return q
 
 
@@ -577,9 +594,8 @@ def gated_oracle_sql():
     o["bm_ranked_and_topk"] = _DUCK_SQL["ranked_and_topk"]
     o["bmw_variants_topk"] = _DUCK_SQL["bmw_variants_topk"]
     o["range_topk"] = _DUCK_SQL["range_topk"]
+    o["strategy_topk"] = _DUCK_SQL["strategy_topk"]
     o["segments_decode_check"] = _DUCK_SQL["segments_decode_check"]
     # nonsql_engine_checks: stemmers / gamma CDF / iterative BP are
     # not SQL-expressible -> rows-only by design (pytest-pinned).
-    o["adaptive_topk"] = _DUCK_SQL["ranked_or_topk"]
-    o["batched_topk"] = _DUCK_SQL["ranked_or_topk"]
     return o

@@ -97,6 +97,8 @@ DECODE_CHECK_CODECS = [
 # oracle SQL so both engines emit identical tag values.
 BMW_VARIANT_TAGS = ["bootstrap", "cwand", "quantized", "varblock"]
 RANGE_MODE_TAGS = ["bmw", "bmw_live", "maxscore"]
+STRATEGY_TAGS = ["adaptive", "batched"]
+ANALYZER_TAGS = ["english", "whitespace"]
 
 
 def _queries_cte() -> str:
@@ -235,6 +237,29 @@ FROM (
   SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
   FROM etok2 GROUP BY term
 ) x ORDER BY term_id"""
+
+    # Consolidated analyzer lexicons (whitespace + EnglishTokenizer)
+    # in one tagged union, so both analyzers share a single driver
+    # CORRECTNESS row (50-entry window — see gated/entries.py).
+    e["lexicon_analyzers"] = f"""{base},
+etok AS (
+  SELECT doc_id, {d.explode_kw}(toks) AS term
+  FROM (SELECT doc_id, {en_toks} AS toks FROM documents) t0
+),
+elex AS (
+  SELECT term,
+         CAST(ROW_NUMBER() OVER (ORDER BY term) - 1 AS BIGINT) AS term_id,
+         df
+  FROM (
+    SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+    FROM (SELECT doc_id, term FROM etok WHERE term <> '') e2
+    GROUP BY term
+  ) x
+)
+SELECT 'whitespace' AS analyzer, term, term_id, df FROM lex
+UNION ALL
+SELECT 'english' AS analyzer, term, term_id, df FROM elex
+ORDER BY analyzer, term_id"""
 
     # TREC 6-column run output (evaluate_queries,
     # tools/evaluate_queries.cpp:152-161).
@@ -870,5 +895,17 @@ SELECT variant, query_id, rank, doc_id, score FROM (
 SELECT m.range_mode, r.query_id, r.rank, r.doc_id, r.score
 FROM ranked r CROSS JOIN ({range_tags}) m
 WHERE r.rank <= {K} ORDER BY m.range_mode, r.query_id, r.rank"""
+
+    # Execution strategies over the same workload: adaptive per-query
+    # kernel selection and batch-major execution with the shared
+    # decoded-block cache — both must be rank-identical to the
+    # exhaustive disjunction.
+    strat_tags = " UNION ALL ".join(
+        f"SELECT '{t}' AS strategy" for t in STRATEGY_TAGS
+    )
+    e["strategy_topk"] = f"""{base}
+SELECT s.strategy, r.query_id, r.rank, r.doc_id, r.score
+FROM ranked r CROSS JOIN ({strat_tags}) s
+WHERE r.rank <= {K} ORDER BY s.strategy, r.query_id, r.rank"""
 
     return e

@@ -174,3 +174,30 @@ def test_pages_source_path_roundtrip(spark, tmp_path):
     spark.range(5).write.mode("overwrite").parquet(bad)
     with pytest.raises(ValueError, match="missing input_hint columns"):
         pages_source(spark, bad)
+
+
+def test_ids_first_lexicon_matches_standalone(spark, pages):
+    """The ids-first invert route (build_term_ids -> build_postings ->
+    lexicon_with_df, one corpus-pair shuffle) must produce a lexicon
+    value-identical to the standalone build_lexicon (its own
+    distinct(term, doc) pass) — see invert.build_lexicon docstring."""
+    from pisa_spark.build import (
+        build_lexicon, build_postings, build_term_ids, lexicon_with_df,
+        tokenize_pages,
+    )
+
+    docs = tokenize_pages(pages, CFG.analyzer).select(
+        "doc_id", "terms"
+    ).localCheckpoint(eager=True)
+
+    import pandas as pd
+
+    standalone = build_lexicon(docs).toPandas()
+    term_ids = build_term_ids(docs)
+    postings = build_postings(docs, term_ids)
+    ids_first = lexicon_with_df(term_ids, postings).toPandas()
+
+    key = ["term_id"]
+    a = standalone.sort_values(key).reset_index(drop=True)
+    b = ids_first[a.columns].sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
