@@ -27,9 +27,15 @@ def assign_global_ids(
     order_col: str,
     id_col: str = "id",
     num_partitions: int | None = None,
+    count_out: dict | None = None,
 ) -> DataFrame:
     """Add ``id_col`` = 0-based dense rank of ``order_col`` (must be
-    unique) without a single-partition window."""
+    unique) without a single-partition window.
+
+    ``count_out``: pass a dict to receive ``{"n_rows": total}`` for
+    free — the per-partition offset collect below already knows the
+    total, so callers that need the row count (e.g. the lexicon
+    broadcast gate) don't have to run a separate count job."""
     # Default to the input's partition count (parallelism-independent:
     # the same input produces the same layout at any core count);
     # defaultParallelism only as a floor for degenerate 1-part inputs.
@@ -55,6 +61,8 @@ def assign_global_ids(
     for pid in sorted(counts):
         offsets.append((pid, acc))
         acc += counts[pid]
+    if count_out is not None:
+        count_out["n_rows"] = acc
     off_df = spark.createDataFrame(offsets, schema="__pid int, __off long")
 
     w = Window.partitionBy("__pid").orderBy(order_col)

@@ -50,16 +50,20 @@ def build_lexicon(docs: DataFrame) -> DataFrame:
     return lex.select("term", "term_id", "df")
 
 
-def build_term_ids(docs: DataFrame) -> DataFrame:
+def build_term_ids(
+    docs: DataFrame, count_out: dict | None = None
+) -> DataFrame:
     """docs(doc_id, terms) -> (term, term_id), df-free.
 
     ``distinct`` over bare terms partially aggregates map-side, so the
     shuffle carries each task's LOCAL vocabulary (bounded by Heaps'
     law), not corpus pairs — cheap at any corpus size. Same dense
     sorted-rank ids as build_lexicon (assign_global_ids is
-    deterministic in the value set, not the partitioning)."""
+    deterministic in the value set, not the partitioning).
+    ``count_out`` receives ``{"n_rows": vocabulary size}`` for free
+    (assign_global_ids' offset collect)."""
     terms = docs.select(F.explode("terms").alias("term")).distinct()
-    return assign_global_ids(terms, "term", "term_id")
+    return assign_global_ids(terms, "term", "term_id", count_out=count_out)
 
 
 def lexicon_with_df(term_ids: DataFrame, postings: DataFrame) -> DataFrame:
@@ -94,8 +98,9 @@ def build_postings(
     lexicon: DataFrame,
     lexicon_size: int | None = None,
     broadcast_threshold: int = 10_000_000,
+    carry_doc_len: bool = False,
 ) -> DataFrame:
-    """docs ⨝ lexicon -> postings(term_id, doc_id, tf).
+    """docs ⨝ lexicon -> postings(term_id, doc_id, tf[, doc_len]).
 
     ``lexicon`` may be a full lexicon or the df-free ``build_term_ids``
     output — only (term, term_id) is read. The join is broadcast only
@@ -104,16 +109,25 @@ def build_postings(
     otherwise a plain join lets AQE choose. tf via hash aggregation
     with map-side partial combine: this groupBy is the build's single
     corpus-pair shuffle.
+
+    ``carry_doc_len=True`` rides ``doc_len`` (functionally dependent
+    on doc_id, already on the docs side) through the explode and agg
+    for ~8 bytes/pair in this one shuffle — which lets
+    ``scored_postings`` skip its postings ⨝ doc_sizes join, i.e. a
+    second full corpus-pair shuffle on doc_id. The full builds turn
+    it on; default off keeps the minimal public schema.
     """
-    exploded = docs.select(F.col("doc_id"), F.explode("terms").alias("term"))
+    cols = [F.col("doc_id"), F.explode("terms").alias("term")]
+    aggs = [F.count("*").cast("int").alias("tf")]
+    if carry_doc_len:
+        cols.append(F.col("doc_len"))
+        aggs.append(F.first("doc_len").cast("int").alias("doc_len"))
+    exploded = docs.select(*cols)
     lex_side = maybe_broadcast(
         lexicon.select("term", "term_id"), lexicon_size, broadcast_threshold
     )
     joined = exploded.join(lex_side, "term")
-    return (
-        joined.groupBy("term_id", "doc_id")
-        .agg(F.count("*").cast("int").alias("tf"))
-    )
+    return joined.groupBy("term_id", "doc_id").agg(*aggs)
 
 
 def build_doc_sizes(docs: DataFrame) -> DataFrame:

@@ -214,11 +214,15 @@ class BuildPipeline:
         # it gates the broadcast hints (invert.maybe_broadcast).
         lexicon_size = (self._load_manifest("term_ids") or {}).get("n_rows")
         bcast = self.config.index.lexicon_broadcast_threshold
+        # carry_doc_len: the postings checkpoint stores doc_len too
+        # (~1 varint-packed column), so the segment encode never
+        # re-shuffles the pairs on doc_id for the doc_sizes join.
         postings = self._stage(
             "postings", ["docs", "term_ids"],
             lambda: build_postings(
                 docs, term_ids,
                 lexicon_size=lexicon_size, broadcast_threshold=bcast,
+                carry_doc_len=True,
             ),
         )
         lexicon = self._stage(
@@ -284,7 +288,9 @@ class BuildPipeline:
             lexicon=lexicon,
             docmap=docmap,
             doc_sizes=doc_sizes,
-            postings=postings,
+            # Public contract: (term_id, doc_id, tf); doc_len in the
+            # checkpoint is a build-internal column (see build_postings).
+            postings=postings.select("term_id", "doc_id", "tf"),
             segments=segments,
             term_meta=term_meta,
             num_docs=num_docs,

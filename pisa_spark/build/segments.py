@@ -78,19 +78,26 @@ def scored_postings(
 ) -> DataFrame:
     """postings + the per-posting columns BM25 needs (df, doc_len).
 
-    doc_sizes join co-partitions on doc_id (big-big, AQE-planned);
-    the lexicon df join is broadcast only when the vocabulary is
-    known small (invert.maybe_broadcast) — never force-broadcast a
-    web-scale vocabulary.
+    Postings that already carry ``doc_len`` (build_postings
+    ``carry_doc_len=True`` — the full-build paths) skip the
+    postings ⨝ doc_sizes join entirely: that join re-shuffles every
+    corpus pair on doc_id, the single biggest avoidable byte-move in
+    the build. Without the column it stays a doc_id co-partitioned
+    big-big join (AQE-planned). The lexicon df join is broadcast only
+    when the vocabulary is known small (invert.maybe_broadcast) —
+    never force-broadcast a web-scale vocabulary.
     """
     from pisa_spark.build.invert import maybe_broadcast
 
     lex_side = maybe_broadcast(
         lexicon.select("term_id", "df"), lexicon_size, broadcast_threshold
     )
+    if "doc_len" in postings.columns:
+        base = postings
+    else:
+        base = postings.join(doc_sizes.select("doc_id", "doc_len"), "doc_id")
     return (
-        postings.join(doc_sizes.select("doc_id", "doc_len"), "doc_id")
-        .join(lex_side, "term_id")
+        base.join(lex_side, "term_id")
         .select("term_id", "doc_id", "tf", "doc_len", "df")
     )
 

@@ -95,27 +95,37 @@ def build_index(
 
     # Ids-first invert (see invert.build_lexicon docstring): term ids
     # from distinct terms (tiny shuffle), ONE corpus-pair shuffle in
-    # build_postings, then df counted off the postings — instead of a
-    # second corpus-wide distinct(term, doc) pass for the lexicon.
-    # term_ids and lexicon get EAGER localCheckpoints (not persist):
-    # both are reused intra-build, and cutting their lineage keeps the
-    # postings self-reference (df comes FROM postings) out of every
-    # downstream plan — the lexicon joins into parsed queries and the
-    # query-side broadcasts, where a postings-deep subtree would bloat
-    # analysis and nest corpus lineage under broadcast hints.
+    # build_postings (doc_len riding along so scored_postings never
+    # re-shuffles the pairs on doc_id), then df counted off the
+    # postings — instead of a second corpus-wide distinct(term, doc)
+    # pass for the lexicon. term_ids needs no extra lineage cut here:
+    # assign_global_ids already pins its range partitioning with an
+    # eager localCheckpoint, so only a vocabulary-sized window sits
+    # above the cut. The lexicon gets an EAGER localCheckpoint (not
+    # persist): it is reused intra-build and joins into parsed
+    # queries and query-side broadcasts, where its postings
+    # self-reference (df comes FROM postings) would bloat analysis
+    # and nest corpus lineage under broadcast hints.
     bcast = config.index.lexicon_broadcast_threshold
     if cache:
-        term_ids = build_term_ids(docs).localCheckpoint(eager=True)
-        # Counted vocabulary size gates the build-path broadcast hints
-        # (invert.maybe_broadcast): broadcast only a known-small side.
-        lexicon_size = term_ids.count()
+        # Vocabulary size (gating the maybe_broadcast hints) comes
+        # free from assign_global_ids' offset collect — no count job.
+        vocab: dict = {}
+        term_ids = build_term_ids(docs, count_out=vocab)
+        lexicon_size = vocab["n_rows"]
         doc_sizes = build_doc_sizes(docs)
         postings = build_postings(
             docs, term_ids,
             lexicon_size=lexicon_size, broadcast_threshold=bcast,
+            carry_doc_len=True,
         ).persist()
+        # Lazy checkpoint: the first downstream action (typically the
+        # segment encode) materializes postings cache + lexicon in ONE
+        # job — no extra barrier — and every plan built afterwards
+        # sees a cut lineage, keeping the postings self-reference (df
+        # comes FROM postings) out of query-side broadcast subtrees.
         lexicon = lexicon_with_df(term_ids, postings).localCheckpoint(
-            eager=True  # also materializes the postings cache
+            eager=False
         )
     else:
         # Lazy mode keeps every artifact recomputable from pages, so
@@ -127,6 +137,7 @@ def build_index(
         postings = build_postings(
             docs, lexicon,
             lexicon_size=lexicon_size, broadcast_threshold=bcast,
+            carry_doc_len=True,
         )
 
     stats = collection_stats(doc_sizes).collect()[0]
@@ -157,7 +168,10 @@ def build_index(
         lexicon=lexicon,
         docmap=docs.select("doc_id", "url"),
         doc_sizes=doc_sizes,
-        postings=postings,
+        # Public postings contract stays (term_id, doc_id, tf); the
+        # doc_len-carrying frame is a build-internal shuffle shape
+        # (the select reuses the same cached/persisted data).
+        postings=postings.select("term_id", "doc_id", "tf"),
         segments=segments,
         term_meta=term_meta,
         num_docs=num_docs,
