@@ -21,8 +21,11 @@ Scale notes (100 TB):
   at scale drop shingles with document frequency above a cap before
   the join (stopword-shingle pruning) — the MinHash path is the
   intended scale path, this operator is its exact oracle.
-- MinHash: signature aggregation is 1 shuffle on doc_id with partial
-  min-aggs; banding EXPLODES each signature into (band_id, band_key)
+- MinHash: the shingle scan is materialized ONCE (eager
+  localCheckpoint) and feeds both the signature aggregation and the
+  exact-verification joins; signature aggregation is 1 shuffle on
+  doc_id with partial min-aggs; banding EXPLODES each signature into
+  (band_id, band_key)
   rows — one shuffle keyed on the band key serves every band at once
   (instead of n_bands sequential self-joins of the signature table) —
   and buckets larger than MAX_BUCKET (boilerplate/near-identical
@@ -161,11 +164,17 @@ BAND_ROWS = 4  # 8 bands x 4 rows
 MAX_BUCKET = 64
 
 
-def minhash_signatures(docs: DataFrame, k: int = 3, num_perm: int = NUM_PERM) -> DataFrame:
+def minhash_signatures(docs: DataFrame, k: int = 3, num_perm: int = NUM_PERM,
+                       shd: DataFrame | None = None) -> DataFrame:
     """(doc_id, s0..s{num_perm-1}) MinHash signature columns — one
-    shuffle on doc_id, num_perm partial min-aggregations."""
+    shuffle on doc_id, num_perm partial min-aggregations.
+
+    ``shd`` optionally supplies a pre-materialized shingle table so a
+    caller that also needs the shingles for verification (the LSH
+    pipeline) computes the tokenize+explode scan once."""
     a, b = minhash_coeffs(num_perm)
-    shd = shingles_df(docs, k)
+    if shd is None:
+        shd = shingles_df(docs, k)
     aggs = [
         F.min(F.expr(f"({a[j]} * sh + {b[j]}) % {M31}")).alias(f"s{j}")
         for j in range(num_perm)
@@ -184,11 +193,12 @@ def _band_key_cols(num_perm: int, band_rows: int):
     return out
 
 
-def _banded(docs: DataFrame, k: int, num_perm: int, band_rows: int) -> DataFrame:
+def _banded(docs: DataFrame, k: int, num_perm: int, band_rows: int,
+            shd: DataFrame | None = None) -> DataFrame:
     """(doc_id, band_id, band_key): ONE row per (doc, band) via
     explode — every band's bucketing rides a single shuffle on the
     band key instead of n_bands sequential self-joins."""
-    sig = minhash_signatures(docs, k, num_perm)
+    sig = minhash_signatures(docs, k, num_perm, shd=shd)
     structs = [
         F.struct(F.lit(band).alias("band_id"), key.alias("band_key"))
         for band, key in _band_key_cols(num_perm, band_rows)
@@ -207,7 +217,12 @@ def minhash_lsh_pairs(docs: DataFrame, k: int = 3, num_perm: int = NUM_PERM,
     ``minhash_dropped_buckets``)."""
     from pyspark.sql import Window
 
-    bands = _banded(docs, k, num_perm, band_rows)
+    # Shingles feed BOTH the signature aggregation and the exact
+    # verification joins: materialize the tokenize+explode scan once
+    # (eager localCheckpoint — executor-local, released when
+    # unreferenced) instead of recomputing it per consumer.
+    shd = shingles_df(docs, k).localCheckpoint(eager=True)
+    bands = _banded(docs, k, num_perm, band_rows, shd=shd)
     w = Window.partitionBy("band_id", "band_key")
     capped = (
         bands.withColumn("bsz", F.count("*").over(w))
@@ -225,7 +240,7 @@ def minhash_lsh_pairs(docs: DataFrame, k: int = 3, num_perm: int = NUM_PERM,
         .select("doc_a", "doc_b")
         .distinct()
     )
-    return _jaccard_from_shingles(shingles_df(docs, k), pairs)
+    return _jaccard_from_shingles(shd, pairs)
 
 
 def minhash_dropped_buckets(docs: DataFrame, k: int = 3,
