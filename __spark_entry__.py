@@ -18,11 +18,14 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query: top-k BM25 disjunction (the exhaustive
-    ranked_or oracle plan) over sf0.001 documents — pure Spark SQL."""
+    """Flagship query: top-k BM25 via block-max WAND over compressed
+    postings (the engine's signature path, BASELINE.json north_star) —
+    tokenize -> invert -> salted block segments -> BMW kernel — over
+    sf0.001 documents. The exhaustive ranked_or SQL oracle reproduces
+    this top-k rank-identically (gate entry ``bmw_topk``)."""
     from pisa_spark.gated import gated_queries
 
-    return gated_queries()["ranked_or_topk"](spark, "/root/testdata/sf0.001")
+    return gated_queries()["bmw_topk"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
