@@ -7,7 +7,8 @@ throughput at both plus scaling efficiency:
 
     efficiency = throughput(4N) / (4 * throughput(N))
 
-Writes the measurement table to BENCH.md and prints the JSON.
+Writes the measurement table to SCALING_LATEST.md (BENCH.md is
+hand-curated — merge from there) and prints the JSON.
 
     python scripts/scaling.py [--n 8] [--n-docs 32000] [--queries 800]
 """
@@ -89,9 +90,12 @@ def main() -> None:
     }
     print(json.dumps(result))
 
-    bench_md = REPO / "BENCH.md"
+    # BENCH.md is hand-curated; write the raw table to a side artifact
+    # and let the curator merge the numbers (clobbering BENCH.md here
+    # lost curated content once — never again).
+    bench_md = REPO / "SCALING_LATEST.md"
     stamp = time.strftime("%Y-%m-%d %H:%M UTC", time.gmtime())
-    table = f"""# BENCH — scaling protocol results
+    table = f"""# Scaling protocol — latest raw run (merge into BENCH.md)
 
 Last run: {stamp}. Protocol per BASELINE.md: the identical job (same
 synthetic corpus of {args.n_docs} docs generated with a fixed 64-way
