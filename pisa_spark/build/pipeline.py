@@ -298,6 +298,7 @@ class BuildPipeline:
             collection_len=collection_len,
             config=self.config,
             segments_file_backed=True,
+            num_terms=int(lexicon_size) if lexicon_size is not None else None,
         )
 
     # ------------------------------------------------------------- report

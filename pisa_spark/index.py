@@ -48,6 +48,13 @@ class InvertedIndex:
     # batch reads O(workload lists), not O(corpus). In-memory builds
     # leave it False — there is no scan to prune.
     segments_file_backed: bool = False
+    # Vocabulary size when known for free (build_index counts it for
+    # the broadcast gate; BuildPipeline reads it off the term_ids
+    # manifest). The executor's auto scan-prune uses it to disengage
+    # when the workload covers so much of the vocabulary that an
+    # IN(term_id) filter cannot skip row groups (executor.
+    # SCAN_PRUNE_MAX_VOCAB_FRAC). None = unknown -> no fraction check.
+    num_terms: int | None = None
     # NOTE deliberately no doc_lens_array(): per-posting doc lengths
     # are encoded inside the segment blocks (segments.py len_bytes),
     # so query execution never collects or broadcasts anything
@@ -178,4 +185,5 @@ def build_index(
         avg_len=avg_len,
         collection_len=collection_len,
         config=config,
+        num_terms=int(lexicon_size) if lexicon_size is not None else None,
     )

@@ -84,6 +84,15 @@ DISJUNCTIVE_ALGORITHMS = frozenset(
 # were written sorted by term_id (build/pipeline.py does). The id list
 # is WORKLOAD-sized (distinct query terms, capped), never corpus-sized.
 SCAN_PRUNE_MAX_TERMS = 4096
+# Auto mode additionally disengages when the workload covers more than
+# this fraction of the vocabulary: with terms spread across most row
+# groups the IN filter skips nothing and just adds a collect job plus
+# per-row filter work (measured 12% slower on a 3200-query batch over
+# a 6.4k-term vocab). At 10^12-doc scale (vocab >= 10^8) any workload
+# under SCAN_PRUNE_MAX_TERMS passes trivially — the fraction gate only
+# bites small-vocab corpora, exactly where pruning cannot help.
+# scan_prune=True bypasses the fraction gate (forced).
+SCAN_PRUNE_MAX_VOCAB_FRAC = 0.02
 
 
 def _is_bare_relation(df: DataFrame) -> bool:
@@ -111,20 +120,27 @@ def _pruned_segments(
     collect here is workload-sized and capped (SCAN_PRUNE_MAX_TERMS) —
     beyond the cap the IN literal would bloat the plan, so we fall back
     to the plain join (still correct, just unpruned)."""
-    if scan_prune is None:
+    auto = scan_prune is None
+    if auto:
         scan_prune = index.segments_file_backed or _is_bare_relation(
             index.segments
         )
     if not scan_prune:
         return index.segments
+    cap = SCAN_PRUNE_MAX_TERMS
+    if auto and index.num_terms:
+        # vocab-fraction gate (see SCAN_PRUNE_MAX_VOCAB_FRAC)
+        cap = min(cap, int(SCAN_PRUNE_MAX_VOCAB_FRAC * index.num_terms))
+    if cap < 1:
+        return index.segments
     ids = [
         r[0]
         for r in parsed.select("term_id")
         .distinct()
-        .limit(SCAN_PRUNE_MAX_TERMS + 1)
+        .limit(cap + 1)
         .collect()
     ]
-    if not ids or len(ids) > SCAN_PRUNE_MAX_TERMS:
+    if not ids or len(ids) > cap:
         return index.segments
     return index.segments.filter(F.col("term_id").isin(ids))
 

@@ -383,6 +383,8 @@ class IncrementalIndexer:
             collection_len=ln,
             config=self.config,
             segments_file_backed=True,
+            # dense term ids start at 0, so next_term_id == vocab size
+            num_terms=int(st["next_term_id"]),
         )
 
 

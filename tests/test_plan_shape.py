@@ -166,7 +166,7 @@ def test_workload_term_filter_reaches_parquet_scan(spark, tmp_path_factory):
     )
     parsed = parse_queries(qdf, idx.lexicon, pre_tokenized=True)
 
-    pruned = topk_search(idx, parsed, algorithm="maxscore")
+    pruned = topk_search(idx, parsed, algorithm="maxscore", scan_prune=True)
     plan = _plan_str(pruned)
     assert "In(term_id" in plan or "term_id IN" in plan, plan
 
@@ -175,6 +175,23 @@ def test_workload_term_filter_reaches_parquet_scan(spark, tmp_path_factory):
     a = pruned.toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
     b = plain.toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+    # AUTO mode's vocab-fraction gate: this workload's 8 distinct terms
+    # cover ~26% of the tiny vocabulary — far past
+    # SCAN_PRUNE_MAX_VOCAB_FRAC — so the IN filter could not skip any
+    # row group and auto must fall back to the plain join (the 100TB
+    # case, vocab >= 1e8, passes the gate for any capped workload).
+    import pisa_spark.query.executor as ex
+
+    assert idx.num_terms and idx.num_terms > 0
+    assert _pruned_segments(idx, parsed, None) is idx.segments
+    # With a generous fraction the same workload auto-engages.
+    orig = ex.SCAN_PRUNE_MAX_VOCAB_FRAC
+    ex.SCAN_PRUNE_MAX_VOCAB_FRAC = 0.9
+    try:
+        assert _pruned_segments(idx, parsed, None) is not idx.segments
+    finally:
+        ex.SCAN_PRUNE_MAX_VOCAB_FRAC = orig
 
 
 def test_in_memory_index_skips_scan_prune(index, parsed):
