@@ -136,9 +136,13 @@ def main() -> None:
     index.segments.persist().count()
     index.term_meta.persist().count()
     for _ in range(max(1, build_repeats)):
-        if index is not None:
-            index.segments.unpersist()
-            index.term_meta.unpersist()
+        # Drop ALL of the previous build's cache entries — not just
+        # segments/term_meta but build_index's internal docs/postings
+        # persists, which would otherwise accumulate one full corpus
+        # copy per repeat (CacheManager entries survive driver GC) and
+        # run later repeats + the query section under memory pressure.
+        # Every timed build starts from the same cold-cache state.
+        spark.catalog.clearCache()
         t0 = time.perf_counter()
         index = build_index(spark, pages, cfg)
         # Force every artifact the queries need (segments + meta + lexicon).

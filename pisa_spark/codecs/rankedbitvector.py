@@ -125,6 +125,8 @@ def rbv_rank(data: bytes, pos: int) -> int:
     """Ones in bit positions [0, pos): one directory sample + <= 64
     byte popcounts + one masked-byte popcount (broadword rank shape,
     util/broadword.hpp:70-90 parity)."""
+    if not data:  # rbv_encode([]) == b"" — zero ones anywhere
+        return 0
     u, samples, packed = _parts(data)
     pos = min(max(pos, 0), u)
     sb = min(pos // _SUPER_BITS, len(samples) - 1)
@@ -143,6 +145,8 @@ def rbv_select(data: bytes, k: int) -> int:
     """Position of the (k+1)-th one (0-based k): directory
     searchsorted for the superblock, then an in-superblock byte scan
     and an in-byte bit scan (broadword select shape)."""
+    if not data:  # rbv_encode([]) == b"" — no ones to select
+        raise IndexError(f"select({k}) beyond population")
     u, samples, packed = _parts(data)
     sb = int(np.searchsorted(samples, k, side="right")) - 1
     start = sb * _SUPER_BYTES

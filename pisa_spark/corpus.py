@@ -152,11 +152,25 @@ def pages_source(
     on the input_hint SCHEMA, never on the storage format.
 
     Validates the required columns and prunes to exactly the
-    input_hint shape (column pruning reaches the scan)."""
-    if "/" not in source and fmt is None:
+    input_hint shape (column pruning reaches the scan).
+
+    Disambiguation: an explicit ``fmt`` always reads a path; with no
+    ``fmt``, a string that exists on the local filesystem (relative
+    file like ``pages.parquet``, ``./dir``) is read as a path, and
+    only a non-path-looking name falls through to the catalog — a
+    cwd-relative file is never misread as a table of the same name."""
+    import os
+
+    is_local = "://" not in source and os.path.exists(source)
+    looks_like_path = "/" in source or is_local
+    if fmt is None and not looks_like_path:
         df = spark.read.table(source)
     else:
-        df = spark.read.format(fmt or "parquet").load(source)
+        # Spark resolves relative paths against ITS working dir, not
+        # the caller's cwd — absolutize local paths so both agree.
+        df = spark.read.format(fmt or "parquet").load(
+            os.path.abspath(source) if is_local else source
+        )
     required = ["url", "warc_ts", "html", "text", "lang"]
     missing = [c for c in required if c not in df.columns]
     if missing:

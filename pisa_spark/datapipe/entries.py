@@ -30,13 +30,47 @@ def _pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pages_from_documents(spark, sf_dir)
 
 
+# Gate-scale cell cap for the dedup_embedding_cosine entry: at sf0.01
+# (500 vecs, 8 cells of ~108-133) it drops the two largest cells, so
+# the quadratic-cell guard AND its embedding_dropped_cells audit are
+# exercised cross-engine on every driver run (the production default
+# MAX_CELL=4096 never engages at gate scale).
+GATE_EMB_MAX_CELL = 130
+
+
+def _embedding_cosine_union(s: SparkSession, d: str) -> DataFrame:
+    """Tagged union: near-dup pairs + the dropped-cell audit frame
+    (similarity.embedding_dropped_cells), one (kind, a, b, v) row
+    shape — same consolidation pattern as boolean_docs/range_topk."""
+    from pyspark.sql import functions as F
+
+    emb = _emb(s, d)
+    pairs = similarity.embedding_dup_pairs(
+        emb, max_cell=GATE_EMB_MAX_CELL
+    ).select(
+        F.lit("pair").alias("kind"),
+        F.col("vec_a").cast("long").alias("a"),
+        F.col("vec_b").cast("long").alias("b"),
+        F.col("cos_micro").cast("long").alias("v"),
+    )
+    dropped = similarity.embedding_dropped_cells(
+        emb, max_cell=GATE_EMB_MAX_CELL
+    ).select(
+        F.lit("dropped_cell").alias("kind"),
+        F.col("cell").cast("long").alias("a"),
+        F.col("cell_size").cast("long").alias("b"),
+        F.lit(0).cast("long").alias("v"),
+    )
+    return pairs.unionByName(dropped)
+
+
 def datapipe_queries():
     return {
         "dedup_exact": lambda s, d: dedup.exact_dedup(_docs(s, d)),
         "dedup_ngram_jaccard": lambda s, d: dedup.ngram_jaccard_pairs(_docs(s, d)),
         "dedup_minhash_lsh": lambda s, d: dedup.minhash_lsh_pairs(_docs(s, d)),
         "dedup_simhash": lambda s, d: dedup.simhash_pairs(_docs(s, d)),
-        "dedup_embedding_cosine": lambda s, d: similarity.embedding_dup_pairs(_emb(s, d)),
+        "dedup_embedding_cosine": _embedding_cosine_union,
         "ann_cosine_topk": lambda s, d: similarity.ann_topk(_emb(s, d)),
         "ann_ivf_topk": lambda s, d: similarity.ivf_topk(_emb(s, d)),
         "lang_id": lambda s, d: textstats.lang_id(_docs(s, d)),
@@ -55,7 +89,9 @@ def datapipe_oracle_sql():
         "dedup_ngram_jaccard": dedup.ngram_jaccard_oracle(),
         "dedup_minhash_lsh": dedup.minhash_lsh_oracle(),
         "dedup_simhash": dedup.simhash_oracle(),
-        "dedup_embedding_cosine": similarity.embedding_dup_oracle(),
+        "dedup_embedding_cosine": similarity.embedding_dup_oracle(
+            max_cell=GATE_EMB_MAX_CELL, audit=True
+        ),
         "ann_cosine_topk": similarity.ann_topk_oracle(),
         "ann_ivf_topk": similarity.ivf_topk_oracle(),
         "lang_id": textstats.lang_id_oracle(),

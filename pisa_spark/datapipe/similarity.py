@@ -319,10 +319,22 @@ _COS_EXPR = (
 def embedding_dup_oracle(tau_micro: int = COS_TAU_MICRO,
                          n_centroids: int = N_CENTROIDS,
                          n_probe: int = N_PROBE,
-                         max_cell: int = MAX_CELL) -> str:
+                         max_cell: int = MAX_CELL,
+                         audit: bool = False) -> str:
     """Same IVF-prefilter algorithm in DuckDB: assign every vector to
     its n_probe closest cells, drop over-cap cells, pair within
-    cells, verify exact quantized cosine."""
+    cells, verify exact quantized cosine. With ``audit`` the statement
+    returns the tagged union the gate entry uses — 'pair' rows plus
+    'dropped_cell' audit rows (embedding_dropped_cells parity) in one
+    (kind, a, b, v) frame."""
+    audit_union = f"""
+SELECT 'pair' AS kind, vec_a AS a, vec_b AS b, cos_micro AS v FROM final
+UNION ALL
+SELECT 'dropped_cell' AS kind, CAST(cell AS BIGINT) AS a,
+       CAST(csz AS BIGINT) AS b, CAST(0 AS BIGINT) AS v
+FROM (SELECT cell, COUNT(*) AS csz FROM assign GROUP BY cell) dc
+WHERE csz > {max_cell}""" if audit else \
+        "SELECT vec_a, vec_b, cos_micro FROM final"
     return f"""WITH {_quant_dot_cte('TRUE', f'b.vec_id < {n_centroids}')},
 cos_all AS (
   SELECT d.va AS vec_id, d.vb AS cid, {_COS_EXPR} AS cm
@@ -355,16 +367,19 @@ pairdots AS (
   JOIN qc qa ON qa.vec_id = c.vec_a
   JOIN qc2 qb ON qb.vec_id = c.vec_b AND qb.pos = qa.pos
   GROUP BY c.vec_a, c.vec_b
+),
+final AS (
+  SELECT vec_a, vec_b, cos_micro FROM (
+    SELECT pd.vec_a, pd.vec_b,
+           CAST(FLOOR(CAST(pd.dot AS DOUBLE) / (SQRT(CAST(na.n2 AS DOUBLE)) *
+                SQRT(CAST(nb.n2 AS DOUBLE))) * {dlit(1e6)} + {dlit(0.5)}) AS BIGINT)
+             AS cos_micro
+    FROM pairdots pd
+    JOIN nrm na ON na.vec_id = pd.vec_a
+    JOIN nrm nb ON nb.vec_id = pd.vec_b
+  ) s WHERE cos_micro >= {tau_micro}
 )
-SELECT vec_a, vec_b, cos_micro FROM (
-  SELECT pd.vec_a, pd.vec_b,
-         CAST(FLOOR(CAST(pd.dot AS DOUBLE) / (SQRT(CAST(na.n2 AS DOUBLE)) *
-              SQRT(CAST(nb.n2 AS DOUBLE))) * {dlit(1e6)} + {dlit(0.5)}) AS BIGINT)
-           AS cos_micro
-  FROM pairdots pd
-  JOIN nrm na ON na.vec_id = pd.vec_a
-  JOIN nrm nb ON nb.vec_id = pd.vec_b
-) s WHERE cos_micro >= {tau_micro}"""
+{audit_union}"""
 
 
 # ----------------------------------------------------------------- ANN topk

@@ -494,11 +494,11 @@ def _decode_check_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _nonsql_engine_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The operators whose outputs are NOT SQL-expressible (stemmer
-    rule cascades, Taily's gamma-CDF shard ranking, iterative BP),
-    normalized to one (component, key, ord, value) frame so a single
-    rows-only driver row covers all of them. Each component is
-    individually value-pinned by pytest (test_tokenizer / test_shards
-    / test_bp)."""
+    rule cascades, Taily's gamma-CDF shard ranking, iterative BP and
+    Lloyd refinement), normalized to one (component, key, ord, value)
+    frame so a single rows-only driver row covers all of them. Each
+    component is individually value-pinned by pytest (test_tokenizer
+    / test_shards / test_bp / test_datapipe)."""
     from pyspark.sql import functions as F
 
     def norm(df: DataFrame, component: str, key: str, ordc: str,
@@ -520,7 +520,16 @@ def _nonsql_engine_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     ts = norm(ts, "taily_shard_ranking", "key", "rank", "score_micro")
     bp = norm(_reorder_bp_compare(spark, sf_dir),
               "reorder_bp_compare", "ordering", "n_gaps", "cost_micro")
-    return p2.unionByName(kv).unionByName(ts).unionByName(bp)
+    # Lloyd-refined IVF centroids (datapipe/similarity): iterative —
+    # each pass's assignment depends on the previous pass's means.
+    from pisa_spark.datapipe.similarity import ivf_train_centroids
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    iv = ivf_train_centroids(emb).select(
+        "cid", F.posexplode("carr").alias("pos", "cval")
+    ).withColumn("key", F.concat_ws("/", "cid", "pos"))
+    iv = norm(iv, "ivf_centroids", "key", "pos", "cval")
+    return p2.unionByName(kv).unionByName(ts).unionByName(bp).unionByName(iv)
 
 
 # The driver records a bounded number of CORRECTNESS rows (observed:

@@ -108,11 +108,12 @@ def build_index(
     # pass for the lexicon. term_ids needs no extra lineage cut here:
     # assign_global_ids already pins its range partitioning with an
     # eager localCheckpoint, so only a vocabulary-sized window sits
-    # above the cut. The lexicon gets an EAGER localCheckpoint (not
-    # persist): it is reused intra-build and joins into parsed
-    # queries and query-side broadcasts, where its postings
-    # self-reference (df comes FROM postings) would bloat analysis
-    # and nest corpus lineage under broadcast hints.
+    # above the cut. The lexicon gets a LAZY localCheckpoint (not
+    # persist — see the comment at the call site for why lazy): it is
+    # reused intra-build and joins into parsed queries and query-side
+    # broadcasts, where its postings self-reference (df comes FROM
+    # postings) would bloat analysis and nest corpus lineage under
+    # broadcast hints.
     bcast = config.index.lexicon_broadcast_threshold
     if cache:
         # Vocabulary size (gating the maybe_broadcast hints) comes

@@ -197,15 +197,31 @@ def _query_segments(
     maxes — so stored segments stay immutable while every kernel's
     pruning bounds stay one-sided. Batch indexes have no such column
     (factor 1 by construction)."""
-    # Broadcast the PARSED side into the vocabulary-sized term_meta
-    # (never the reverse), then the query-sized result into the
+    return _factored_segment_rows(index, parsed, parsed, scan_prune)
+
+
+def _factored_segment_rows(
+    index: InvertedIndex,
+    parsed: DataFrame,
+    query_side: DataFrame,
+    scan_prune: bool | None,
+) -> DataFrame:
+    """The ONE place the bound-factor contract is applied (query-major
+    and batch-major execution both come through here, so they can
+    never diverge on pruning bounds): term_meta columns joined to the
+    broadcast-sized ``query_side`` (parsed queries, or a batch term
+    set), joined into the workload-pruned segment scan (driven by
+    ``parsed``), with ``bound_factor`` multiplied into the term max
+    and block maxes."""
+    # Broadcast the query-sized side into the vocabulary-sized
+    # term_meta (never the reverse), then the result into the
     # segment scan.
     tm = index.term_meta
     has_factor = "bound_factor" in tm.columns
     cols = ["term_id", "df", F.col("max_score").alias("term_max_score")]
     if has_factor:
         cols.append("bound_factor")
-    qt = tm.select(*cols).join(F.broadcast(parsed), "term_id")
+    qt = tm.select(*cols).join(F.broadcast(query_side), "term_id")
     rows = _pruned_segments(index, parsed, scan_prune).join(
         F.broadcast(qt), "term_id"
     )
@@ -518,25 +534,8 @@ def topk_search_batch(
     # scan — segments still never shuffle and are never broadcast.
     # batch_id is recomputed from `parsed` (not projected off `pq`) so
     # the cogroup's two sides carry distinct attribute ids.
-    tm = index.term_meta
-    has_factor = "bound_factor" in tm.columns
-    cols = ["term_id", "df", F.col("max_score").alias("term_max_score")]
-    if has_factor:
-        cols.append("bound_factor")
     bt = parsed.select(batch_expr.alias("batch_id"), "term_id").distinct()
-    qt = tm.select(*cols).join(F.broadcast(bt), "term_id")
-    rows = _pruned_segments(index, parsed, scan_prune).join(
-        F.broadcast(qt), "term_id"
-    )
-    if has_factor:
-        rows = rows.withColumn(
-            "term_max_score", F.col("term_max_score") * F.col("bound_factor")
-        )
-        if "max_score" in rows.columns:
-            rows = rows.withColumn(
-                "max_score", F.col("max_score") * F.col("bound_factor")
-            )
-        rows = rows.drop("bound_factor")
+    rows = _factored_segment_rows(index, parsed, bt, scan_prune)
 
     def run(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         # left: the batch's distinct term segment rows (+ term stats);

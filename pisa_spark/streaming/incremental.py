@@ -49,6 +49,21 @@ rewritten):
   wrapper — ``readStream`` on a pages directory, ``foreachBatch``
   feeding ``add_generation``, ``availableNow`` trigger for catch-up
   runs (a continuous trigger works identically on a cluster).
+- CRASH SAFETY (generation commit protocol): every per-generation
+  write is partitioned by its generation (``docs``/``postings``/
+  ``doc_sizes``/``lexicon_ids`` by ``generation``, ``segments`` by
+  ``segment_gen``) and the vocabulary-sized snapshots live in
+  versioned dirs (``lexicon_g{g}``/``term_meta_g{g}``); the
+  single-row ``stats`` file is written LAST and is the commit
+  pointer. A crash mid-generation leaves partition dirs/snapshots
+  with a generation ABOVE the committed one; the next mutating call
+  rolls them back (deletes exactly those dirs) and the read path
+  filters to the committed generation, so a half-written generation
+  can never collide doc/term ids or leak into queries. A dir with
+  index tables but NO commit record is refused loudly (never guessed
+  at). On a real deployment the local-FS deletes become Hadoop
+  FileSystem calls — or the whole table rides a format with atomic
+  pointer swaps (Iceberg), which is this exact protocol built in.
 
 Query-side nothing else changes: ``InvertedIndex`` artifacts come
 from the stored union (same schemas as the batch build), so every
@@ -109,6 +124,55 @@ class IncrementalIndexer:
     def _stats_row(self) -> dict:
         return self._read("stats").collect()[0].asDict()
 
+    def _committed_gen(self) -> int | None:
+        """The last COMMITTED generation (stats is written last), or
+        None for a virgin dir."""
+        return int(self._stats_row()["gen"]) if self._exists("stats") else None
+
+    _GEN_TABLES = (
+        ("docs", "generation"), ("postings", "generation"),
+        ("doc_sizes", "generation"), ("lexicon_ids", "generation"),
+        ("segments", "segment_gen"),
+    )
+
+    def _rollback(self, committed: int) -> None:
+        """Delete every partition dir / versioned snapshot whose
+        generation is ABOVE the committed one — leftovers of a
+        generation that crashed before its stats commit. Idempotent;
+        local-FS form of a Hadoop FS delete (module docstring)."""
+        import re
+        import shutil
+
+        for table, key in self._GEN_TABLES:
+            base = self.out / table
+            if not base.exists():
+                continue
+            for d in base.iterdir():
+                m = re.fullmatch(rf"{key}=(\d+)", d.name)
+                if m and int(m.group(1)) > committed:
+                    shutil.rmtree(d, ignore_errors=True)
+        for d in self.out.iterdir():
+            m = re.fullmatch(r"(?:lexicon|term_meta)_g(\d+)", d.name)
+            if m and int(m.group(1)) > committed:
+                shutil.rmtree(d, ignore_errors=True)
+
+    def _begin(self) -> int | None:
+        """Start a mutating call: refuse an uncommitted foreign dir,
+        roll back crash leftovers, return the committed generation."""
+        committed = self._committed_gen()
+        if committed is None:
+            stray = [t for t, _ in self._GEN_TABLES if self._exists(t)]
+            if stray:
+                raise ValueError(
+                    f"{self.out} contains index tables {stray} but no "
+                    "stats commit record — either a foreign dir or a "
+                    "generation-0 build that crashed before committing; "
+                    "refusing to guess id bases (clear the dir to rebuild)"
+                )
+        else:
+            self._rollback(committed)
+        return committed
+
     # ------------------------------------------------------------- update
 
     def add_generation(self, pages: DataFrame) -> int:
@@ -117,13 +181,14 @@ class IncrementalIndexer:
         Per-generation write volume: O(|batch|) postings/docs/sizes +
         O(affected-term lists) segments + O(vocabulary) metadata —
         never O(corpus)."""
-        first = not self._exists("stats")
+        prev = self._begin()
+        first = prev is None
         if first:
             gen, doc_base, term_base = 0, 0, 0
             n_old, len_old, avg_old = 0, 0, 0.0
         else:
             st = self._stats_row()
-            gen = int(st["gen"]) + 1
+            gen = prev + 1
             doc_base = int(st["next_doc_id"])
             term_base = int(st["next_term_id"])
             n_old = int(st["num_docs"])
@@ -134,7 +199,9 @@ class IncrementalIndexer:
         new_docs = assign_global_ids(toks, "url", "doc_id").withColumn(
             "doc_id", F.col("doc_id") + F.lit(doc_base)
         ).withColumn("generation", F.lit(gen))
-        new_docs.write.mode("append").parquet(self._path("docs"))
+        new_docs.write.mode("append").partitionBy("generation").parquet(
+            self._path("docs")
+        )
 
         # Stable lexicon growth: unseen terms get ids after term_base.
         gen_docs = self._read("docs").filter(F.col("generation") == gen)
@@ -145,8 +212,10 @@ class IncrementalIndexer:
             )
         appended_lex = assign_global_ids(new_terms, "term", "term_id").withColumn(
             "term_id", F.col("term_id") + F.lit(term_base)
+        ).withColumn("generation", F.lit(gen))
+        appended_lex.write.mode("append").partitionBy("generation").parquet(
+            self._path("lexicon_ids")
         )
-        appended_lex.write.mode("append").parquet(self._path("lexicon_ids"))
         n_new_terms = self._read("lexicon_ids").filter(
             F.col("term_id") >= term_base
         ).count()
@@ -164,11 +233,18 @@ class IncrementalIndexer:
             .agg(F.count("*").cast("int").alias("tf"))
             .withColumn("generation", F.lit(gen))
         )
-        new_postings.write.mode("append").parquet(self._path("postings"))
+        new_postings.write.mode("append").partitionBy("generation").parquet(
+            self._path("postings")
+        )
 
         # Per-doc sizes: append the new docs' rows only.
-        gen_sizes = build_doc_sizes(gen_docs.select("doc_id", "terms", "doc_len"))
-        gen_sizes.write.mode("append").parquet(self._path("doc_sizes"))
+        gen_sizes = build_doc_sizes(
+            gen_docs.select("doc_id", "terms", "doc_len")
+        ).withColumn("generation", F.lit(gen))
+        gen_sizes.write.mode("append").partitionBy("generation").parquet(
+            self._path("doc_sizes")
+        )
+        gen_sizes = gen_sizes.drop("generation")
 
         # Incremental global stats (adds, never rescans).
         delta = gen_sizes.agg(
@@ -178,20 +254,36 @@ class IncrementalIndexer:
         n_new, len_new = n_old + n_delta, len_old + len_delta
         avg_new = (len_new / n_new) if n_new else 0.0
 
-        self._refresh_metadata(gen, first, n_old, avg_old, n_new, avg_new)
+        self._refresh_metadata(gen, prev, n_old, avg_old, n_new, avg_new)
 
+        # COMMIT: stats last — everything above is invisible (and gets
+        # rolled back) until this single-row pointer lands.
         self.spark.createDataFrame(
             [(gen, n_new, len_new, doc_base + n_delta,
               term_base + n_new_terms)],
             schema="gen int, num_docs long, collection_len long, "
                    "next_doc_id long, next_term_id long",
         ).write.mode("overwrite").parquet(self._path("stats"))
+        self._drop_snapshots(before=gen)
         return gen
 
-    def _refresh_metadata(self, gen: int, first: bool, n_old: int,
+    def _drop_snapshots(self, before: int) -> None:
+        """Post-commit cleanup: superseded lexicon_g*/term_meta_g*
+        snapshots (generations below the committed one)."""
+        import re
+        import shutil
+
+        for d in self.out.iterdir():
+            m = re.fullmatch(r"(?:lexicon|term_meta)_g(\d+)", d.name)
+            if m and int(m.group(1)) < before:
+                shutil.rmtree(d, ignore_errors=True)
+
+    def _refresh_metadata(self, gen: int, prev: int | None, n_old: int,
                           avg_old: float, n_new: int, avg_new: float) -> None:
         """Vocabulary-sized metadata refresh + delta-proportional
-        segment append for generation ``gen``."""
+        segment append for generation ``gen``. ``prev`` is the last
+        committed generation (None for the first)."""
+        first = prev is None
         postings = self._read("postings")
         gen_postings = postings.filter(F.col("generation") == gen)
 
@@ -213,7 +305,7 @@ class IncrementalIndexer:
                 F.lit(gen).alias("seg_gen"),
             )
         else:
-            old_lex = self._read("lexicon").select(
+            old_lex = self._read(f"lexicon_g{prev}").select(
                 "term_id", F.col("df").alias("df_old"),
                 F.col("seg_gen").alias("seg_gen_old"),
             )
@@ -229,18 +321,18 @@ class IncrementalIndexer:
                     .alias("seg_gen"),
                 )
             )
-        lexicon.write.mode("overwrite").parquet(self._path("lexicon_tmp"))
-        self.spark.read.parquet(self._path("lexicon_tmp")).write.mode(
-            "overwrite"
-        ).parquet(self._path("lexicon"))
+        # Versioned snapshot: a fresh dir per generation (no tmp-copy
+        # dance — nothing reads its own input, and an uncommitted
+        # snapshot is invisible until the stats commit / rolled back).
+        lexicon.write.mode("overwrite").parquet(self._path(f"lexicon_g{gen}"))
 
         # Re-encode ONLY affected terms (full lists, fresh stats) into
         # the new generation's partition — prior partitions untouched.
         affected = delta_meta.select("term_id")
-        doc_sizes = self._read("doc_sizes")
+        doc_sizes = self._read("doc_sizes").drop("generation")
         scored = scored_postings(
             postings.join(affected, "term_id").select("term_id", "doc_id", "tf"),
-            doc_sizes, self._read("lexicon"), n_new, avg_new,
+            doc_sizes, self._read(f"lexicon_g{gen}"), n_new, avg_new,
         )
         # term_meta: affected terms exactly from `scored` (already
         # needed for the re-encode); untouched terms keep their stored
@@ -278,7 +370,7 @@ class IncrementalIndexer:
             )
             norm_factor = max(1.0, (avg_new / avg_old) if avg_old else 1.0)
             untouched = (
-                self._read("term_meta")
+                self._read(f"term_meta_g{prev}")
                 .join(affected, "term_id", "left_anti")
                 .withColumn(
                     "bound_factor",
@@ -286,40 +378,44 @@ class IncrementalIndexer:
                 )
             )
             term_meta = untouched.unionByName(affected_meta)
-        term_meta.write.mode("overwrite").parquet(self._path("term_meta_tmp"))
-        self.spark.read.parquet(self._path("term_meta_tmp")).write.mode(
-            "overwrite"
-        ).parquet(self._path("term_meta"))
-
-        import shutil
-
-        shutil.rmtree(self._path("lexicon_tmp"), ignore_errors=True)
-        shutil.rmtree(self._path("term_meta_tmp"), ignore_errors=True)
+        term_meta.write.mode("overwrite").parquet(self._path(f"term_meta_g{gen}"))
 
     # ------------------------------------------------------------ compact
 
-    def compact(self) -> None:
+    def compact(self) -> int:
         """Reclaim superseded segment generations and reset bound
-        inflation: RE-ENCODE the whole index as generation ``gen``
-        (one partition) with fresh global stats, recompute term_meta
-        exactly, reset bound_factor to 1. Re-encoding (not just
-        re-writing the current view) is what makes the factor reset
-        SOUND: stored block maxima were computed under the stats of
-        each term's last touch, so carrying them verbatim with
-        factor=1 would under-bound any term whose scores inflated
-        since — exactly the staleness the factor existed to cover.
-        Corpus-proportional by design — run occasionally, not per
-        batch (the reference's merge step, SURVEY §2.4)."""
+        inflation: RE-ENCODE the whole index as a FRESH generation
+        (one segment partition, no new docs) with fresh global stats,
+        recompute term_meta exactly, reset bound_factor to 1.
+        Re-encoding (not just re-writing the current view) is what
+        makes the factor reset SOUND: stored block maxima were
+        computed under the stats of each term's last touch, so
+        carrying them verbatim with factor=1 would under-bound any
+        term whose scores inflated since — exactly the staleness the
+        factor existed to cover. Encoding as a NEW generation keeps
+        the commit protocol: the re-encode appends one partition +
+        two snapshots, the stats write commits it, and only then are
+        superseded partitions reclaimed — a crash at any point either
+        rolls back the new generation or re-runs the (idempotent)
+        reclaim. Corpus-proportional by design — run occasionally,
+        not per batch (the reference's merge step, SURVEY §2.4).
+        Returns the new generation number."""
+        import shutil
+
+        prev = self._begin()
+        if prev is None:
+            raise ValueError(f"{self.out}: nothing to compact")
         st = self._stats_row()
-        gen = int(st["gen"])
+        gen = prev + 1
         n, ln = int(st["num_docs"]), int(st["collection_len"])
         avg = (ln / n) if n else 0.0
         # Eager localCheckpoint: `scored` feeds the segment write AND
-        # term_meta, and term_meta executes after the lexicon (one of
-        # scored's parquet inputs) is overwritten — pin the rows now.
+        # term_meta — pin the rows once instead of recomputing the
+        # corpus-sized score job per consumer.
         scored = scored_postings(
             self._read("postings").select("term_id", "doc_id", "tf"),
-            self._read("doc_sizes"), self._read("lexicon"), n, avg,
+            self._read("doc_sizes").drop("generation"),
+            self._read(f"lexicon_g{prev}"), n, avg,
         ).localCheckpoint(eager=True)
         term_meta = build_term_meta(scored, n, avg, self.config.bm25)
         fresh = build_segments(
@@ -331,53 +427,69 @@ class IncrementalIndexer:
             fresh = compress_block_maxes(fresh, term_meta)
         fresh.withColumn("segment_gen", F.lit(gen)).sortWithinPartitions(
             "term_id", "block_id"
-        ).write.mode("overwrite").partitionBy("segment_gen").parquet(
-            self._path("segments_tmp")
+        ).write.mode("append").partitionBy("segment_gen").parquet(
+            self._path("segments")
         )
-        self.spark.read.parquet(self._path("segments_tmp")).write.mode(
-            "overwrite"
-        ).partitionBy("segment_gen").parquet(self._path("segments"))
-        lexicon = self._read("lexicon").withColumn("seg_gen", F.lit(gen))
-        lexicon.write.mode("overwrite").parquet(self._path("lexicon_tmp"))
-        self.spark.read.parquet(self._path("lexicon_tmp")).write.mode(
-            "overwrite"
-        ).parquet(self._path("lexicon"))
+        lexicon = self._read(f"lexicon_g{prev}").withColumn(
+            "seg_gen", F.lit(gen)
+        )
+        lexicon.write.mode("overwrite").parquet(self._path(f"lexicon_g{gen}"))
         term_meta = term_meta.withColumn("bound_factor", F.lit(1.0))
-        term_meta.write.mode("overwrite").parquet(self._path("term_meta_tmp"))
-        self.spark.read.parquet(self._path("term_meta_tmp")).write.mode(
-            "overwrite"
-        ).parquet(self._path("term_meta"))
-        import shutil
+        term_meta.write.mode("overwrite").parquet(
+            self._path(f"term_meta_g{gen}")
+        )
+        # COMMIT: same id bases and corpus counts, new generation.
+        self.spark.createDataFrame(
+            [(gen, n, ln, int(st["next_doc_id"]), int(st["next_term_id"]))],
+            schema="gen int, num_docs long, collection_len long, "
+                   "next_doc_id long, next_term_id long",
+        ).write.mode("overwrite").parquet(self._path("stats"))
+        # Reclaim: every segment partition below the committed one is
+        # now superseded (all seg_gen point at `gen`); idempotent.
+        import re
 
-        shutil.rmtree(self._path("segments_tmp"), ignore_errors=True)
-        shutil.rmtree(self._path("lexicon_tmp"), ignore_errors=True)
-        shutil.rmtree(self._path("term_meta_tmp"), ignore_errors=True)
+        base = self.out / "segments"
+        for d in base.iterdir():
+            m = re.fullmatch(r"segment_gen=(\d+)", d.name)
+            if m and int(m.group(1)) < gen:
+                shutil.rmtree(d, ignore_errors=True)
+        self._drop_snapshots(before=gen)
+        return gen
 
     # -------------------------------------------------------------- query
 
-    def _segments_current(self) -> DataFrame:
+    def _segments_current(self, committed: int) -> DataFrame:
         """The deduplicated segment view: per term, only the blocks of
         its latest affected generation (lexicon.seg_gen) are current;
         older generations' rows for re-encoded terms are superseded
-        (each re-encode covers the term's FULL list)."""
+        (each re-encode covers the term's FULL list). The committed
+        lexicon only ever points at committed generations, so
+        uncommitted crash leftovers can never join in."""
         seg = self._read("segments")
-        cur = self._read("lexicon").select("term_id", "seg_gen")
+        cur = self._read(f"lexicon_g{committed}").select("term_id", "seg_gen")
         return seg.join(cur, "term_id").filter(
             F.col("segment_gen") == F.col("seg_gen")
         ).drop("seg_gen", "segment_gen")
 
     def index(self) -> InvertedIndex:
-        docs = self._read("docs")
+        committed = self._committed_gen()
+        if committed is None:
+            raise ValueError(f"{self.out}: no committed generation yet")
+        # Committed-state reads: the generation filters prune any
+        # partition a crashed (not yet rolled-back) generation left.
+        live = F.col("generation") <= committed
+        docs = self._read("docs").filter(live)
         st = self._stats_row()
         n = int(st["num_docs"])
         ln = int(st["collection_len"])
         return InvertedIndex(
-            lexicon=self._read("lexicon"),
+            lexicon=self._read(f"lexicon_g{committed}"),
             docmap=docs.select("doc_id", "url"),
-            doc_sizes=self._read("doc_sizes"),
-            postings=self._read("postings").select("term_id", "doc_id", "tf"),
-            segments=self._segments_current(),
-            term_meta=self._read("term_meta"),
+            doc_sizes=self._read("doc_sizes").filter(live).drop("generation"),
+            postings=self._read("postings").filter(live)
+            .select("term_id", "doc_id", "tf"),
+            segments=self._segments_current(committed),
+            term_meta=self._read(f"term_meta_g{committed}"),
             num_docs=n,
             avg_len=(ln / n) if n else 0.0,
             collection_len=ln,

@@ -187,6 +187,14 @@ def test_rankedbv_rank_select_vs_naive():
             assert rbv_select(data, int(k)) == int(ones[int(k)])
         with pytest.raises(IndexError):
             rbv_select(data, n)
+    # empty encoding (rbv_encode([]) == b""): rank is 0 everywhere,
+    # select raises the documented beyond-population error — the
+    # exported point-query API must not crash on the empty list
+    empty = rbv_encode(np.empty(0, dtype=np.uint64))
+    assert empty == b""
+    assert rbv_rank(empty, 0) == 0 and rbv_rank(empty, 100) == 0
+    with pytest.raises(IndexError):
+        rbv_select(empty, 0)
 
 
 def test_rankedbv_size_is_exact_and_guarded():

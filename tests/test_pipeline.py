@@ -174,6 +174,16 @@ def test_pages_source_path_roundtrip(spark, tmp_path):
     spark.range(5).write.mode("overwrite").parquet(bad)
     with pytest.raises(ValueError, match="missing input_hint columns"):
         pages_source(spark, bad)
+    # a cwd-relative path (no "/") must be read as a PATH, never
+    # misrouted to the catalog as a table of the same name
+    import os
+
+    cwd = os.getcwd()
+    try:
+        os.chdir(tmp_path)
+        assert pages_source(spark, "pages_pq").count() == 50
+    finally:
+        os.chdir(cwd)
 
 
 def test_ids_first_lexicon_matches_standalone(spark, pages):

@@ -262,8 +262,14 @@ def test_compact_reclaims_superseded_generations(spark, tmp_path):
     idx = inc.index()
     tm = idx.term_meta.toPandas()
     assert (tm["bound_factor"] == 1.0).all()
+    # compact re-encodes as a FRESH generation (commit protocol): two
+    # add_generations used 0-1, so the compacted view is generation 2
+    # and older segment partitions are reclaimed.
     gens = {r["seg_gen"] for r in idx.lexicon.select("seg_gen").distinct().collect()}
-    assert gens == {1}
+    assert gens == {2}
+    seg_dirs = {p.name for p in (tmp_path / "inc4" / "segments").iterdir()
+                if p.name.startswith("segment_gen=")}
+    assert seg_dirs == {"segment_gen=2"}
     got = _query(spark, idx, terms, n=4).sort_values(
         ["query_id", "score", "url"], ascending=[True, False, True]
     )
@@ -301,3 +307,81 @@ def test_structured_streaming_drains_landing_zone(spark, tmp_path):
     terms = [r["term"] for r in idx.lexicon.limit(10).collect()]
     res = _query(spark, idx, terms, n=3)
     assert len(res) > 0 and (res["score"] > 0).all()
+
+def test_crashed_generation_rolls_back(spark, tmp_path, monkeypatch):
+    """A generation that crashes BEFORE its stats commit must be
+    invisible to index() and fully rolled back by the next
+    add_generation — the retry reuses the same doc/term id bases, so
+    the final index matches the batch build exactly (no duplicate
+    ids, no orphan rows)."""
+    from pisa_spark.index import build_index
+    from pisa_spark.streaming import IncrementalIndexer
+
+    pages = _pages(spark).persist()
+    gen0 = pages.filter(F.crc32(F.col("url")) % 2 == 0)
+    gen1 = pages.filter(F.crc32(F.col("url")) % 2 == 1)
+    out = tmp_path / "inc6"
+    inc = IncrementalIndexer(spark, str(out), CFG)
+    inc.add_generation(gen0)
+    n_gen0 = inc.index().num_docs
+
+    # Crash point: every table of generation 1 is written (docs,
+    # lexicon_ids, postings, doc_sizes, segments, lexicon_g1,
+    # term_meta_g1) but the stats commit never lands.
+    real = IncrementalIndexer._refresh_metadata
+
+    def crash_after_refresh(self, *a, **k):
+        real(self, *a, **k)
+        raise RuntimeError("simulated crash before stats commit")
+
+    monkeypatch.setattr(
+        IncrementalIndexer, "_refresh_metadata", crash_after_refresh
+    )
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        inc.add_generation(gen1)
+    monkeypatch.setattr(IncrementalIndexer, "_refresh_metadata", real)
+
+    # The uncommitted generation left partition dirs behind...
+    assert any("generation=1" in str(p) for p in (out / "docs").iterdir())
+    # ...but the committed view is still generation 0 only.
+    assert inc.index().num_docs == n_gen0
+
+    # Retry: rollback removes the leftovers, then the generation
+    # re-runs with the SAME id bases.
+    inc.add_generation(gen1)
+    idx = inc.index()
+    assert idx.num_docs == pages.count()
+    dd = idx.docmap.select("doc_id").distinct().count()
+    assert dd == idx.num_docs, "duplicate doc_ids after crash recovery"
+    lex = idx.lexicon.toPandas()
+    assert lex["term_id"].is_unique, "duplicate term_ids after recovery"
+    # the retried generation 1 is now the committed snapshot; the
+    # superseded generation-0 snapshot was dropped post-commit
+    assert (out / "lexicon_g1").exists()
+    assert not (out / "lexicon_g0").exists(), "superseded snapshot kept"
+
+    batch_index = build_index(spark, pages, CFG)
+    terms = [r["term"] for r in batch_index.lexicon.limit(20).collect()]
+    got = _query(spark, idx, terms, n=5).sort_values(
+        ["query_id", "score", "url"], ascending=[True, False, True]
+    )
+    want = _query(spark, batch_index, terms, n=5).sort_values(
+        ["query_id", "score", "url"], ascending=[True, False, True]
+    )
+    assert len(got) == len(want)
+    assert (got["url"].values == want["url"].values).all()
+    assert np.allclose(got["score"].values, want["score"].values, atol=1e-9)
+
+
+def test_refuses_dir_without_commit_record(spark, tmp_path):
+    """Index tables with no stats commit record (a foreign dir, or a
+    generation-0 build that crashed) must be refused loudly — the old
+    code silently restarted ids at 0 and corrupted the index."""
+    from pisa_spark.streaming import IncrementalIndexer
+
+    out = tmp_path / "inc7"
+    (out / "docs").mkdir(parents=True)
+    spark.range(3).write.mode("overwrite").parquet(str(out / "docs" / "generation=0"))
+    inc = IncrementalIndexer(spark, str(out), CFG)
+    with pytest.raises(ValueError, match="no stats commit record"):
+        inc.add_generation(_pages(spark).limit(5))
