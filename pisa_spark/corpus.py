@@ -154,16 +154,19 @@ def pages_source(
     Validates the required columns and prunes to exactly the
     input_hint shape (column pruning reaches the scan).
 
-    Disambiguation: an explicit ``fmt`` always reads a path; with no
-    ``fmt``, a string that exists on the local filesystem (relative
-    file like ``pages.parquet``, ``./dir``) is read as a path, and
-    only a non-path-looking name falls through to the catalog — a
-    cwd-relative file is never misread as a table of the same name."""
+    Disambiguation: ``fmt="table"`` FORCES the catalog branch
+    (cwd-independent — use it for bare table names that could
+    collide with a local file); any other explicit ``fmt`` reads a
+    path; with no ``fmt``, a string that exists on the local
+    filesystem (relative file like ``pages.parquet``, ``./dir``) is
+    read as a path, and only a non-path-looking name falls through
+    to the catalog — a cwd-relative file is never misread as a table
+    of the same name."""
     import os
 
     is_local = "://" not in source and os.path.exists(source)
     looks_like_path = "/" in source or is_local
-    if fmt is None and not looks_like_path:
+    if fmt == "table" or (fmt is None and not looks_like_path):
         df = spark.read.table(source)
     else:
         # Spark resolves relative paths against ITS working dir, not

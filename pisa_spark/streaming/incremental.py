@@ -53,17 +53,23 @@ rewritten):
   write is partitioned by its generation (``docs``/``postings``/
   ``doc_sizes``/``lexicon_ids`` by ``generation``, ``segments`` by
   ``segment_gen``) and the vocabulary-sized snapshots live in
-  versioned dirs (``lexicon_g{g}``/``term_meta_g{g}``); the
-  single-row ``stats`` file is written LAST and is the commit
-  pointer. A crash mid-generation leaves partition dirs/snapshots
-  with a generation ABOVE the committed one; the next mutating call
-  rolls them back (deletes exactly those dirs) and the read path
-  filters to the committed generation, so a half-written generation
-  can never collide doc/term ids or leak into queries. A dir with
-  index tables but NO commit record is refused loudly (never guessed
-  at). On a real deployment the local-FS deletes become Hadoop
-  FileSystem calls — or the whole table rides a format with atomic
-  pointer swaps (Iceberg), which is this exact protocol built in.
+  versioned dirs (``lexicon_g{g}``/``term_meta_g{g}``); the commit
+  pointer is a versioned single-row ``stats_g{g}`` dir written LAST
+  and considered committed only once its ``_SUCCESS`` marker exists
+  (one file create — atomic on every FS; pointers are never
+  overwritten, so no crash window can unread a committed
+  generation). A crash mid-generation leaves partition dirs /
+  snapshots / marker-less pointers with a generation ABOVE the
+  committed one; the next mutating call rolls them back — including
+  any write job's ``_temporary`` staging dir, so a crashed attempt's
+  task-committed files can never merge into a retried append — and
+  the read path filters to the committed generation, so a
+  half-written generation can never collide doc/term ids or leak
+  into queries. A dir with index tables but NO commit record is
+  refused loudly (never guessed at). On a real deployment the
+  local-FS deletes become Hadoop FileSystem calls — or the whole
+  table rides a format with atomic pointer swaps (Iceberg), which is
+  this exact protocol built in.
 
 Query-side nothing else changes: ``InvertedIndex`` artifacts come
 from the stored union (same schemas as the batch build), so every
@@ -73,6 +79,7 @@ unchanged (gate entry ``incremental_postings``).
 
 from __future__ import annotations
 
+import re
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -84,6 +91,8 @@ from pisa_spark.build.ids import assign_global_ids
 from pisa_spark.build.segments import scored_postings
 from pisa_spark.config import EngineConfig
 from pisa_spark.index import InvertedIndex
+
+_STATS_RE = re.compile(r"stats_g(\d+)")
 
 
 class IncrementalIndexer:
@@ -121,13 +130,49 @@ class IncrementalIndexer:
     def _read(self, name: str) -> DataFrame:
         return self.spark.read.parquet(self._path(name))
 
-    def _stats_row(self) -> dict:
-        return self._read("stats").collect()[0].asDict()
-
     def _committed_gen(self) -> int | None:
-        """The last COMMITTED generation (stats is written last), or
-        None for a virgin dir."""
-        return int(self._stats_row()["gen"]) if self._exists("stats") else None
+        """The last COMMITTED generation, or None for a virgin dir.
+
+        The commit pointer is the highest ``stats_g{g}`` dir whose
+        Spark job committed (``_SUCCESS`` marker present): the marker
+        is a single file create — atomic on every FS — and a stats
+        dir is NEVER overwritten, so no crash window can make a
+        committed generation unreadable (an interrupted commit just
+        leaves a marker-less dir the next rollback removes)."""
+        best = None
+        if self.out.exists():
+            for d in self.out.iterdir():
+                m = _STATS_RE.fullmatch(d.name)
+                if m and (d / "_SUCCESS").exists():
+                    g = int(m.group(1))
+                    best = g if best is None else max(best, g)
+        return best
+
+    def _stats_row(self) -> dict:
+        gen = self._committed_gen()
+        if gen is None:
+            raise ValueError(f"{self.out}: no committed generation")
+        return self._read(f"stats_g{gen}").collect()[0].asDict()
+
+    def _commit(self, gen: int, num_docs: int, collection_len: int,
+                next_doc_id: int, next_term_id: int) -> None:
+        """COMMIT the generation: write its stats pointer (fresh dir,
+        committed by the atomic _SUCCESS marker), then drop superseded
+        pointers and snapshots — cleanup failures after the marker
+        cannot lose the commit."""
+        self.spark.createDataFrame(
+            [(gen, num_docs, collection_len, next_doc_id, next_term_id)],
+            schema="gen int, num_docs long, collection_len long, "
+                   "next_doc_id long, next_term_id long",
+        ).write.mode("overwrite").parquet(self._path(f"stats_g{gen}"))
+        if not (self.out / f"stats_g{gen}" / "_SUCCESS").exists():
+            raise RuntimeError(
+                f"{self.out}: stats_g{gen} job committed without a "
+                "_SUCCESS marker — is "
+                "mapreduce.fileoutputcommitter.marksuccessfuljobs off? "
+                "The commit protocol relies on it."
+            )
+        self._drop_snapshots(before=gen)
 
     _GEN_TABLES = (
         ("docs", "generation"), ("postings", "generation"),
@@ -136,38 +181,50 @@ class IncrementalIndexer:
     )
 
     def _rollback(self, committed: int) -> None:
-        """Delete every partition dir / versioned snapshot whose
-        generation is ABOVE the committed one — leftovers of a
-        generation that crashed before its stats commit. Idempotent;
-        local-FS form of a Hadoop FS delete (module docstring)."""
-        import re
+        """Delete every partition dir / versioned snapshot / stats
+        pointer whose generation is ABOVE the committed one —
+        leftovers of a generation that crashed before its commit
+        marker — plus any write job's ``_temporary`` staging dir (a
+        retried append must never let a crashed attempt's
+        task-committed files merge into the table at job commit).
+        Deletions RAISE on failure: correctness depends on them (a
+        surviving leftover would silently double rows on retry).
+        Idempotent; local-FS form of a Hadoop FS delete (module
+        docstring)."""
         import shutil
 
         for table, key in self._GEN_TABLES:
             base = self.out / table
             if not base.exists():
                 continue
+            staging = base / "_temporary"
+            if staging.exists():
+                shutil.rmtree(staging)
             for d in base.iterdir():
                 m = re.fullmatch(rf"{key}=(\d+)", d.name)
                 if m and int(m.group(1)) > committed:
-                    shutil.rmtree(d, ignore_errors=True)
+                    shutil.rmtree(d)
         for d in self.out.iterdir():
-            m = re.fullmatch(r"(?:lexicon|term_meta)_g(\d+)", d.name)
+            m = re.fullmatch(r"(?:lexicon|term_meta|stats)_g(\d+)", d.name)
             if m and int(m.group(1)) > committed:
-                shutil.rmtree(d, ignore_errors=True)
+                shutil.rmtree(d)
 
     def _begin(self) -> int | None:
-        """Start a mutating call: refuse an uncommitted foreign dir,
-        roll back crash leftovers, return the committed generation."""
+        """Start a mutating call: refuse an uncommitted or
+        foreign-layout dir, roll back crash leftovers, return the
+        committed generation."""
         committed = self._committed_gen()
         if committed is None:
             stray = [t for t, _ in self._GEN_TABLES if self._exists(t)]
+            if self._exists("stats"):  # pre-commit-protocol layout
+                stray.append("stats")
             if stray:
                 raise ValueError(
                     f"{self.out} contains index tables {stray} but no "
-                    "stats commit record — either a foreign dir or a "
-                    "generation-0 build that crashed before committing; "
-                    "refusing to guess id bases (clear the dir to rebuild)"
+                    "stats_g* commit record — a foreign/old-layout dir "
+                    "or a generation-0 build that crashed before "
+                    "committing; refusing to guess id bases (clear the "
+                    "dir, or rebuild it with this version, to proceed)"
                 )
         else:
             self._rollback(committed)
@@ -256,25 +313,22 @@ class IncrementalIndexer:
 
         self._refresh_metadata(gen, prev, n_old, avg_old, n_new, avg_new)
 
-        # COMMIT: stats last — everything above is invisible (and gets
-        # rolled back) until this single-row pointer lands.
-        self.spark.createDataFrame(
-            [(gen, n_new, len_new, doc_base + n_delta,
-              term_base + n_new_terms)],
-            schema="gen int, num_docs long, collection_len long, "
-                   "next_doc_id long, next_term_id long",
-        ).write.mode("overwrite").parquet(self._path("stats"))
-        self._drop_snapshots(before=gen)
+        # COMMIT: stats pointer last — everything above is invisible
+        # (and gets rolled back) until its _SUCCESS marker lands.
+        self._commit(gen, n_new, len_new, doc_base + n_delta,
+                     term_base + n_new_terms)
         return gen
 
     def _drop_snapshots(self, before: int) -> None:
         """Post-commit cleanup: superseded lexicon_g*/term_meta_g*
-        snapshots (generations below the committed one)."""
-        import re
+        snapshots and stats_g* pointers (generations below the
+        committed one). ignore_errors: a failed cleanup leaves only
+        redundant dirs behind — never an incorrect state — and the
+        next commit retries it."""
         import shutil
 
         for d in self.out.iterdir():
-            m = re.fullmatch(r"(?:lexicon|term_meta)_g(\d+)", d.name)
+            m = re.fullmatch(r"(?:lexicon|term_meta|stats)_g(\d+)", d.name)
             if m and int(m.group(1)) < before:
                 shutil.rmtree(d, ignore_errors=True)
 
@@ -394,12 +448,16 @@ class IncrementalIndexer:
         term whose scores inflated since — exactly the staleness the
         factor existed to cover. Encoding as a NEW generation keeps
         the commit protocol: the re-encode appends one partition +
-        two snapshots, the stats write commits it, and only then are
-        superseded partitions reclaimed — a crash at any point either
-        rolls back the new generation or re-runs the (idempotent)
-        reclaim. Corpus-proportional by design — run occasionally,
-        not per batch (the reference's merge step, SURVEY §2.4).
-        Returns the new generation number."""
+        two snapshots, the stats pointer commits it, and only then
+        are superseded partitions reclaimed. A crash BEFORE the
+        commit rolls the new generation back; a crash AFTER it (mid
+        reclaim) leaves dead below-committed segment partitions that
+        queries never select (lexicon seg_gen filter) — they are
+        reclaimed by the NEXT compact, not by add_generation, which
+        cannot tell a dead old partition from a live one without a
+        vocabulary scan. Corpus-proportional by design — run
+        occasionally, not per batch (the reference's merge step,
+        SURVEY §2.4). Returns the new generation number."""
         import shutil
 
         prev = self._begin()
@@ -439,21 +497,17 @@ class IncrementalIndexer:
             self._path(f"term_meta_g{gen}")
         )
         # COMMIT: same id bases and corpus counts, new generation.
-        self.spark.createDataFrame(
-            [(gen, n, ln, int(st["next_doc_id"]), int(st["next_term_id"]))],
-            schema="gen int, num_docs long, collection_len long, "
-                   "next_doc_id long, next_term_id long",
-        ).write.mode("overwrite").parquet(self._path("stats"))
+        self._commit(gen, n, ln, int(st["next_doc_id"]),
+                     int(st["next_term_id"]))
         # Reclaim: every segment partition below the committed one is
-        # now superseded (all seg_gen point at `gen`); idempotent.
-        import re
-
+        # now superseded (all seg_gen point at `gen`); idempotent —
+        # and safe to ignore failures (docstring: dead partitions are
+        # never selected; the next compact retries).
         base = self.out / "segments"
         for d in base.iterdir():
             m = re.fullmatch(r"segment_gen=(\d+)", d.name)
             if m and int(m.group(1)) < gen:
                 shutil.rmtree(d, ignore_errors=True)
-        self._drop_snapshots(before=gen)
         return gen
 
     # -------------------------------------------------------------- query

@@ -182,8 +182,13 @@ def test_pages_source_path_roundtrip(spark, tmp_path):
     try:
         os.chdir(tmp_path)
         assert pages_source(spark, "pages_pq").count() == 50
+        # fmt="table" forces the catalog branch even when a local
+        # file/dir of the same name exists (cwd-independent reads)
+        synth_pages(spark, 7).createOrReplaceTempView("pages_pq")
+        assert pages_source(spark, "pages_pq", fmt="table").count() == 7
     finally:
         os.chdir(cwd)
+        spark.catalog.dropTempView("pages_pq")
 
 
 def test_ids_first_lexicon_matches_standalone(spark, pages):

@@ -359,6 +359,7 @@ def test_crashed_generation_rolls_back(spark, tmp_path, monkeypatch):
     # superseded generation-0 snapshot was dropped post-commit
     assert (out / "lexicon_g1").exists()
     assert not (out / "lexicon_g0").exists(), "superseded snapshot kept"
+    assert (out / "stats_g1" / "_SUCCESS").exists()
 
     batch_index = build_index(spark, pages, CFG)
     terms = [r["term"] for r in batch_index.lexicon.limit(20).collect()]
@@ -372,6 +373,14 @@ def test_crashed_generation_rolls_back(spark, tmp_path, monkeypatch):
     assert (got["url"].values == want["url"].values).all()
     assert np.allclose(got["score"].values, want["score"].values, atol=1e-9)
 
+    # the commit pointer is only valid WITH its _SUCCESS marker: a
+    # marker-less stats dir (a commit interrupted mid-write) is
+    # invisible to reads and rolled back by the next mutating call
+    (out / "stats_g9").mkdir()
+    assert inc.index().num_docs == pages.count()  # still generation 1
+    inc.compact()
+    assert not (out / "stats_g9").exists(), "interrupted pointer kept"
+
 
 def test_refuses_dir_without_commit_record(spark, tmp_path):
     """Index tables with no stats commit record (a foreign dir, or a
@@ -383,5 +392,5 @@ def test_refuses_dir_without_commit_record(spark, tmp_path):
     (out / "docs").mkdir(parents=True)
     spark.range(3).write.mode("overwrite").parquet(str(out / "docs" / "generation=0"))
     inc = IncrementalIndexer(spark, str(out), CFG)
-    with pytest.raises(ValueError, match="no stats commit record"):
+    with pytest.raises(ValueError, match="commit record"):
         inc.add_generation(_pages(spark).limit(5))
