@@ -152,14 +152,20 @@ def main() -> None:
 
     queries: dict[str, float] = {}
 
-    def timed(name: str, fn) -> None:
-        fn()  # untimed warmup (plan compilation, shuffle file warmup)
+    def best_of(fn) -> float:
+        """ONE measurement protocol for every number in this file:
+        untimed warmup (plan compilation, shuffle file warmup), then
+        best of `repeats` timed runs."""
+        fn()
         best = float("inf")
         for _ in range(max(1, repeats)):
             t = time.perf_counter()
             fn()
             best = min(best, time.perf_counter() - t)
-        queries[name] = round(best, 4)
+        return best
+
+    def timed(name: str, fn) -> None:
+        queries[name] = round(best_of(fn), 4)
 
     # --- SQL path: exhaustive ranked_or over the documents view (Catalyst).
     from pisa_spark.gated.sql import DIALECT_SPARK, core_sql_entries
@@ -249,15 +255,6 @@ def main() -> None:
     )
     bparsed = parse_queries(bqdf, index.lexicon, pre_tokenized=True).persist()
     bparsed.count()
-
-    def best_of(fn) -> float:
-        fn()
-        best = float("inf")
-        for _ in range(max(1, repeats)):
-            t = time.perf_counter()
-            fn()
-            best = min(best, time.perf_counter() - t)
-        return best
 
     qm_s = best_of(
         lambda: topk_search(

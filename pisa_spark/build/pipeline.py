@@ -36,6 +36,7 @@ from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from pisa_spark.codecs import WIRE_VERSION
 from pisa_spark.config import EngineConfig
 
 MANIFEST = "_MANIFEST.json"
@@ -91,6 +92,10 @@ class BuildPipeline:
                 "bm25": asdict(self.config.bm25),
                 "index": asdict(self.config.index),
                 "input": input_desc or {},
+                # encoded-segment byte layout: a checkpoint written
+                # under a different wire version must re-encode, not
+                # resume (a resumed pef stage would mis-decode)
+                "codec_wire": WIRE_VERSION,
             }
         )
         self.executed: list[str] = []  # stages actually computed this run

@@ -18,6 +18,14 @@ from pisa_spark.codecs.simple8b import s8b_decode, s8b_encode
 from pisa_spark.codecs.simple16 import s16_decode, s16_encode
 from pisa_spark.codecs.streamvbyte import svb_decode, svb_encode
 
+# On-wire layout version across ALL codec families. Bump whenever any
+# encoder's byte layout changes (v2: pef chunk-count header widened
+# 2 -> 4 bytes). Consumers that persist encoded blocks fold this into
+# their resume/commit fingerprints so an artifact written under a
+# different layout re-encodes (BuildPipeline) or refuses loudly
+# (IncrementalIndexer) instead of mis-decoding.
+WIRE_VERSION = 2
+
 CODECS = {
     "varint": (varint_encode, varint_decode),
     # MaskedVByte (codec/maskedvbyte.hpp) is a SIMD *decoder* for the

@@ -45,8 +45,14 @@ def _embedding_cosine_union(s: SparkSession, d: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     emb = _emb(s, d)
+    # ONE assignment job shared by the pair path and the audit path
+    # (eager localCheckpoint per the repo rule: released by the
+    # ContextCleaner, unlike persist()'s CacheManager entry).
+    assign = similarity._cell_assignments(
+        emb, similarity.N_CENTROIDS, similarity.N_PROBE
+    ).localCheckpoint(eager=True)
     pairs = similarity.embedding_dup_pairs(
-        emb, max_cell=GATE_EMB_MAX_CELL
+        emb, max_cell=GATE_EMB_MAX_CELL, assign=assign
     ).select(
         F.lit("pair").alias("kind"),
         F.col("vec_a").cast("long").alias("a"),
@@ -54,7 +60,7 @@ def _embedding_cosine_union(s: SparkSession, d: str) -> DataFrame:
         F.col("cos_micro").cast("long").alias("v"),
     )
     dropped = similarity.embedding_dropped_cells(
-        emb, max_cell=GATE_EMB_MAX_CELL
+        emb, max_cell=GATE_EMB_MAX_CELL, assign=assign
     ).select(
         F.lit("dropped_cell").alias("kind"),
         F.col("cell").cast("long").alias("a"),

@@ -124,7 +124,8 @@ def _cell_assignments(emb: DataFrame, n_centroids: int,
 def embedding_dup_pairs(emb: DataFrame, tau_micro: int = COS_TAU_MICRO,
                         n_centroids: int = N_CENTROIDS,
                         n_probe: int = N_PROBE,
-                        max_cell: int = MAX_CELL) -> DataFrame:
+                        max_cell: int = MAX_CELL,
+                        assign: DataFrame | None = None) -> DataFrame:
     """(vec_a, vec_b, cos_micro >= tau): quantized-cosine near-dups
     via an IVF-cell prefilter — the 100 TB shape.
 
@@ -141,12 +142,18 @@ def embedding_dup_pairs(emb: DataFrame, tau_micro: int = COS_TAU_MICRO,
     before the self-join (quadratic-cell guard; audit via
     ``embedding_dropped_cells``). Recall vs the exhaustive operator is
     pinned in tests/test_datapipe.py; ``embedding_dup_pairs_exhaustive``
-    remains the small-scale baseline."""
+    remains the small-scale baseline.
+
+    ``assign``: optionally pass a precomputed ``_cell_assignments``
+    frame so callers that also run the dropped-cell audit share one
+    assignment job instead of two (see gated entries'
+    _embedding_cosine_union)."""
     q = (
         emb.select("vec_id", F.expr(_qarr_expr()).alias("qarr"))
         .withColumn("n2", F.expr(_n2_expr()))
     )
-    assign = _cell_assignments(emb, n_centroids, n_probe)
+    if assign is None:
+        assign = _cell_assignments(emb, n_centroids, n_probe)
     wc = Window.partitionBy("cell")
     capped = (
         assign.withColumn("csz", F.count("*").over(wc))
@@ -181,12 +188,16 @@ def embedding_dup_pairs(emb: DataFrame, tau_micro: int = COS_TAU_MICRO,
 
 def embedding_dropped_cells(emb: DataFrame, n_centroids: int = N_CENTROIDS,
                             n_probe: int = N_PROBE,
-                            max_cell: int = MAX_CELL) -> DataFrame:
+                            max_cell: int = MAX_CELL,
+                            assign: DataFrame | None = None) -> DataFrame:
     """(cell, cell_size) for every IVF cell the cap excluded — the
     audit trail for embedding_dup_pairs' coverage, mirroring
-    dedup.minhash_dropped_buckets."""
+    dedup.minhash_dropped_buckets. ``assign`` as in
+    embedding_dup_pairs."""
+    if assign is None:
+        assign = _cell_assignments(emb, n_centroids, n_probe)
     return (
-        _cell_assignments(emb, n_centroids, n_probe)
+        assign
         .groupBy("cell")
         .agg(F.count("*").alias("cell_size"))
         .filter(F.col("cell_size") > max_cell)

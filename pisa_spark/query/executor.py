@@ -516,6 +516,13 @@ def topk_search_batch(
             )
         parsed = parsed.join(F.broadcast(thresholds), "query_id", "left")
 
+    # Parity with topk_search: a parsed frame without a per-query k
+    # column falls back to the k argument (query-major reads it
+    # row-wise inside the UDF; here the column must exist before the
+    # cogroup ships it).
+    if "k" not in parsed.columns:
+        parsed = parsed.withColumn("k", F.lit(int(k)))
+
     if batches is None:
         batches = 2 * index.segments.sparkSession.sparkContext.defaultParallelism
     batch_expr = F.pmod(F.xxhash64("query_id"), F.lit(batches)).cast("int")

@@ -88,6 +88,7 @@ from pisa_spark.build import (
     build_doc_sizes, build_segments, build_term_meta, tokenize_pages,
 )
 from pisa_spark.build.ids import assign_global_ids
+from pisa_spark.codecs import WIRE_VERSION
 from pisa_spark.build.segments import scored_postings
 from pisa_spark.config import EngineConfig
 from pisa_spark.index import InvertedIndex
@@ -161,9 +162,11 @@ class IncrementalIndexer:
         pointers and snapshots — cleanup failures after the marker
         cannot lose the commit."""
         self.spark.createDataFrame(
-            [(gen, num_docs, collection_len, next_doc_id, next_term_id)],
+            [(gen, num_docs, collection_len, next_doc_id, next_term_id,
+              WIRE_VERSION)],
             schema="gen int, num_docs long, collection_len long, "
-                   "next_doc_id long, next_term_id long",
+                   "next_doc_id long, next_term_id long, "
+                   "wire_version int",
         ).write.mode("overwrite").parquet(self._path(f"stats_g{gen}"))
         if not (self.out / f"stats_g{gen}" / "_SUCCESS").exists():
             raise RuntimeError(
@@ -227,6 +230,15 @@ class IncrementalIndexer:
                     "dir, or rebuild it with this version, to proceed)"
                 )
         else:
+            stored = self._stats_row().get("wire_version", 1)
+            if stored != WIRE_VERSION:
+                raise ValueError(
+                    f"{self.out}: stored segments use codec wire "
+                    f"version {stored} but this build is "
+                    f"{WIRE_VERSION} — appending would mix layouts "
+                    "and mis-decode kept generations; rebuild (or "
+                    "compact with the writing version first)"
+                )
             self._rollback(committed)
         return committed
 
@@ -237,7 +249,20 @@ class IncrementalIndexer:
 
         Per-generation write volume: O(|batch|) postings/docs/sizes +
         O(affected-term lists) segments + O(vocabulary) metadata —
-        never O(corpus)."""
+        never O(corpus).
+
+        An empty batch is a committed no-op: it returns the current
+        generation unchanged (a zero-row partitioned write leaves no
+        parquet files, so 'indexing' it would crash the read-back);
+        on a virgin dir it raises instead of guessing id bases."""
+        if pages.isEmpty():
+            prev = self._committed_gen()
+            if prev is None:
+                raise ValueError(
+                    f"{self.out}: cannot bootstrap an index from an "
+                    "empty batch"
+                )
+            return prev
         prev = self._begin()
         first = prev is None
         if first:
@@ -267,15 +292,18 @@ class IncrementalIndexer:
             new_terms = new_terms.join(
                 self._read("lexicon_ids").select("term"), "term", "left_anti"
             )
-        appended_lex = assign_global_ids(new_terms, "term", "term_id").withColumn(
+        lex_count: dict = {}
+        appended_lex = assign_global_ids(
+            new_terms, "term", "term_id", count_out=lex_count
+        ).withColumn(
             "term_id", F.col("term_id") + F.lit(term_base)
         ).withColumn("generation", F.lit(gen))
         appended_lex.write.mode("append").partitionBy("generation").parquet(
             self._path("lexicon_ids")
         )
-        n_new_terms = self._read("lexicon_ids").filter(
-            F.col("term_id") >= term_base
-        ).count()
+        # count_out rides the id-assignment's offset collect — no
+        # vocabulary-sized count job per micro-batch.
+        n_new_terms = int(lex_count["n_rows"])
 
         # Postings for the new generation only (df joins come later —
         # postings are (term_id, doc_id, tf), df-free by design).

@@ -517,3 +517,20 @@ def test_batch_executor_with_thresholds(spark, index, parsed, oracle_topk):
         got[["query_id", "rank", "doc_id"]],
         exp[["query_id", "rank", "doc_id"]],
     )
+
+
+def test_batch_executor_k_fallback_matches_query_major(index, parsed, oracle_topk):
+    """A parsed frame WITHOUT a per-query k column must fall back to
+    the k argument in BOTH executors (query-major reads it row-wise;
+    batch-major materializes the column before the cogroup)."""
+    from pisa_spark.query.executor import topk_search_batch
+
+    no_k = parsed.drop("k")
+    exp = oracle_topk.astype({"rank": "int64", "doc_id": "int64"})
+    got = _fetch(topk_search_batch(
+        index, no_k, algorithm="block_max_maxscore", k=10, batches=3
+    ))
+    pd.testing.assert_frame_equal(
+        got[["query_id", "rank", "doc_id"]],
+        exp[["query_id", "rank", "doc_id"]],
+    )

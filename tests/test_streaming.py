@@ -394,3 +394,69 @@ def test_refuses_dir_without_commit_record(spark, tmp_path):
     inc = IncrementalIndexer(spark, str(out), CFG)
     with pytest.raises(ValueError, match="commit record"):
         inc.add_generation(_pages(spark).limit(5))
+
+
+def test_empty_batch_is_a_committed_noop(spark, tmp_path):
+    """An empty batch must not crash the read-back (a zero-row
+    partitioned write leaves no parquet files): committed dirs get a
+    no-op returning the current generation; virgin dirs refuse."""
+    from pisa_spark.streaming import IncrementalIndexer
+
+    out = tmp_path / "inc_empty"
+    inc = IncrementalIndexer(spark, str(out), CFG)
+    pages = _pages(spark).limit(10)
+    empty = pages.filter(F.lit(False))
+    with pytest.raises(ValueError, match="empty batch"):
+        inc.add_generation(empty)
+    g0 = inc.add_generation(pages)
+    before = _dir_snapshot(out)
+    assert inc.add_generation(empty) == g0
+    assert _dir_snapshot(out) == before  # nothing written, still queryable
+    assert inc.index().num_docs == 10
+
+
+def test_refuses_mismatched_wire_version(spark, tmp_path):
+    """Stored segments encoded under a different codec wire version
+    must be refused on append — mixing layouts would mis-decode the
+    kept generations (pef's v1->v2 header widening is the motivating
+    case)."""
+    import pisa_spark.streaming.incremental as inc_mod
+    from pisa_spark.streaming import IncrementalIndexer
+
+    out = tmp_path / "inc_wire"
+    inc = IncrementalIndexer(spark, str(out), CFG)
+    inc.add_generation(_pages(spark).limit(10))
+    orig = inc_mod.WIRE_VERSION
+    try:
+        inc_mod.WIRE_VERSION = orig + 1
+        with pytest.raises(ValueError, match="wire"):
+            IncrementalIndexer(spark, str(out), CFG).add_generation(
+                _pages(spark).limit(10)
+            )
+    finally:
+        inc_mod.WIRE_VERSION = orig
+
+
+def test_pipeline_reencodes_on_wire_version_change(spark, tmp_path):
+    """BuildPipeline resume folds the codec wire version into every
+    stage fingerprint: a checkpoint written under another layout
+    re-encodes instead of resuming (a resumed pef stage would
+    mis-decode)."""
+    import pisa_spark.build.pipeline as pipe_mod
+    from pisa_spark.build.pipeline import BuildPipeline
+
+    out = tmp_path / "pipe_wire"
+    pages = _pages(spark).limit(10)
+    p1 = BuildPipeline(spark, str(out), CFG, input_desc={"n": 10})
+    p1.run(pages)
+    p1b = BuildPipeline(spark, str(out), CFG, input_desc={"n": 10})
+    p1b.run(pages)
+    assert p1b.skipped and not p1b.executed  # same version resumes
+    orig = pipe_mod.WIRE_VERSION
+    try:
+        pipe_mod.WIRE_VERSION = orig + 1
+        p2 = BuildPipeline(spark, str(out), CFG, input_desc={"n": 10})
+        p2.run(pages)
+        assert p2.executed and not p2.skipped  # full re-encode
+    finally:
+        pipe_mod.WIRE_VERSION = orig
