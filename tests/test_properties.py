@@ -101,3 +101,111 @@ def test_capped_codec_roundtrip_property(vals, codec):
     arr = np.array(vals, dtype=np.uint64)
     out = dec(enc(arr), len(arr))
     assert np.array_equal(out, arr)
+
+
+# ------------------------------------------------- kernel agreement
+# The reference pins every pruning algorithm against ranked_or on
+# randomized inputs (test/test_ranked_queries.cpp); this mirrors that
+# directly at the kernel layer: random tiny corpora, random block
+# boundaries (1-5 postings/block, so block-max pruning and interval
+# alignment are stressed far harder than the fixed 128 default), a
+# random sound bootstrap threshold — every kernel must match the
+# exhaustive kernel's (score desc, doc asc) top-k exactly.
+
+def _mk_term_postings(doc_ids, tfs, lens, weight, stats, rnd):
+    from pisa_spark.codecs import CODECS
+    from pisa_spark.functions.scoring import MICRO
+    from pisa_spark.query import kernels as K
+
+    enc, dec = CODECS["varint"]
+    tp = K.TermPostings(
+        term_id=0, df=float(len(doc_ids)), weight=weight,
+        max_score=0.0,
+        block_max_doc=None, block_max_score=None, block_count=None,
+        doc_payloads=[], tf_payloads=[], len_payloads=[], decode=dec,
+    )
+    # exact per-posting micro scores (same path the kernels use)
+    micros = K._score(tp, np.asarray(tfs), np.asarray(lens), stats)
+    bmd, bms, bc = [], [], []
+    i = 0
+    while i < len(doc_ids):
+        n = min(int(rnd.integers(1, 6)), len(doc_ids) - i)
+        d = np.asarray(doc_ids[i:i + n], dtype=np.int64)
+        gaps = np.diff(d) - 1
+        tp.doc_payloads.append(enc(np.concatenate(([d[0]], gaps))))
+        tp.tf_payloads.append(enc(np.asarray(tfs[i:i + n]) - 1))
+        tp.len_payloads.append(enc(np.asarray(lens[i:i + n]) - 1))
+        bmd.append(d[-1])
+        bms.append(float(micros[i:i + n].max()))
+        bc.append(n)
+        i += n
+    tp.block_max_doc = np.asarray(bmd, dtype=np.uint64)
+    tp.block_max_score = np.asarray(bms, dtype=np.float64)
+    tp.block_count = np.asarray(bc, dtype=np.int64)
+    tp.max_score = float(micros.max())
+    return tp
+
+
+@settings(max_examples=250, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=2**32 - 1),  # corpus seed
+    st.integers(min_value=1, max_value=4),          # terms
+    st.integers(min_value=1, max_value=12),         # k
+    st.floats(min_value=0.0, max_value=1.0),        # bootstrap frac
+    st.booleans(),                                  # quantized index
+)
+def test_all_kernels_match_exhaustive(seed, n_terms, k, boot_frac, quantized):
+    from pisa_spark.query import kernels as K
+
+    rnd = np.random.default_rng(seed)
+    n_docs = int(rnd.integers(5, 41))
+    lens_by_doc = rnd.integers(1, 21, size=n_docs)
+    stats = K.Stats(num_docs=float(n_docs),
+                    avg_len=float(lens_by_doc.mean()),
+                    quantized=quantized)
+    terms = []
+    for _ in range(n_terms):
+        sz = int(rnd.integers(1, n_docs + 1))
+        d = np.sort(rnd.choice(n_docs, size=sz, replace=False)).astype(np.int64)
+        tfs = rnd.integers(1, 9, size=sz).astype(np.int64)
+        w = float(rnd.choice([1.0, 2.0]))
+        terms.append(_mk_term_postings(
+            d, tfs, lens_by_doc[d], w, stats, rnd))
+
+    exp_docs, exp_scores = K.ranked_or_kernel(terms, k, stats)
+    # a sound bootstrap never changes the result: anything strictly
+    # below (kth micro - PRUNE_EPS) keeps ties enterable
+    kth = int(round(exp_scores[-1] * 1e6)) if len(exp_docs) >= k else 0
+    boot = boot_frac * max(0, kth - K.PRUNE_EPS)
+
+    from pisa_spark.query.executor import RANKED_KERNELS
+
+    for name in ("wand", "block_max_wand", "block_max_maxscore",
+                 "maxscore", "adaptive"):
+        got_d, got_s = RANKED_KERNELS[name](
+            terms, k, stats, init_threshold=boot)
+        np.testing.assert_array_equal(got_d, exp_docs, err_msg=name)
+        np.testing.assert_allclose(got_s, exp_scores, rtol=0, atol=0,
+                                   err_msg=name)
+    for fn in (K.wand_kernel_daat, K.block_max_wand_kernel_daat):
+        got_d, got_s = fn(terms, k, stats, init_threshold=boot)
+        np.testing.assert_array_equal(got_d, exp_docs, err_msg=fn.__name__)
+        np.testing.assert_allclose(got_s, exp_scores, rtol=0, atol=0)
+
+    # conjunctive: brute-force AND of the decoded lists
+    sets = [set(t.decode_all()[0].tolist()) for t in terms]
+    both = np.asarray(sorted(set.intersection(*sets)), dtype=np.int64)
+    and_docs = K.and_kernel(terms)
+    np.testing.assert_array_equal(and_docs, both)
+    ra_d, ra_s = K.ranked_and_kernel(terms, k, stats)
+    bra_d, bra_s = K.block_max_ranked_and_kernel(terms, k, stats)
+    np.testing.assert_array_equal(bra_d, ra_d)
+    np.testing.assert_allclose(bra_s, ra_s, rtol=0, atol=0)
+
+    # shared decoded-block cache (batch-major) must not change results
+    for t in terms:
+        t.block_cache = {}
+    got_d, got_s = RANKED_KERNELS["block_max_maxscore"](terms, k, stats)
+    np.testing.assert_array_equal(got_d, exp_docs)
+    got_d2, _ = RANKED_KERNELS["block_max_maxscore"](terms, k, stats)
+    np.testing.assert_array_equal(got_d2, exp_docs)  # warm-cache rerun
