@@ -83,6 +83,7 @@ def tokenize_pages(
     cfg: AnalyzerConfig | None = None,
     lang_filter: str | None = None,
     assign_doc_ids: bool = True,
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """pages -> docs(doc_id long, url string, terms array<string>,
     doc_len int).
@@ -91,6 +92,13 @@ def tokenize_pages(
     reference's recommended URL reordering for web corpora,
     reorder_docids.hpp:240-266). If the input already has a ``doc_id``
     column it is kept verbatim (the driver's ``documents`` table path).
+
+    ``stats_out``: when THIS call assigns doc ids, the dict receives
+    ``{"n_rows": num_docs, "sum": collection_len}`` for free from the
+    id assignment's offset collect (assign_global_ids sum_col) — one
+    fewer corpus pass for the caller's collection stats. Left empty on
+    the pre-assigned-doc_id and assign_doc_ids=False paths (the caller
+    must aggregate itself).
     """
     cfg = cfg or AnalyzerConfig()
     if lang_filter:
@@ -111,7 +119,9 @@ def tokenize_pages(
             return docs.select("doc_id", "url", "terms", "doc_len")
         if not assign_doc_ids:
             return docs.select("url", "terms", "doc_len")
-        docs = assign_global_ids(docs, "url", "doc_id")
+        docs = assign_global_ids(
+            docs, "url", "doc_id", count_out=stats_out, sum_col="doc_len"
+        )
         return docs.select("doc_id", "url", "terms", "doc_len")
 
     cols = "url string, terms array<string>, doc_len int" + (
@@ -143,5 +153,7 @@ def tokenize_pages(
         return docs.select("doc_id", "url", "terms", "doc_len")
     if not assign_doc_ids:
         return docs.select("url", "terms", "doc_len")
-    docs = assign_global_ids(docs, "url", "doc_id")
+    docs = assign_global_ids(
+        docs, "url", "doc_id", count_out=stats_out, sum_col="doc_len"
+    )
     return docs.select("doc_id", "url", "terms", "doc_len")

@@ -28,6 +28,7 @@ def assign_global_ids(
     id_col: str = "id",
     num_partitions: int | None = None,
     count_out: dict | None = None,
+    sum_col: str | None = None,
 ) -> DataFrame:
     """Add ``id_col`` = 0-based dense rank of ``order_col`` (must be
     unique) without a single-partition window.
@@ -35,7 +36,11 @@ def assign_global_ids(
     ``count_out``: pass a dict to receive ``{"n_rows": total}`` for
     free — the per-partition offset collect below already knows the
     total, so callers that need the row count (e.g. the lexicon
-    broadcast gate) don't have to run a separate count job."""
+    broadcast gate) don't have to run a separate count job.
+    ``sum_col``: additionally receive ``{"sum": SUM(sum_col)}`` from
+    the SAME collect — one aggregate column on a partition-count-sized
+    result, so e.g. collection length (sum of doc lengths) costs no
+    extra corpus pass (build_index / IncrementalIndexer use this)."""
     # Default to the input's partition count (parallelism-independent:
     # the same input produces the same layout at any core count);
     # defaultParallelism only as a floor for degenerate 1-part inputs.
@@ -56,13 +61,19 @@ def assign_global_ids(
     ranged = df.repartitionByRange(parts, F.col(order_col)).withColumn(
         "__pid", F.spark_partition_id()
     ).localCheckpoint(eager=True)
-    counts = dict(ranged.groupBy("__pid").count().collect())  # tiny
+    aggs = [F.count("*").alias("__n")]
+    if sum_col is not None:
+        aggs.append(F.sum(sum_col).alias("__s"))
+    rows = ranged.groupBy("__pid").agg(*aggs).collect()  # tiny
+    counts = {r["__pid"]: r["__n"] for r in rows}
     offsets, acc = [], 0
     for pid in sorted(counts):
         offsets.append((pid, acc))
         acc += counts[pid]
     if count_out is not None:
         count_out["n_rows"] = acc
+        if sum_col is not None:
+            count_out["sum"] = sum(int(r["__s"] or 0) for r in rows)
     off_df = spark.createDataFrame(offsets, schema="__pid int, __off long")
 
     w = Window.partitionBy("__pid").orderBy(order_col)

@@ -278,7 +278,10 @@ class IncrementalIndexer:
             avg_old = (len_old / n_old) if n_old else 0.0
 
         toks = tokenize_pages(pages, self.config.analyzer, assign_doc_ids=False)
-        new_docs = assign_global_ids(toks, "url", "doc_id").withColumn(
+        doc_stats: dict = {}
+        new_docs = assign_global_ids(
+            toks, "url", "doc_id", count_out=doc_stats, sum_col="doc_len"
+        ).withColumn(
             "doc_id", F.col("doc_id") + F.lit(doc_base)
         ).withColumn("generation", F.lit(gen))
         new_docs.write.mode("append").partitionBy("generation").parquet(
@@ -329,13 +332,9 @@ class IncrementalIndexer:
         gen_sizes.write.mode("append").partitionBy("generation").parquet(
             self._path("doc_sizes")
         )
-        gen_sizes = gen_sizes.drop("generation")
-
-        # Incremental global stats (adds, never rescans).
-        delta = gen_sizes.agg(
-            F.count("*").alias("n"), F.sum("doc_len").alias("s")
-        ).collect()[0]
-        n_delta, len_delta = int(delta["n"]), int(delta["s"] or 0)
+        # Incremental global stats (adds, never rescans) — the batch
+        # count/length rode the doc-id assignment's offset collect.
+        n_delta, len_delta = int(doc_stats["n_rows"]), int(doc_stats["sum"])
         n_new, len_new = n_old + n_delta, len_old + len_delta
         avg_new = (len_new / n_new) if n_new else 0.0
 

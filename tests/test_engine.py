@@ -534,3 +534,24 @@ def test_batch_executor_k_fallback_matches_query_major(index, parsed, oracle_top
         got[["query_id", "rank", "doc_id"]],
         exp[["query_id", "rank", "doc_id"]],
     )
+
+
+def test_assign_global_ids_count_and_sum_out(spark):
+    """count_out rides the offset collect: n_rows AND (with sum_col)
+    the column sum must be exact — build_index and the incremental
+    indexer derive collection stats from these with no extra corpus
+    pass."""
+    import pandas as pd
+
+    from pisa_spark.build.ids import assign_global_ids
+
+    pdf = pd.DataFrame({
+        "key": [f"k{i:04d}" for i in range(777)],
+        "w": [(i * 7) % 23 + 1 for i in range(777)],
+    })
+    df = spark.createDataFrame(pdf, schema="key string, w int").repartition(9)
+    out: dict = {}
+    res = assign_global_ids(df, "key", "rid", count_out=out, sum_col="w")
+    assert out["n_rows"] == 777
+    assert out["sum"] == int(pdf["w"].sum())
+    assert sorted(r["rid"] for r in res.select("rid").collect()) == list(range(777))
