@@ -3,10 +3,11 @@
 Every entry pairs an idiomatic Spark job (DataFrame API / pandas
 kernels) with a DuckDB oracle that reproduces the result
 value-exactly (integer-quantized math throughout — see the module
-docstrings). ``dedup_minhash_lsh`` and ``ann_ivf_topk`` are
-approximate ALGORITHMS, but their oracles implement the identical
-algorithm, so agreement is still exact; their recall vs the
-exhaustive operators is pinned separately in tests.
+docstrings). ``dedup_minhash_lsh`` and both ``ann_indexed_topk``
+methods (IVF cell probing, hyperplane-LSH banding) are approximate
+ALGORITHMS, but their oracles implement the identical algorithm, so
+agreement is still exact; their recall vs the exhaustive operators
+is pinned separately in tests.
 """
 
 from __future__ import annotations
@@ -70,6 +71,22 @@ def _embedding_cosine_union(s: SparkSession, d: str) -> DataFrame:
     return pairs.unionByName(dropped)
 
 
+def _ann_indexed_union(s: SparkSession, d: str) -> DataFrame:
+    """Tagged union of the two indexed ANN scale paths over one
+    result shape (method, q_vec_id, rank, vec_id, cos_micro):
+    'ivf' = coarse-quantizer cell probing, 'lsh' = hyperplane-band
+    bucketing — both exact-ranked over their candidate sets (same
+    consolidation pattern as segments_decode_check's codec tags)."""
+    from pyspark.sql import functions as F
+
+    emb = _emb(s, d)
+    ivf = similarity.ivf_topk(emb).withColumn("method", F.lit("ivf"))
+    lsh = similarity.lsh_topk(emb).withColumn("method", F.lit("lsh"))
+    return ivf.unionByName(lsh).select(
+        "method", "q_vec_id", "rank", "vec_id", "cos_micro"
+    )
+
+
 def datapipe_queries():
     return {
         "dedup_exact": lambda s, d: dedup.exact_dedup(_docs(s, d)),
@@ -78,7 +95,7 @@ def datapipe_queries():
         "dedup_simhash": lambda s, d: dedup.simhash_pairs(_docs(s, d)),
         "dedup_embedding_cosine": _embedding_cosine_union,
         "ann_cosine_topk": lambda s, d: similarity.ann_topk(_emb(s, d)),
-        "ann_ivf_topk": lambda s, d: similarity.ivf_topk(_emb(s, d)),
+        "ann_indexed_topk": _ann_indexed_union,
         "lang_id": lambda s, d: textstats.lang_id(_docs(s, d)),
         "quality_score": lambda s, d: textstats.quality_score(_docs(s, d)),
         "token_counts": lambda s, d: textstats.token_counts(_docs(s, d)),
@@ -99,7 +116,14 @@ def datapipe_oracle_sql():
             max_cell=GATE_EMB_MAX_CELL, audit=True
         ),
         "ann_cosine_topk": similarity.ann_topk_oracle(),
-        "ann_ivf_topk": similarity.ivf_topk_oracle(),
+        "ann_indexed_topk": (
+            "SELECT 'ivf' AS method, q_vec_id, rank, vec_id, cos_micro FROM ("
+            + similarity.ivf_topk_oracle()
+            + ") ivf_q\nUNION ALL\n"
+            "SELECT 'lsh' AS method, q_vec_id, rank, vec_id, cos_micro FROM ("
+            + similarity.lsh_topk_oracle()
+            + ") lsh_q"
+        ),
         "lang_id": textstats.lang_id_oracle(),
         "quality_score": textstats.quality_score_oracle(),
         "token_counts": textstats.token_counts_oracle(),

@@ -1,4 +1,4 @@
-"""Embedding similarity: near-dup pairs + ANN top-k (brute force & IVF).
+"""Embedding similarity: near-dup pairs + ANN top-k (brute, IVF, LSH).
 
 Cross-engine exactness: every embedding component is quantized to an
 int (``q = FLOOR(x*1e4 + 0.5)``) BEFORE any arithmetic, so dot
@@ -14,7 +14,10 @@ pattern is "broadcast the small query side, stream the 100 TB base
 side per partition, emit partial top-k, merge with a window", which
 is exactly what ``ann_topk`` does. ``ivf_topk`` adds the
 coarse-quantizer scale path: assign base vectors to centroid cells,
-probe only the closest cells per query.
+probe only the closest cells per query. ``lsh_topk`` adds the
+hyperplane-LSH scale path: md5-derived Rademacher sign bits banded
+into bucket keys, candidates share a bucket (the minhash-banding
+pattern applied to embeddings).
 """
 
 from __future__ import annotations
@@ -43,6 +46,14 @@ N_PROBE = 2
 # (and retrain centroids / raise n_centroids) rather than silently
 # treating those vectors as unique.
 MAX_CELL = 4096
+# Random-hyperplane LSH (the second indexed ANN scale path, next to
+# IVF): N_PLANES sign bits per vector, split into LSH_BANDS bands of
+# N_PLANES/LSH_BANDS bits; candidates share >=1 band bucket. Buckets
+# larger than LSH_MAX_BUCKET are dropped before the candidate join —
+# the same quadratic-bucket guard as dedup.MAX_BUCKET / MAX_CELL.
+N_PLANES = 16
+LSH_BANDS = 4
+LSH_MAX_BUCKET = 4096
 
 
 def _quantize(mat: np.ndarray) -> np.ndarray:
@@ -505,6 +516,20 @@ def ivf_topk(emb: DataFrame, k: int = 5, n_queries: int = N_QUERIES,
         schema="q_vec_id long, cell long",
     )
 
+    cand = base.join(probes, "cell").select("q_vec_id", "vec_id", "embedding")
+    return _rank_candidates(emb, cand, n_queries, k)
+
+
+def _rank_candidates(emb: DataFrame, cand: DataFrame, n_queries: int,
+                     k: int) -> DataFrame:
+    """Exact quantized cosine over a ``(q_vec_id, vec_id)`` candidate
+    set: broadcast the query matrix (small by construction), stream
+    the candidates through one Arrow kernel, window-merge to per-query
+    top-k. Shared by ivf_topk and lsh_topk — candidate GENERATION is
+    the only difference between the indexed ANN variants."""
+    spark = emb.sparkSession
+    q_ids, q_mat = _collect_matrix(emb.filter(F.col("vec_id") < n_queries))
+    q_norms = (q_mat * q_mat).sum(axis=1)
     bq = spark.sparkContext.broadcast((q_ids, q_mat, q_norms))
 
     def score(batches):
@@ -528,8 +553,11 @@ def ivf_topk(emb: DataFrame, k: int = 5, n_queries: int = N_QUERIES,
                 }
             )
 
-    cand = base.join(probes, "cell").select("q_vec_id", "vec_id", "embedding")
-    scored = cand.mapInPandas(score, "q_vec_id long, vec_id long, cos_micro long")
+    if "embedding" not in cand.columns:
+        cand = cand.join(emb.select("vec_id", "embedding"), "vec_id")
+    scored = cand.select("q_vec_id", "vec_id", "embedding").mapInPandas(
+        score, "q_vec_id long, vec_id long, cos_micro long"
+    )
     w = Window.partitionBy("q_vec_id").orderBy(
         F.col("cos_micro").desc(), F.col("vec_id").asc()
     )
@@ -573,6 +601,161 @@ pairdots AS (
   JOIN qc qa ON qa.vec_id = p.q_vec_id
   JOIN qc2 qb ON qb.vec_id = a.vec_id AND qb.pos = qa.pos
   GROUP BY p.q_vec_id, a.vec_id
+),
+scored AS (
+  SELECT pd.q_vec_id, pd.vec_id,
+         CAST(FLOOR(CAST(pd.dot AS DOUBLE) / (SQRT(CAST(na.n2 AS DOUBLE)) *
+              SQRT(CAST(nb.n2 AS DOUBLE))) * {dlit(1e6)} + {dlit(0.5)}) AS BIGINT) AS cos_micro
+  FROM pairdots pd
+  JOIN nrm na ON na.vec_id = pd.q_vec_id
+  JOIN nrm nb ON nb.vec_id = pd.vec_id
+)
+SELECT q_vec_id, rank, vec_id, cos_micro FROM (
+  SELECT q_vec_id, vec_id, cos_micro,
+         CAST(ROW_NUMBER() OVER (PARTITION BY q_vec_id
+                                 ORDER BY cos_micro DESC, vec_id ASC) AS BIGINT) AS rank
+  FROM scored
+) WHERE rank <= {k}"""
+
+
+# ------------------------------------------------------- hyperplane LSH ANN
+
+def _hyperplanes(n_planes: int, dim: int) -> np.ndarray:
+    """Deterministic Rademacher hyperplanes: component (p, pos) is +1
+    iff the shared md5 hash of ``lshp_{p}_{pos}`` is even (pos is
+    1-based to match DuckDB's generate_subscripts) — so Python/numpy
+    and the SQL oracle derive the IDENTICAL matrix with no literals
+    shipped between engines."""
+    from pisa_spark.datapipe.hashing import hash60_py
+
+    h = np.empty((n_planes, dim), dtype=np.int64)
+    for p in range(n_planes):
+        for i in range(dim):
+            h[p, i] = 1 if hash60_py(f"lshp_{p}_{i + 1}") % 2 == 0 else -1
+    return h
+
+
+def lsh_band_assignments(emb: DataFrame, n_planes: int = N_PLANES,
+                         n_bands: int = LSH_BANDS) -> DataFrame:
+    """(vec_id, band, bkey): random-hyperplane signature bits packed
+    into per-band integer keys. One Arrow map pass over the base set
+    (int64 GEMM against the n_planes x dim hyperplane matrix); no
+    shuffle. Sign rule: bit = 1 iff the quantized dot product >= 0
+    (exact int64 sum, tie -> 1 in both engines)."""
+    rows = n_planes // n_bands
+    if rows * n_bands != n_planes:
+        raise ValueError("n_planes must be a multiple of n_bands")
+
+    def kernel(batches):
+        H = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = _quantize(np.array(list(pdf["embedding"]), dtype=np.float64))
+            if H is None:
+                H = _hyperplanes(n_planes, mat.shape[1])
+            bits = (mat @ H.T) >= 0  # (n, n_planes) sign bits
+            ids = pdf["vec_id"].to_numpy(np.int64)
+            out_id, out_band, out_key = [], [], []
+            for b in range(n_bands):
+                key = np.zeros(len(mat), dtype=np.int64)
+                for r in range(rows):
+                    key |= bits[:, b * rows + r].astype(np.int64) << r
+                out_id.append(ids)
+                out_band.append(np.full(len(mat), b, dtype=np.int64))
+                out_key.append(key)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.concatenate(out_id),
+                    "band": np.concatenate(out_band),
+                    "bkey": np.concatenate(out_key),
+                }
+            )
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        kernel, "vec_id long, band long, bkey long"
+    )
+
+
+def lsh_topk(emb: DataFrame, k: int = 5, n_queries: int = N_QUERIES,
+             n_planes: int = N_PLANES, n_bands: int = LSH_BANDS,
+             max_bucket: int = LSH_MAX_BUCKET) -> DataFrame:
+    """LSH-bucketed ANN top-k (q_vec_id, rank, vec_id, cos_micro):
+    candidates = base vectors sharing >=1 hyperplane band bucket with
+    the query (self excluded, over-cap buckets dropped first), then
+    exact quantized-cosine ranking of the candidate set.
+
+    Scale shape (the minhash-banding twin for embeddings): signatures
+    are one map pass; the bucket join shuffles on (band, bkey) whose
+    cardinality the band width controls; MAX bucket size bounds the
+    candidate join exactly like dedup.MAX_BUCKET. Approximate BY
+    ALGORITHM (recall < 1 for non-identical neighbors); the oracle
+    implements the identical algorithm so agreement stays exact."""
+    bands = lsh_band_assignments(emb, n_planes, n_bands)
+    sizes = bands.groupBy("band", "bkey").agg(F.count("*").alias("bsz"))
+    kept = (
+        bands.join(sizes.filter(F.col("bsz") <= max_bucket), ["band", "bkey"])
+        .select("vec_id", "band", "bkey")
+    )
+    qb = kept.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_vec_id"), "band", "bkey"
+    )
+    cand = (
+        qb.join(kept, ["band", "bkey"])
+        .filter(F.col("vec_id") != F.col("q_vec_id"))
+        .select("q_vec_id", "vec_id")
+        .distinct()
+    )
+    return _rank_candidates(emb, cand, n_queries, k)
+
+
+def lsh_topk_oracle(k: int = 5, n_queries: int = N_QUERIES,
+                    n_planes: int = N_PLANES, n_bands: int = LSH_BANDS,
+                    max_bucket: int = LSH_MAX_BUCKET) -> str:
+    """Identical LSH algorithm in DuckDB: the hyperplane matrix is
+    re-derived from md5 parity (hashing.hash60 convention), signature
+    bits from the same quantized int64 dot sums, band keys from the
+    same bit packing — then the same candidate join and exact ranking."""
+    rows = n_planes // n_bands
+    return f"""WITH {_quant_dot_cte('TRUE', 'FALSE')},
+dims AS (SELECT DISTINCT pos FROM qc),
+planes AS (
+  SELECT t.p AS plane, d.pos,
+         CASE WHEN (CAST(('0x' || substr(md5('lshp_' || CAST(t.p AS VARCHAR)
+                    || '_' || CAST(d.pos AS VARCHAR)), 1, 15)) AS BIGINT) % 2) = 0
+              THEN 1 ELSE -1 END AS h
+  FROM range({n_planes}) t(p) CROSS JOIN dims d
+),
+bits AS (
+  SELECT q.vec_id, p.plane,
+         CASE WHEN SUM(q.q * p.h) >= 0 THEN 1 ELSE 0 END AS bit
+  FROM qc q JOIN planes p ON p.pos = q.pos
+  GROUP BY q.vec_id, p.plane
+),
+bands AS (
+  SELECT vec_id, plane // {rows} AS band,
+         SUM(bit << (plane % {rows})) AS bkey
+  FROM bits GROUP BY vec_id, (plane // {rows})
+),
+sizes AS (SELECT band, bkey, COUNT(*) AS bsz FROM bands GROUP BY band, bkey),
+kept AS (
+  SELECT b.vec_id, b.band, b.bkey
+  FROM bands b JOIN sizes s ON s.band = b.band AND s.bkey = b.bkey
+  WHERE s.bsz <= {max_bucket}
+),
+cand AS (
+  SELECT DISTINCT q.vec_id AS q_vec_id, b.vec_id
+  FROM kept q JOIN kept b ON b.band = q.band AND b.bkey = q.bkey
+                         AND b.vec_id <> q.vec_id
+  WHERE q.vec_id < {n_queries}
+),
+qc2 AS (SELECT * FROM qc),
+pairdots AS (
+  SELECT c.q_vec_id, c.vec_id, SUM(qa.q * qb.q) AS dot
+  FROM cand c
+  JOIN qc qa ON qa.vec_id = c.q_vec_id
+  JOIN qc2 qb ON qb.vec_id = c.vec_id AND qb.pos = qa.pos
+  GROUP BY c.q_vec_id, c.vec_id
 ),
 scored AS (
   SELECT pd.q_vec_id, pd.vec_id,

@@ -276,6 +276,61 @@ def test_ivf_topk_subset_of_bruteforce(emb):
         assert (np.diff(g["cos_micro"]) <= 0).all()
 
 
+def test_lsh_topk_subset_of_bruteforce(emb):
+    """LSH results are drawn from shared-bucket candidates only; every
+    reported neighbor must carry its exact brute-force cos_micro and
+    per-query ranks must be contiguous with non-increasing scores."""
+    from pisa_spark.datapipe.similarity import ann_topk, lsh_topk
+
+    bf = ann_topk(emb, k=500).toPandas()
+    lsh = lsh_topk(emb, k=5).toPandas()
+    assert len(lsh) > 0
+    bf_scores = {(r.q_vec_id, r.vec_id): r.cos_micro for r in bf.itertuples()}
+    for r in lsh.itertuples():
+        assert bf_scores[(r.q_vec_id, r.vec_id)] == r.cos_micro
+    for q, g in lsh.groupby("q_vec_id"):
+        g = g.sort_values("rank")
+        assert list(g["rank"]) == list(range(1, len(g) + 1))
+        assert (np.diff(g["cos_micro"]) <= 0).all()
+
+
+def test_lsh_topk_recalls_planted_identical_vector(spark, emb):
+    """An identical copy of a query vector shares every band key, so
+    it is ALWAYS a candidate and ranks first with cos_micro = 1e6 —
+    the LSH twin of minhash's J=1 guaranteed-recall property."""
+    from pyspark.sql import functions as F
+    from pisa_spark.datapipe.similarity import lsh_topk
+
+    clone = (
+        emb.filter(F.col("vec_id") < 3)
+        .withColumn("vec_id", F.col("vec_id") + 100_000)
+    )
+    out = lsh_topk(emb.unionByName(clone), k=3).toPandas()
+    for q in range(3):
+        top = out[(out["q_vec_id"] == q) & (out["rank"] == 1)].iloc[0]
+        assert top["vec_id"] == q + 100_000
+        assert top["cos_micro"] == 1_000_000
+
+
+def test_lsh_bucket_cap_drops_dominant_buckets(spark, emb):
+    """With max_bucket=1 every bucket is over-cap (500 vecs in 4x16
+    buckets), so no candidates survive — the quadratic-bucket guard
+    engages exactly like dedup.MAX_BUCKET."""
+    from pisa_spark.datapipe.similarity import lsh_topk
+
+    assert lsh_topk(emb, k=5, max_bucket=1).count() == 0
+
+
+def test_lsh_hyperplanes_deterministic():
+    from pisa_spark.datapipe.similarity import _hyperplanes
+
+    a, b = _hyperplanes(16, 8), _hyperplanes(16, 8)
+    assert (a == b).all()
+    assert set(np.unique(a)) == {-1, 1}
+    # not degenerate: both signs appear in every plane's first 8 dims
+    assert (np.abs(a.sum(axis=1)) < 8).any()
+
+
 # -------------------------------------------------------------- text stats
 
 def test_lang_id_votes(spark):
