@@ -16,7 +16,14 @@ plumbing for that pattern:
                         Arrow batch shape, and partitioning are real;
                         the pixel decode is stubbed (image/audio libs
                         are not in this container) behind
-                        ``fake_decode`` / NotImplementedError
+                        ``fake_decode`` / NotImplementedError. The
+                        kernel also emits FEATURE EXTRACTION (f0..f3
+                        byte-bucket histogram — real numpy math over
+                        the payload, not stubbed) and the RESIZE plan
+                        (``resize_dims``: aspect-preserving integer
+                        fit into a 224x224 box, applied to the
+                        decoded dims; a real decoder resamples pixels
+                        to exactly these dims)
 
 Real decoders plug in by replacing ``fake_decode`` — the Spark plan
 (scan -> repartition by blob size -> mapInPandas -> struct column)
@@ -93,21 +100,47 @@ FROM meta m, LATERAL (
 
 DECODED_SCHEMA = (
     "doc_id long, n_bytes long, format string, width int, height int, "
-    "mean_byte double"
+    "mean_byte double, out_w int, out_h int, "
+    "f0 long, f1 long, f2 long, f3 long"
 )
+
+RESIZE_MAX = 224  # target box for the resize plan (out_w x out_h)
+
+
+def resize_dims(w: int, h: int, box: int = RESIZE_MAX) -> tuple[int, int]:
+    """Aspect-preserving fit of (w, h) into a box x box square, never
+    upscaling — pure integer math (floor division) so Spark, numpy,
+    and DuckDB agree exactly. The limiting side is the larger of w, h."""
+    if w <= box and h <= box:
+        return w, h
+    if w >= h:
+        return box, max(1, (h * box) // w)
+    return max(1, (w * box) // h), box
 
 
 def fake_decode(blob: bytes) -> dict:
     """Deterministic stand-in for an image decoder: 'dimensions' are
     derived from the byte length, 'pixels' from the raw bytes. A real
-    decoder (PIL/ffmpeg) replaces this function only."""
+    decoder (PIL/ffmpeg) replaces this function only. The byte-bucket
+    histogram (f0..f3 = counts of bytes in [0,64) [64,128) [128,192)
+    [192,256)) and the resize plan are REAL computations over the raw
+    payload — only the pixel interpretation of those bytes is fake."""
     n = len(blob)
     arr = np.frombuffer(blob, dtype=np.uint8)
+    w, h = int(n % 640) + 1, int(n % 480) + 1
+    out_w, out_h = resize_dims(w, h)
+    hist = np.bincount(arr >> 6, minlength=4) if n else np.zeros(4, np.int64)
     return {
         "format": "fake/html" if blob[:1] == b"<" else "fake/bin",
-        "width": int(n % 640) + 1,
-        "height": int(n % 480) + 1,
+        "width": w,
+        "height": h,
         "mean_byte": float(arr.mean()) if n else 0.0,
+        "out_w": out_w,
+        "out_h": out_h,
+        "f0": int(hist[0]),
+        "f1": int(hist[1]),
+        "f2": int(hist[2]),
+        "f3": int(hist[3]),
     }
 
 
@@ -120,6 +153,16 @@ def decode_stub_oracle() -> str:
     has no SQL form; THIS oracle pins the plumbing contract (sizes,
     derived dims, byte-level reduction) the fake decoder defines."""
     html = "'<html><body>' || text || '</body></html>'"
+    # byte bucket = byte >> 6 = hi_hex_digit // 4 (odd hex positions)
+    bucket = (
+        "(strpos('0123456789ABCDEF', substr(hx, CAST(2 * i - 1 AS INT), 1)) - 1)"
+        " // 4"
+    )
+    fcols = ",\n         ".join(
+        f"COALESCE(list_sum(list_transform(range(1, CAST(n AS BIGINT) + 1), "
+        f"i -> CASE WHEN {bucket} = {b} THEN 1 ELSE 0 END)), 0) AS f{b}"
+        for b in range(4)
+    )
     return f"""WITH b AS (
   SELECT doc_id,
          hex(encode({html})) AS hx,
@@ -130,16 +173,27 @@ s AS (
   SELECT doc_id, n, hx,
          list_sum(list_transform(range(1, CAST(2 * n AS BIGINT) + 1),
            j -> (strpos('0123456789ABCDEF', substr(hx, CAST(j AS INT), 1)) - 1)
-                * CASE WHEN j % 2 = 1 THEN 16 ELSE 1 END)) AS byte_sum
+                * CASE WHEN j % 2 = 1 THEN 16 ELSE 1 END)) AS byte_sum,
+         {fcols},
+         n % 640 + 1 AS w,
+         n % 480 + 1 AS h
   FROM b
 )
 SELECT doc_id,
        CAST(n AS BIGINT) AS n_bytes,
        CASE WHEN substr(hx, 1, 2) = '3C' THEN 'fake/html'
             ELSE 'fake/bin' END AS format,
-       CAST(n % 640 + 1 AS INT) AS width,
-       CAST(n % 480 + 1 AS INT) AS height,
-       CAST(byte_sum AS DOUBLE) / CAST(n AS DOUBLE) AS mean_byte
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       CAST(byte_sum AS DOUBLE) / CAST(n AS DOUBLE) AS mean_byte,
+       CAST(CASE WHEN w <= {RESIZE_MAX} AND h <= {RESIZE_MAX} THEN w
+                 WHEN w >= h THEN {RESIZE_MAX}
+                 ELSE GREATEST(1, (w * {RESIZE_MAX}) // h) END AS INT) AS out_w,
+       CAST(CASE WHEN w <= {RESIZE_MAX} AND h <= {RESIZE_MAX} THEN h
+                 WHEN w >= h THEN GREATEST(1, (h * {RESIZE_MAX}) // w)
+                 ELSE {RESIZE_MAX} END AS INT) AS out_h,
+       CAST(f0 AS BIGINT) AS f0, CAST(f1 AS BIGINT) AS f1,
+       CAST(f2 AS BIGINT) AS f2, CAST(f3 AS BIGINT) AS f3
 FROM s"""
 
 
@@ -162,15 +216,15 @@ def decode_blobs(pages: DataFrame, decoder=fake_decode) -> DataFrame:
             if len(pdf) == 0:
                 continue
             metas = [decoder(bytes(b)) for b in pdf["html"]]
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"].to_numpy(np.int64),
-                    "n_bytes": [len(bytes(b)) for b in pdf["html"]],
-                    "format": [m["format"] for m in metas],
-                    "width": [m["width"] for m in metas],
-                    "height": [m["height"] for m in metas],
-                    "mean_byte": [m["mean_byte"] for m in metas],
-                }
-            )
+            cols = {
+                "doc_id": pdf["doc_id"].to_numpy(np.int64),
+                "n_bytes": [len(bytes(b)) for b in pdf["html"]],
+            }
+            for key in (
+                "format", "width", "height", "mean_byte",
+                "out_w", "out_h", "f0", "f1", "f2", "f3",
+            ):
+                cols[key] = [m[key] for m in metas]
+            yield pd.DataFrame(cols)
 
     return pages.select("doc_id", "html").mapInPandas(kernel, DECODED_SCHEMA)

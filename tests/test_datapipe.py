@@ -407,8 +407,27 @@ def test_decode_blobs_plumbing(spark):
     assert set(out["format"]) == {"fake/html"}
     assert (out["n_bytes"] > 0).all()
     assert out["mean_byte"].between(0, 255).all()
+    # feature extraction: bucket counts partition the payload bytes
+    assert (out[["f0", "f1", "f2", "f3"]].sum(axis=1) == out["n_bytes"]).all()
+    # resize plan: inside the box, aspect order preserved, no upscale
+    assert (out["out_w"] <= 224).all() and (out["out_h"] <= 224).all()
+    assert (out["out_w"] <= out["width"]).all()
+    assert (out["out_h"] <= out["height"]).all()
     with pytest.raises(NotImplementedError):
         real_decode(b"\x89PNG")
+
+
+def test_resize_dims_aspect_and_bounds():
+    from pisa_spark.datapipe.multimodal import resize_dims
+
+    assert resize_dims(100, 50) == (100, 50)          # no upscale
+    assert resize_dims(448, 224) == (224, 112)        # width-limited
+    assert resize_dims(224, 448) == (112, 224)        # height-limited
+    assert resize_dims(640, 480) == (224, 168)
+    assert resize_dims(10_000, 1) == (224, 1)         # floor clamps to 1
+    w, h = resize_dims(641, 479)
+    # exact integer floor of the rational scale
+    assert (w, h) == (224, (479 * 224) // 641)
 
 
 def test_frame_sample_deterministic(spark):
