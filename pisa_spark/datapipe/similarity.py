@@ -409,7 +409,10 @@ final AS (
 def ann_topk(emb: DataFrame, k: int = 10, n_queries: int = N_QUERIES) -> DataFrame:
     """(q_vec_id, rank, vec_id, cos_micro): exact cosine top-k of each
     query vector (vec_id < n_queries) over the base set, self
-    excluded. Partial scoring per base partition + window merge."""
+    excluded. PARTIAL top-k per Arrow batch (the global top-k of a
+    union equals the top-k of the per-chunk top-k's, so results are
+    identical) + window merge: the shuffle carries
+    O(queries x k x batches) rows, never O(queries x corpus)."""
     spark = emb.sparkSession
     queries = emb.filter(F.col("vec_id") < n_queries)
     q_ids, q_mat = _collect_matrix(queries)
@@ -426,12 +429,23 @@ def ann_topk(emb: DataFrame, k: int = 10, n_queries: int = N_QUERIES) -> DataFra
             b_n = (b_qm * b_qm).sum(axis=1)
             dots = q_mat_ @ b_qm.T
             cm = _cos_micro(dots, q_norms_[:, None], b_n[None, :])
-            qi, bi = np.nonzero(q_ids_[:, None] != b_ids[None, :])
+            out_q, out_v, out_c = [], [], []
+            for qi in range(len(q_ids_)):
+                mask = b_ids != q_ids_[qi]
+                row, ids = cm[qi][mask], b_ids[mask]
+                if len(row) > k:
+                    # batch-local top-k, same (cos desc, vec_id asc)
+                    # order as the window merge
+                    sel = np.lexsort((ids, -row))[:k]
+                    row, ids = row[sel], ids[sel]
+                out_q.append(np.full(len(ids), q_ids_[qi], np.int64))
+                out_v.append(ids)
+                out_c.append(row)
             yield pd.DataFrame(
                 {
-                    "q_vec_id": q_ids_[qi],
-                    "vec_id": b_ids[bi],
-                    "cos_micro": cm[qi, bi],
+                    "q_vec_id": np.concatenate(out_q),
+                    "vec_id": np.concatenate(out_v),
+                    "cos_micro": np.concatenate(out_c),
                 }
             )
 
@@ -524,9 +538,11 @@ def _rank_candidates(emb: DataFrame, cand: DataFrame, n_queries: int,
                      k: int) -> DataFrame:
     """Exact quantized cosine over a ``(q_vec_id, vec_id)`` candidate
     set: broadcast the query matrix (small by construction), stream
-    the candidates through one Arrow kernel, window-merge to per-query
-    top-k. Shared by ivf_topk and lsh_topk — candidate GENERATION is
-    the only difference between the indexed ANN variants."""
+    the candidates through one Arrow kernel emitting per-batch PARTIAL
+    top-k (identical final result; the shuffle carries
+    O(queries x k x batches) rows), window-merge to per-query top-k.
+    Shared by ivf_topk and lsh_topk — candidate GENERATION is the
+    only difference between the indexed ANN variants."""
     spark = emb.sparkSession
     q_ids, q_mat = _collect_matrix(emb.filter(F.col("vec_id") < n_queries))
     q_norms = (q_mat * q_mat).sum(axis=1)
@@ -545,11 +561,22 @@ def _rank_candidates(emb: DataFrame, cand: DataFrame, n_queries: int,
             dots = np.einsum("ij,ij->i", q_mat_[qrow], b_qm)
             cm = _cos_micro(dots, q_norms_[qrow], b_n)
             keep = pdf["q_vec_id"].to_numpy(np.int64) != b_ids
+            qv = pdf["q_vec_id"].to_numpy(np.int64)[keep]
+            bv, cv = b_ids[keep], cm[keep]
+            # batch-local per-query top-k, same (cos desc, vec_id asc)
+            # order as the window merge — identical final result
+            order = np.lexsort((bv, -cv, qv))
+            qv, bv, cv = qv[order], bv[order], cv[order]
+            starts = np.flatnonzero(np.r_[True, qv[1:] != qv[:-1]])
+            ends = np.r_[starts[1:], len(qv)]
+            sel = np.concatenate(
+                [np.arange(s, min(s + k, e)) for s, e in zip(starts, ends)]
+            ) if len(starts) else np.empty(0, np.int64)
             yield pd.DataFrame(
                 {
-                    "q_vec_id": pdf["q_vec_id"].to_numpy(np.int64)[keep],
-                    "vec_id": b_ids[keep],
-                    "cos_micro": cm[keep],
+                    "q_vec_id": qv[sel],
+                    "vec_id": bv[sel],
+                    "cos_micro": cv[sel],
                 }
             )
 
