@@ -410,7 +410,7 @@ def topk_range(
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         terms = _group_to_terms(pdf, decode)
-        kk = int(pdf["k"].iloc[0])
+        kk = int(pdf["k"].iloc[0]) if "k" in pdf else k
         init = 0.0
         if "threshold_micro" in pdf and pd.notna(pdf["threshold_micro"].iloc[0]):
             init = float(pdf["threshold_micro"].iloc[0]) - PRUNE_EPS
@@ -440,7 +440,18 @@ def topk_range(
         F.col("score").desc(), F.col("doc_id").asc()
     )
     merged = partial.withColumn("rank", F.row_number().over(w))
-    return merged.filter(F.col("rank") <= k).select(
+    if "k" in parsed.columns:
+        # Per-query k parity with topk_search: each bucket's partial
+        # already honored the query's own k, so the merge must cap at
+        # the same per-query value (the arg k is only the no-column
+        # fallback). Query-count-sized side -> broadcast.
+        qk = parsed.select("query_id", F.col("k").alias("merge_k")).distinct()
+        merged = merged.join(F.broadcast(qk), "query_id").filter(
+            F.col("rank") <= F.col("merge_k")
+        )
+    else:
+        merged = merged.filter(F.col("rank") <= k)
+    return merged.select(
         "query_id", F.col("rank").cast("int"), "doc_id", "score"
     )
 

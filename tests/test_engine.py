@@ -536,6 +536,34 @@ def test_batch_executor_k_fallback_matches_query_major(index, parsed, oracle_top
     )
 
 
+def test_range_executor_heterogeneous_k_matches_query_major(index, parsed):
+    """Per-query k parity: the range executor's merge must cap each
+    query at ITS OWN k (the per-bucket partials already honor it), and
+    a parsed frame without a k column must fall back to the k arg —
+    both matching query-major topk_search."""
+    from pyspark.sql import functions as F
+
+    mixed = parsed.withColumn(
+        "k",
+        F.when(F.pmod(F.xxhash64("query_id"), F.lit(2)) == 0, F.lit(4))
+        .otherwise(F.lit(9)),
+    )
+    exp = _fetch(topk_search(index, mixed, algorithm="maxscore", k=10))
+    got = _fetch(topk_range(index, mixed, algorithm="maxscore", k=10))
+    pd.testing.assert_frame_equal(
+        got[["query_id", "rank", "doc_id"]],
+        exp[["query_id", "rank", "doc_id"]],
+    )
+
+    no_k = parsed.drop("k")
+    exp = _fetch(topk_search(index, no_k, algorithm="maxscore", k=7))
+    got = _fetch(topk_range(index, no_k, algorithm="maxscore", k=7))
+    pd.testing.assert_frame_equal(
+        got[["query_id", "rank", "doc_id"]],
+        exp[["query_id", "rank", "doc_id"]],
+    )
+
+
 def test_assign_global_ids_count_and_sum_out(spark):
     """count_out rides the offset collect: n_rows AND (with sum_col)
     the column sum must be exact — build_index and the incremental
