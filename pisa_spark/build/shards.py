@@ -29,6 +29,51 @@ def assign_shards(docs: DataFrame, n_shards: int = 4) -> DataFrame:
     )
 
 
+def shard_mapping_from_files(spark, shard_files) -> DataFrame:
+    """(url, shard_id) from reference-format shard title files —
+    ``partition_fwd_index --shard-files`` input (sharding.cpp:56-103):
+    one document title per line, shard id = the file's position in the
+    list, and the FIRST file claiming a title wins (min shard_id here —
+    files are processed in order, so the earliest claim has the
+    smallest id). The mapping stays a distributed DataFrame end to end
+    (``spark.read.text`` + union + groupBy) — at web scale the title
+    list is corpus-sized, never driver state."""
+    import os
+
+    out = None
+    for sid, path in enumerate(shard_files):
+        df = spark.read.text(os.path.abspath(str(path))).select(
+            F.col("value").alias("url"),
+            F.lit(int(sid)).cast("int").alias("shard_id"),
+        )
+        out = df if out is None else out.unionByName(df)
+    if out is None:
+        raise ValueError("shard_mapping_from_files: no shard files given")
+    return (
+        out.filter(F.length("url") > 0)
+        .groupBy("url")
+        .agg(F.min("shard_id").cast("int").alias("shard_id"))
+    )
+
+
+def assign_shards_from_mapping(docs: DataFrame, mapping: DataFrame) -> DataFrame:
+    """docs(url, ...) -> + shard_id from an explicit (url, shard_id)
+    mapping — the reference's title-file path (sharding.cpp:136-268 via
+    mapping_from_files). Documents absent from the mapping fall to
+    shard 0 with the same semantics as the reference's warning path
+    (sharding.cpp:78-84). No broadcast hint: the mapping is
+    corpus-sized at scale; AQE picks the strategy."""
+    has = mapping.select("url", F.col("shard_id").alias("_map_shard"))
+    return (
+        docs.join(has, "url", "left")
+        .withColumn(
+            "shard_id",
+            F.coalesce(F.col("_map_shard"), F.lit(0)).cast("int"),
+        )
+        .drop("_map_shard")
+    )
+
+
 def shard_stats(docs: DataFrame, n_shards: int = 4) -> DataFrame:
     """(shard_id, num_docs, collection_len, vocab_size): per-shard
     corpus statistics — the reference's per-shard .sizes/.termlex

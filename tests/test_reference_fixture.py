@@ -1,0 +1,236 @@
+"""Regression suite over the REFERENCE'S OWN test fixtures.
+
+The reference ships a real 1,000-page ClueWeb09 sample
+(`test/test_data/clueweb1k.plaintext`, the input of its CLI pipeline
+`test/cli/setup.sh`: parse_collection -F lowercase porter2 → invert →
+compress --check → create_wand_data) plus the document-order golden
+(`clueweb1k.documents`) and the `partition_fwd_index --shard-files`
+inputs (`clueweb1k.shard.00..03`). Driving THIS engine with the same
+real web text closes the gap synthetic corpora leave: messy
+vocabulary (33k terms over 1k docs), long documents (~600 tokens
+avg), and the reference's exact analyzer configuration.
+
+The binary `test_collection` postings that the reference's golden
+`top5_thresholds` were computed from are NOT in the snapshot (only
+`.sizes` survives), so score-level parity against that file is not
+reproducible here; rank identity is pinned against the exhaustive SQL
+oracle on the real corpus instead — the same oracle construction the
+reference's own test_ranked_queries.cpp:99-144 uses (exhaustive
+ranked_or as ground truth for every pruned algorithm).
+
+Skipped wholesale when /root/reference is absent (public checkout of
+this repo without the reference snapshot).
+"""
+
+from __future__ import annotations
+
+import datetime
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import Window, functions as F
+
+from pisa_spark.config import AnalyzerConfig, EngineConfig
+from pisa_spark.functions.scoring import bm25_sql_expr, dlit, micro_sql
+from pisa_spark.index import build_index
+from pisa_spark.query.executor import topk_search, topk_search_batch
+from pisa_spark.query.parser import parse_queries
+
+TEST_DATA = Path("/root/reference/test/test_data")
+
+pytestmark = pytest.mark.skipif(
+    not TEST_DATA.is_dir(), reason="reference test_data snapshot not present"
+)
+
+
+def _load_pages(spark):
+    """clueweb1k.plaintext → the input_hint pages table. Record
+    format per the reference plaintext parser (document_record.hpp
+    operator>>): first whitespace token = trecid, rest of line =
+    content."""
+    rows = []
+    for ln in (TEST_DATA / "clueweb1k.plaintext").read_text().splitlines():
+        parts = ln.split(None, 1)
+        rows.append((parts[0], parts[1] if len(parts) > 1 else ""))
+    pdf = pd.DataFrame(rows, columns=["url", "text"])
+    pdf["warc_ts"] = datetime.datetime(2024, 1, 1)
+    pdf["html"] = b""
+    pdf["lang"] = "en"
+    return spark.createDataFrame(
+        pdf[["url", "warc_ts", "html", "text", "lang"]],
+        schema="url string, warc_ts timestamp, html binary, "
+               "text string, lang string",
+    )
+
+
+@pytest.fixture(scope="module")
+def clueweb_index(spark):
+    """The setup.sh build: english tokenizer (parse_collection's
+    default, tools/app.hpp:97) + lowercase + porter2."""
+    pages = _load_pages(spark)
+    cfg = EngineConfig(
+        analyzer=AnalyzerConfig(
+            tokenizer="english", lowercase=True, stemmer="porter2"
+        )
+    )
+    return build_index(spark, pages, cfg)
+
+
+def test_doc_order_matches_reference_documents(clueweb_index):
+    """Our docIDs are dense ranks over url order; the reference's are
+    input order (forward_index_builder.cpp:45-66, titles written as
+    read). clueweb1k's titles arrive sorted, so the two orders must
+    coincide EXACTLY — the golden `.documents` file pins it."""
+    golden = (TEST_DATA / "clueweb1k.documents").read_text().splitlines()
+    ours = [
+        r["url"]
+        for r in clueweb_index.docmap.orderBy("doc_id").collect()
+    ]
+    assert ours == golden
+
+
+def test_real_webtext_corpus_shape(clueweb_index):
+    """Sanity anchors for the real corpus: 1,000 docs, a web-scale
+    vocabulary on 1k pages, and Σtf == doc_len per doc (the reference's
+    count_postings invariant on real text)."""
+    assert clueweb_index.num_docs == 1000
+    vocab = clueweb_index.lexicon.count()
+    assert vocab > 30_000  # messy real vocabulary, not synthetic
+    bad = (
+        clueweb_index.postings.groupBy("doc_id")
+        .agg(F.sum("tf").alias("s"))
+        .join(clueweb_index.doc_sizes, "doc_id")
+        .filter(F.col("s") != F.col("doc_len"))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_shard_mapping_matches_reference_files(spark, clueweb_index):
+    """partition_fwd_index --shard-files parity (sharding.cpp:56-103 +
+    136-268): the four clueweb1k.shard.* title files drive the
+    mapping; every document must land in exactly the shard whose file
+    lists its title."""
+    from pisa_spark.build.shards import (
+        assign_shards_from_mapping, shard_mapping_from_files,
+    )
+
+    files = sorted(TEST_DATA.glob("clueweb1k.shard.*"))
+    assert len(files) == 4
+    mapping = shard_mapping_from_files(spark, files)
+    sharded = assign_shards_from_mapping(clueweb_index.docmap, mapping)
+
+    got = {
+        (r["url"], r["shard_id"]) for r in sharded.collect()
+    }
+    want = set()
+    for sid, path in enumerate(files):
+        for title in path.read_text().splitlines():
+            if title:
+                want.add((title, sid))
+    assert got == want
+    # per-shard counts match the files (250 each here)
+    counts = {
+        r["shard_id"]: r["count"]
+        for r in sharded.groupBy("shard_id").count().collect()
+    }
+    assert counts == {0: 250, 1: 250, 2: 250, 3: 250}
+
+
+def _real_queries(spark, index, n_queries: int = 30):
+    """Deterministic head/tail-mixed workload over the REAL
+    vocabulary: terms sampled by df rank so every query mixes a head
+    term (huge list) with tail terms — the regime where pruning
+    kernels earn their keep."""
+    lex = (
+        index.lexicon.orderBy(F.col("df").desc(), F.col("term"))
+        .limit(4000)
+        .collect()
+    )
+    terms = [r["term"] for r in lex]
+    rows = []
+    for qi in range(n_queries):
+        n = 2 + qi % 4
+        picked = [
+            terms[(qi * 131 + j * j * 577) % len(terms)] for j in range(n)
+        ]
+        rows.append((f"cw{qi:03d}", picked, 10))
+    qdf = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["query_id", "terms", "k"]),
+        schema="query_id string, terms array<string>, k int",
+    )
+    return parse_queries(qdf, index.lexicon, pre_tokenized=True)
+
+
+def _oracle_topk(index, parsed, k: int = 10) -> pd.DataFrame:
+    scored = (
+        parsed.join(index.postings, "term_id")
+        .join(index.doc_sizes, "doc_id")
+        .join(index.lexicon.select("term_id", "df"), "term_id")
+        .withColumn(
+            "s",
+            F.expr(
+                micro_sql(
+                    bm25_sql_expr(
+                        num_docs=dlit(index.num_docs),
+                        avg_len=dlit(index.avg_len),
+                    ),
+                    weight="weight",
+                )
+            ),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg((F.sum("s") / F.lit(1e6)).alias("score"))
+        .filter(F.col("score") > 0)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score")
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+
+
+def test_kernels_rank_identical_on_real_webtext(spark, clueweb_index):
+    """The reference's regression bar (test_ranked_queries.cpp:99-144)
+    on its own corpus: every pruned kernel rank-identical to the
+    exhaustive oracle, scores equal to 1e-6 (micro quantum)."""
+    parsed = _real_queries(spark, clueweb_index).persist()
+    parsed.count()
+    exp = _oracle_topk(clueweb_index, parsed)
+    for runner in (
+        lambda: topk_search(
+            clueweb_index, parsed, algorithm="block_max_wand", k=10
+        ),
+        lambda: topk_search(
+            clueweb_index, parsed, algorithm="maxscore", k=10
+        ),
+        lambda: topk_search_batch(
+            clueweb_index, parsed, algorithm="block_max_maxscore", k=10,
+            batches=3,
+        ),
+    ):
+        got = (
+            runner()
+            .toPandas()
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+            .astype({"rank": "int64", "doc_id": "int64"})
+        )
+        pd.testing.assert_frame_equal(
+            got[["query_id", "rank", "doc_id"]],
+            exp[["query_id", "rank", "doc_id"]].astype(
+                {"rank": "int64", "doc_id": "int64"}
+            ),
+        )
+        np.testing.assert_allclose(
+            got["score"], exp["score"], rtol=0, atol=1e-6
+        )
+    parsed.unpersist()
