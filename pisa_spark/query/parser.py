@@ -66,3 +66,54 @@ def parse_queries(
     return lexicon.select("term", "term_id").join(
         F.broadcast(weighted), "term"
     ).select("query_id", "k", "term_id", "weight")
+
+
+# Reference parse_query_ids separators (src/query/queries.cpp:55 —
+# boost::is_any_of over the char SET of "\t, ,\v,\f,\r,\n", which
+# includes the comma itself); empty tokens are erased (:58-60).
+_ID_SEPARATORS = "[\\t, \\x0b\\f\\r\\n]"
+
+
+def parse_query_id_lines(lines: DataFrame, k: int = 10) -> DataFrame:
+    """Raw query-file lines in int-ID mode -> (query_id, k, term_id,
+    weight).
+
+    Mirrors the reference's pre-resolved query path
+    (src/query/queries.cpp:14-26 split_query_at_colon, :49-68
+    parse_query_ids): an optional ``qid:`` prefix before the FIRST
+    colon names the query (an absent id falls back to the input line
+    number, the convention the reference's evaluate/queries tools
+    apply); the remainder splits on the separator set above, empty
+    tokens drop, and every surviving token must parse as an integer
+    term id (no lexicon lookup — ids are authoritative). Duplicate
+    ids collapse to multiplicity weights exactly as query_freqs does
+    for the text path (src/query/queries.cpp:107-120).
+
+    ``lines`` is a DataFrame (line_no bigint, line string); all the
+    parsing is native Catalyst (split/filter/explode) — workload
+    tables are small, but this also keeps the path usable on a
+    billion-query batch.
+    """
+    has_colon = F.instr("line", ":") > 0
+    raw = F.when(
+        has_colon, F.expr("substring(line, instr(line, ':') + 1)")
+    ).otherwise(F.col("line"))
+    qid = F.when(
+        has_colon, F.expr("substring(line, 1, instr(line, ':') - 1)")
+    ).otherwise(F.col("line_no").cast("string"))
+    terms = F.filter(F.split(raw, _ID_SEPARATORS), lambda t: t != "")
+    parsed = lines.select(
+        qid.alias("query_id"),
+        F.lit(k).alias("k"),
+        F.explode(terms).alias("tok"),
+    ).select(
+        "query_id", "k", F.col("tok").try_cast("int").alias("term_id")
+    )
+    # std::stoi failure is fatal in the reference (:64-66); surface
+    # the same contract as a hard error instead of a silent null.
+    bad = parsed.where(F.col("term_id").isNull()).limit(1).count()
+    if bad:
+        raise ValueError("non-integer term id in ID-mode query file")
+    return parsed.groupBy("query_id", "k", "term_id").agg(
+        F.count("*").cast("double").alias("weight")
+    )

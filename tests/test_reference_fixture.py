@@ -234,3 +234,64 @@ def test_kernels_rank_identical_on_real_webtext(spark, clueweb_index):
             got["score"], exp["score"], rtol=0, atol=1e-6
         )
     parsed.unpersist()
+
+
+def test_query_id_file_parses_like_reference(spark):
+    """The reference's own `queries` fixture (100 tab-separated
+    int-ID queries, the input of its thresholds/queries CLI in ID
+    mode) through parse_query_id_lines. Pins split_query_at_colon +
+    parse_query_ids semantics (src/query/queries.cpp:14-68) and the
+    query_freqs multiplicity collapse (:107-120) on the real file:
+    exact ids for line 0, per-query term counts, and the duplicated
+    terms of line 53 carrying weight 2."""
+    from pisa_spark.query.parser import parse_query_id_lines
+
+    raw = (TEST_DATA / "queries").read_text().splitlines()
+    lines = spark.createDataFrame(
+        list(enumerate(raw)), "line_no bigint, line string"
+    )
+    parsed = parse_query_id_lines(lines, k=5).toPandas()
+
+    assert parsed["k"].eq(5).all()
+    # no colon prefixes in the fixture -> line numbers name queries
+    assert set(parsed["query_id"]) == {str(i) for i in range(100)}
+    q0 = parsed[parsed.query_id == "0"].sort_values("term_id")
+    assert list(q0["term_id"]) == [61936, 101587]
+    assert q0["weight"].eq(1.0).all()
+    # line 53: 67262, 62044, 105677 each appear twice; 96886 once
+    q53 = dict(
+        parsed[parsed.query_id == "53"][["term_id", "weight"]].values
+    )
+    assert q53 == {67262: 2.0, 62044: 2.0, 105677: 2.0, 96886: 1.0}
+    # unique (query, term) pairs after the collapse: 325 raw tokens
+    # minus one per collapsed duplicate
+    assert len(parsed) == 325 - sum(
+        len(ln.split()) - len(set(ln.split())) for ln in raw
+    )
+
+
+def test_query_id_colon_and_separator_semantics(spark):
+    """Engineered lines covering the colon/id split and the
+    reference's full separator set (space, tab, comma — the char set
+    of boost::is_any_of at src/query/queries.cpp:55 includes ','),
+    empty-token erasure, and the fatal non-integer contract."""
+    from pisa_spark.query.parser import parse_query_id_lines
+
+    lines = spark.createDataFrame(
+        [
+            (0, "Q7:3 1  2,2"),   # id prefix; mixed seps; dup -> w=2
+            (1, "::5"),            # empty id; second colon is DATA...
+            (2, "8\t9"),
+        ],
+        "line_no bigint, line string",
+    )
+    # ...but ":5" doesn't stoi -> reference exits; we raise
+    with pytest.raises(ValueError):
+        parse_query_id_lines(lines).toPandas()
+
+    ok = parse_query_id_lines(
+        lines.where("line_no != 1"), k=3
+    ).toPandas()
+    q7 = dict(ok[ok.query_id == "Q7"][["term_id", "weight"]].values)
+    assert q7 == {3: 1.0, 1: 1.0, 2: 2.0}
+    assert set(ok[ok.query_id == "2"]["term_id"]) == {8, 9}
