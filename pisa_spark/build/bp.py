@@ -52,6 +52,78 @@ def _expb(l1: str, l2: str, d1: str, d2: str) -> str:
     )
 
 
+def _swap_rounds(d: DataFrame, iterations: int) -> DataFrame:
+    """Run the per-node swap iterations (process_partition,
+    recursive_graph_bisection.hpp:233-254) on ``d(label, side,
+    doc_id, terms[, n_iters])``.
+
+    ``iterations`` is the loop bound; when a ``n_iters`` column is
+    present, a node whose own count is lower stops flipping early
+    (per-node iteration counts are what ``--node-config`` lines
+    carry). Returns ``d`` with final sides, same columns."""
+    per_node = "n_iters" in d.columns
+    for _it in range(iterations):
+        ex = d.select(
+            "label", "side", "doc_id", F.explode("terms").alias("term")
+        )
+        deg = ex.groupBy("label", "term").agg(
+            F.sum(F.when(F.col("side") == 0, 1).otherwise(0)).alias("dl"),
+            F.sum(F.when(F.col("side") == 1, 1).otherwise(0)).alias("dr"),
+        )
+        ns = d.groupBy("label").agg(
+            F.sum(F.when(F.col("side") == 0, 1).otherwise(0)).alias("n0"),
+            F.sum(F.when(F.col("side") == 1, 1).otherwise(0)).alias("n1"),
+        )
+        fd = "CASE WHEN side = 0 THEN dl ELSE dr END"
+        td = "CASE WHEN side = 0 THEN dr ELSE dl END"
+        lf = "LOG2(CASE WHEN side = 0 THEN n0 ELSE n1 END + 1e-9D)"
+        lt = "LOG2(CASE WHEN side = 0 THEN n1 ELSE n0 END + 1e-9D)"
+        tg = (
+            f"({_expb(lf, lt, fd, td)})"
+            f" - ({_expb(lf, lt, f'({fd}) - 1', f'({td}) + 1')})"
+        )
+        gains = (
+            ex.join(deg, ["label", "term"])
+            .join(ns, "label")
+            .withColumn("tg", F.expr(tg))
+            .groupBy("label", "side", "doc_id")
+            .agg(F.sum("tg").alias("gain"))
+        )
+        d = d.join(
+            gains.select("doc_id", "gain"), "doc_id", "left"
+        ).fillna(0.0, ["gain"])
+        # rank by gain desc inside (label, side); pair rank r of L
+        # with rank r of R; both sides' ranked gains are
+        # non-increasing, so "swap while sum > 0" == filter on the
+        # pair's gain sum — computed with ONE window over
+        # (label, r) (the pair has exactly 2 rows) instead of a
+        # split + self-join, so the gains plan evaluates once
+        wg = Window.partitionBy("label", "side").orderBy(
+            F.col("gain").desc(), F.col("doc_id").asc()
+        )
+        wp = Window.partitionBy("label", "r")
+        flip = (F.col("pair_cnt") == 2) & (F.col("pair_sum") > 0)
+        if per_node:
+            flip = flip & (F.col("n_iters") > F.lit(_it))
+        d = (
+            d.withColumn("r", F.row_number().over(wg))
+            .withColumn("pair_sum", F.sum("gain").over(wp))
+            .withColumn("pair_cnt", F.count("*").over(wp))
+            .withColumn(
+                "side",
+                F.when(flip, 1 - F.col("side")).otherwise(
+                    F.col("side")
+                ),
+            )
+            .drop("r", "gain", "pair_sum", "pair_cnt")
+        )
+        # flatten the plan EVERY round — without a checkpoint the
+        # per-iteration joins stack into an exponentially growing
+        # logical plan
+        d = d.localCheckpoint(eager=True)
+    return d
+
+
 def recursive_graph_bisection(
     docs: DataFrame,
     depth: int = 6,
@@ -79,63 +151,7 @@ def recursive_graph_bisection(
             )
             .drop("rn", "n_node")
         )
-        for _it in range(iterations):
-            ex = d.select(
-                "label", "side", "doc_id", F.explode("terms").alias("term")
-            )
-            deg = ex.groupBy("label", "term").agg(
-                F.sum(F.when(F.col("side") == 0, 1).otherwise(0)).alias("dl"),
-                F.sum(F.when(F.col("side") == 1, 1).otherwise(0)).alias("dr"),
-            )
-            ns = d.groupBy("label").agg(
-                F.sum(F.when(F.col("side") == 0, 1).otherwise(0)).alias("n0"),
-                F.sum(F.when(F.col("side") == 1, 1).otherwise(0)).alias("n1"),
-            )
-            fd = "CASE WHEN side = 0 THEN dl ELSE dr END"
-            td = "CASE WHEN side = 0 THEN dr ELSE dl END"
-            lf = "LOG2(CASE WHEN side = 0 THEN n0 ELSE n1 END + 1e-9D)"
-            lt = "LOG2(CASE WHEN side = 0 THEN n1 ELSE n0 END + 1e-9D)"
-            tg = (
-                f"({_expb(lf, lt, fd, td)})"
-                f" - ({_expb(lf, lt, f'({fd}) - 1', f'({td}) + 1')})"
-            )
-            gains = (
-                ex.join(deg, ["label", "term"])
-                .join(ns, "label")
-                .withColumn("tg", F.expr(tg))
-                .groupBy("label", "side", "doc_id")
-                .agg(F.sum("tg").alias("gain"))
-            )
-            d = d.join(
-                gains.select("doc_id", "gain"), "doc_id", "left"
-            ).fillna(0.0, ["gain"])
-            # rank by gain desc inside (label, side); pair rank r of L
-            # with rank r of R; both sides' ranked gains are
-            # non-increasing, so "swap while sum > 0" == filter on the
-            # pair's gain sum — computed with ONE window over
-            # (label, r) (the pair has exactly 2 rows) instead of a
-            # split + self-join, so the gains plan evaluates once
-            wg = Window.partitionBy("label", "side").orderBy(
-                F.col("gain").desc(), F.col("doc_id").asc()
-            )
-            wp = Window.partitionBy("label", "r")
-            d = (
-                d.withColumn("r", F.row_number().over(wg))
-                .withColumn("pair_sum", F.sum("gain").over(wp))
-                .withColumn("pair_cnt", F.count("*").over(wp))
-                .withColumn(
-                    "side",
-                    F.when(
-                        (F.col("pair_cnt") == 2) & (F.col("pair_sum") > 0),
-                        1 - F.col("side"),
-                    ).otherwise(F.col("side")),
-                )
-                .drop("r", "gain", "pair_sum", "pair_cnt")
-            )
-            # flatten the plan EVERY round — without a checkpoint the
-            # per-iteration joins stack into an exponentially growing
-            # logical plan
-            d = d.localCheckpoint(eager=True)
+        d = _swap_rounds(d, iterations)
         d = d.withColumn(
             "label", F.col("label") * 2 + F.col("side")
         ).drop("side")
@@ -160,3 +176,109 @@ def recursive_graph_bisection(
         .withColumn("new_doc_id", F.col("off") + F.row_number().over(wl) - 1)
         .select("doc_id", "new_doc_id")
     )
+
+
+def read_node_config(text: str) -> list[dict]:
+    """Parse a ``--node-config`` file (computation_node::from_stream,
+    recursive_graph_bisection.hpp:134-146): per line
+    ``level iterations left_first left_last right_first right_last
+    [cache]``; the trailing cache flag is optional and defaults to
+    ``size > 64`` exactly as the reference does (:142-143 — the flag
+    only gates the reference's degree-map reuse; here it is parsed
+    and carried for parity but the DataFrame form recomputes degrees
+    per round regardless)."""
+    nodes = []
+    for line in text.splitlines():
+        parts = line.split()
+        if not parts:
+            continue
+        level, iters, lf, ll, rf, rl = (int(x) for x in parts[:6])
+        cache = (
+            bool(int(parts[6]))
+            if len(parts) > 6
+            else (ll - lf) + (rl - rf) > 64
+        )
+        nodes.append(
+            {
+                "level": level,
+                "iters": iters,
+                "lf": lf,
+                "ll": ll,
+                "rf": rf,
+                "rl": rl,
+                "cache": cache,
+            }
+        )
+    return nodes
+
+
+def recursive_graph_bisection_from_config(
+    docs: DataFrame, nodes: list[dict]
+) -> DataFrame:
+    """BP over an EXPLICIT bisection tree (the reference's
+    ``reorder-docids --node-config``, reorder_docids.hpp:40-63 +
+    tools/app.cpp:338): node ranges are POSITIONS in the document
+    array, mutated in place level by level, so ``docs`` must carry
+    dense doc_ids 0..n-1 (the assign_global_ids contract) — those are
+    the initial positions.
+
+    Per level (processed in ascending level order, the reference's
+    sort at :55): every node claims positions [lf,ll) as side 0 and
+    [rf,rl) as side 1, runs its own ``iters`` swap rounds, then side-0
+    docs re-occupy the left range and side-1 the right (stable in
+    prior position order — the reference's in-place swap permutes
+    exact slots; any slot order inside a side is equivalent for every
+    later level, which only tests range membership, and for the
+    log-gap objective). Unclaimed positions pass through untouched.
+    Returns (doc_id, new_doc_id) where new_doc_id is the final
+    position."""
+    d = docs.select(
+        "doc_id", "terms", F.col("doc_id").cast("long").alias("pos")
+    )
+    by_level: dict[int, list[dict]] = {}
+    for n in nodes:
+        by_level.setdefault(n["level"], []).append(n)
+    spark = docs.sparkSession
+    for level in sorted(by_level):
+        nl = by_level[level]
+        node_df = spark.createDataFrame(
+            [
+                (i, n["lf"], n["ll"], n["rf"], n["rl"], n["iters"])
+                for i, n in enumerate(nl)
+            ],
+            "label long, lf long, ll long, rf long, rl long, n_iters int",
+        )
+        # tiny node table (≤ one row per tree node at this level)
+        # against the corpus: broadcast range join
+        claim = (
+            (F.col("pos") >= F.col("lf")) & (F.col("pos") < F.col("ll"))
+        ) | ((F.col("pos") >= F.col("rf")) & (F.col("pos") < F.col("rl")))
+        joined = d.join(F.broadcast(node_df), claim, "left")
+        untouched = joined.where(F.col("label").isNull()).select(
+            "doc_id", "terms", "pos"
+        )
+        claimed = joined.where(F.col("label").isNotNull()).withColumn(
+            "side",
+            ((F.col("pos") >= F.col("rf")) & (F.col("pos") < F.col("rl")))
+            .cast("int"),
+        )
+        claimed = _swap_rounds(
+            claimed, max(n["iters"] for n in nl)
+        )
+        # side 0 docs fill [lf,ll), side 1 fill [rf,rl), stable by
+        # incoming position; swap rounds preserve per-side counts
+        # (every flip exchanges one doc of each side)
+        ws = Window.partitionBy("label", "side").orderBy("pos")
+        claimed = claimed.select(
+            "doc_id",
+            "terms",
+            (
+                F.when(F.col("side") == 0, F.col("lf")).otherwise(
+                    F.col("rf")
+                )
+                + F.row_number().over(ws)
+                - 1
+            ).alias("pos"),
+        )
+        d = untouched.unionByName(claimed).localCheckpoint(eager=True)
+    return d.select("doc_id", F.col("pos").alias("new_doc_id"))

@@ -102,3 +102,90 @@ def test_bp_groups_clusters(spark, clustered_docs):
     tab = mp.groupby(["cluster", "half"]).size().unstack(fill_value=0)
     mixing = tab.min(axis=1).sum() / N
     assert mixing < 0.05, mixing
+
+
+def _balanced_nodes(n: int, depth: int, iters: int) -> list[dict]:
+    nodes = []
+    for level in range(depth):
+        step = n >> level
+        for start in range(0, n, step):
+            mid = start + step // 2
+            nodes.append(
+                {
+                    "level": level,
+                    "iters": iters,
+                    "lf": start,
+                    "ll": mid,
+                    "rf": mid,
+                    "rl": start + step,
+                    "cache": False,
+                }
+            )
+    return nodes
+
+
+def test_bp_node_config_permutation_and_cost(spark, clustered_docs):
+    """--node-config mode (reorder_docids.hpp:40-63): an explicit
+    balanced tree must produce a valid permutation and the same kind
+    of log-gap cut as the depth-driven recursion."""
+    from pisa_spark.build import build_lexicon, build_postings
+    from pisa_spark.build.bp import recursive_graph_bisection_from_config
+    from pisa_spark.build.reorder import log_gap_cost, reorder_postings
+
+    mapping = recursive_graph_bisection_from_config(
+        clustered_docs, _balanced_nodes(N, depth=4, iters=4)
+    ).persist()
+    mp = mapping.toPandas()
+    assert sorted(mp["new_doc_id"]) == list(range(N))
+    assert sorted(mp["doc_id"]) == list(range(N))
+
+    lex = build_lexicon(clustered_docs)
+    postings = build_postings(clustered_docs, lex).persist()
+    base = log_gap_cost(postings).collect()[0]
+    bp = log_gap_cost(reorder_postings(postings, mapping)).collect()[0]
+    assert bp["n_gaps"] == base["n_gaps"]
+    assert bp["cost_micro"] < base["cost_micro"] / 3, (
+        bp["cost_micro"], base["cost_micro"],
+    )
+    mapping.unpersist()
+    postings.unpersist()
+
+
+def test_bp_node_config_untouched_positions_pass_through(spark,
+                                                         clustered_docs):
+    """Positions no node claims keep their slots (read_node_config
+    builds only the nodes listed — a partial tree reorders only its
+    own ranges)."""
+    from pisa_spark.build.bp import recursive_graph_bisection_from_config
+
+    # one node over the first half only; [160, 320) is unclaimed
+    nodes = [
+        {"level": 0, "iters": 2, "lf": 0, "ll": 80, "rf": 80,
+         "rl": 160, "cache": False}
+    ]
+    mp = recursive_graph_bisection_from_config(
+        clustered_docs, nodes
+    ).toPandas()
+    tail = mp[mp.doc_id >= 160]
+    assert (tail["new_doc_id"] == tail["doc_id"]).all()
+    head = mp[mp.doc_id < 160]
+    assert sorted(head["new_doc_id"]) == list(range(160))
+
+
+def test_read_node_config_format():
+    """from_stream parity (recursive_graph_bisection.hpp:134-146):
+    six ints + optional cache flag; default cache = size > 64."""
+    from pisa_spark.build.bp import read_node_config
+
+    nodes = read_node_config(
+        "0 20 0 500 500 1000 0\n"
+        "1 5 0 250 250 500\n"      # no flag, size 500 > 64 -> True
+        "2 5 0 10 10 20\n"          # no flag, size 20 <= 64 -> False
+        "\n"
+    )
+    assert [n["level"] for n in nodes] == [0, 1, 2]
+    assert nodes[0] == {
+        "level": 0, "iters": 20, "lf": 0, "ll": 500, "rf": 500,
+        "rl": 1000, "cache": False,
+    }
+    assert nodes[1]["cache"] is True and nodes[2]["cache"] is False

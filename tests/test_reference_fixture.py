@@ -295,3 +295,31 @@ def test_query_id_colon_and_separator_semantics(spark):
     q7 = dict(ok[ok.query_id == "Q7"][["term_id", "weight"]].values)
     assert q7 == {3: 1.0, 1: 1.0, 2: 2.0}
     assert set(ok[ok.query_id == "2"]["term_id"]) == {8, 9}
+
+
+def test_bp_node_config_fixture_parses():
+    """The reference's own bp-node-config.txt (the input of
+    test_recursive_graph_bisection.cpp:128): a full depth-10 balanced
+    tree over the 1,000-doc collection. Pins the file format and the
+    tree invariants our config-driven BP consumes: level 0 bisects
+    [0,1000), ranges are contiguous (ll == rf), children nest inside a
+    parent's span, and 20 iterations everywhere."""
+    from pisa_spark.build.bp import read_node_config
+
+    nodes = read_node_config((TEST_DATA / "bp-node-config.txt").read_text())
+    assert len(nodes) == 999
+    assert all(n["iters"] == 20 and n["cache"] is False for n in nodes)
+    assert all(n["ll"] == n["rf"] for n in nodes)
+    roots = [n for n in nodes if n["level"] == 0]
+    assert roots == [
+        {"level": 0, "iters": 20, "lf": 0, "ll": 500, "rf": 500,
+         "rl": 1000, "cache": False}
+    ]
+    spans = {0: [(0, 1000)]}
+    for n in nodes:
+        spans.setdefault(n["level"] + 1, []).extend(
+            [(n["lf"], n["ll"]), (n["rf"], n["rl"])]
+        )
+        assert any(
+            p[0] <= n["lf"] and n["rl"] <= p[1] for p in spans[n["level"]]
+        ), n
