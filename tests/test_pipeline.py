@@ -216,3 +216,49 @@ def test_ids_first_lexicon_matches_standalone(spark, pages):
     a = standalone.sort_values(key).reset_index(drop=True)
     b = ids_first[a.columns].sort_values(key).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_binary_collection_roundtrip_and_postings_import(spark, tmp_path):
+    """binary_collection writer/reader round-trip plus the .docs/.freqs
+    pair import: the uncompressed-index wire format the reference's
+    invert emits (invert.cpp) comes back as our postings table."""
+    import numpy as np
+
+    from pisa_spark.build.bincoll import (
+        postings_from_binary_collection,
+        read_binary_collection,
+        write_binary_collection,
+    )
+
+    # .docs: [num_docs] header then per-term docID sequences
+    docs_seqs = [[4], [0, 2], [1, 2, 3], [3]]
+    freq_seqs = [[2, 1], [1, 5, 1], [7]]
+    write_binary_collection(docs_seqs, tmp_path / "c.docs")
+    write_binary_collection(freq_seqs, tmp_path / "c.freqs")
+
+    back = read_binary_collection(
+        spark, str(tmp_path / "c.docs")
+    ).toPandas().sort_values("seq_id")
+    assert [list(v) for v in back["values"]] == docs_seqs
+
+    got = (
+        postings_from_binary_collection(
+            spark, str(tmp_path / "c.docs"), str(tmp_path / "c.freqs")
+        )
+        .toPandas()
+        .sort_values(["term_id", "doc_id"])
+        .reset_index(drop=True)
+    )
+    exp = [
+        (0, 0, 2), (0, 2, 1),
+        (1, 1, 1), (1, 2, 5), (1, 3, 1),
+        (2, 3, 7),
+    ]
+    assert [tuple(r) for r in got[["term_id", "doc_id", "tf"]].values] == exp
+
+    # truncated payload fails loudly, not silently
+    (tmp_path / "bad.docs").write_bytes(np.uint32(9).tobytes())
+    with pytest.raises(Exception):
+        read_binary_collection(
+            spark, str(tmp_path / "bad.docs")
+        ).collect()

@@ -323,3 +323,17 @@ def test_bp_node_config_fixture_parses():
         assert any(
             p[0] <= n["lf"] and n["rl"] <= p[1] for p in spans[n["level"]]
         ), n
+
+
+def test_sizes_fixture_reads_via_binary_collection(spark):
+    """test_collection.sizes through the binary_collection importer
+    (binary_collection.hpp wire format): 10,000 docs whose first five
+    lengths and total token count pin the parse byte-exactly."""
+    from pisa_spark.build.bincoll import read_sizes
+
+    sizes = read_sizes(
+        spark, str(TEST_DATA / "test_collection.sizes")
+    ).toPandas().sort_values("doc_id")
+    assert len(sizes) == 10_000
+    assert list(sizes["doc_len"].head(5)) == [126, 313, 312, 199, 207]
+    assert int(sizes["doc_len"].sum()) == 17_700_745
