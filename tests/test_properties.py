@@ -209,3 +209,32 @@ def test_all_kernels_match_exhaustive(seed, n_terms, k, boot_frac, quantized):
     np.testing.assert_array_equal(got_d, exp_docs)
     got_d2, _ = RANKED_KERNELS["block_max_maxscore"](terms, k, stats)
     np.testing.assert_array_equal(got_d2, exp_docs)  # warm-cache rerun
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.integers(min_value=0, max_value=2**32 - 1),
+            max_size=50,
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(max_examples=50, deadline=None)
+def test_binary_collection_roundtrip_property(seqs):
+    """write_binary_collection o _parse_sequences == identity for any
+    sequence list (incl. empty sequences — a zero-count header is a
+    legal binary_collection record)."""
+    import tempfile
+
+    from pisa_spark.build.bincoll import (
+        _parse_sequences,
+        write_binary_collection,
+    )
+
+    with tempfile.NamedTemporaryFile(suffix=".docs") as f:
+        write_binary_collection(seqs, f.name)
+        blob = open(f.name, "rb").read()
+    back = [list(map(int, s)) for s in _parse_sequences(blob)]
+    assert back == [list(map(int, s)) for s in seqs]
