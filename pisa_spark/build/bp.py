@@ -241,6 +241,18 @@ def recursive_graph_bisection_from_config(
     spark = docs.sparkSession
     for level in sorted(by_level):
         nl = by_level[level]
+        # malformed configs with overlapping ranges at one level would
+        # silently duplicate docs through the range join — reject them
+        # (driver-side: the node table is tiny)
+        spans = sorted(
+            r for n in nl for r in ((n["lf"], n["ll"]), (n["rf"], n["rl"]))
+        )
+        for (a0, a1), (b0, b1) in zip(spans, spans[1:]):
+            if b0 < a1:
+                raise ValueError(
+                    f"node-config level {level}: overlapping ranges "
+                    f"[{a0},{a1}) and [{b0},{b1})"
+                )
         node_df = spark.createDataFrame(
             [
                 (i, n["lf"], n["ll"], n["rf"], n["rl"], n["iters"])

@@ -189,3 +189,16 @@ def test_read_node_config_format():
         "rl": 1000, "cache": False,
     }
     assert nodes[1]["cache"] is True and nodes[2]["cache"] is False
+
+
+def test_bp_node_config_rejects_overlapping_ranges(spark, clustered_docs):
+    from pisa_spark.build.bp import recursive_graph_bisection_from_config
+
+    nodes = [
+        {"level": 0, "iters": 1, "lf": 0, "ll": 80, "rf": 80,
+         "rl": 160, "cache": False},
+        {"level": 0, "iters": 1, "lf": 100, "ll": 200, "rf": 200,
+         "rl": 320, "cache": False},
+    ]
+    with pytest.raises(ValueError, match="overlapping"):
+        recursive_graph_bisection_from_config(clustered_docs, nodes)
