@@ -42,6 +42,14 @@ _EXCEPTIONS = {
     "theses": "thesis", "hypotheses": "hypothesis", "bases": "basis",
     "axes": "axis", "data": "datum", "media": "medium",
     "criteria": "criterion", "phenomena": "phenomenon",
+    # doubled-z plurals (the -zes rule keeps the e for -ze headwords)
+    "quizzes": "quiz", "buzzes": "buzz", "fizzes": "fizz",
+    "jazzes": "jazz", "whizzes": "whiz", "frizzes": "frizz",
+    # -che headwords the -ches es-strip would mangle
+    "aches": "ache", "niches": "niche", "caches": "cache",
+    "mustaches": "mustache", "avalanches": "avalanche",
+    "headaches": "headache", "toothaches": "toothache",
+    "cliches": "cliche", "quiches": "quiche", "psyches": "psyche",
     # words the suffix rules must not touch (protected headwords)
     "news": "news", "series": "series", "species": "species",
     "bus": "bus", "gas": "gas", "lens": "lens", "yes": "yes",
@@ -108,7 +116,13 @@ def stem(word: str) -> str:
     # ---- plural (kstem step 1)
     if word.endswith("ies") and len(word) > 4:
         word = word[:-3] + "y"
-    elif word.endswith(("sses", "shes", "ches", "xes", "zes")) and len(word) > 4:
+    elif word.endswith(("sses", "shes", "ches", "xes")) and len(word) > 4:
+        # NOT -zes: English -zes plurals overwhelmingly come from -ze
+        # headwords (size, prize, freeze, blaze) where only the -s is
+        # inflection; the rare doubled-z cases (quizzes, buzzes) are
+        # dictionary knowledge and live in _EXCEPTIONS, as do common
+        # -che headwords (ache, niche, cache) this es-strip would
+        # otherwise mangle.
         word = word[:-2]
     elif word.endswith("s") and not word.endswith(("ss", "us", "is")) and len(word) > 3:
         word = word[:-1]

@@ -88,6 +88,12 @@ KROVETZ_GOLDENS = {
     "walked": "walk", "running": "run", "flying": "fly",
     "making": "make", "hoping": "hope", "sitting": "sit",
     "queries": "query", "hashed": "hash", "scanned": "scan",
+    # -zes keeps the e (singular/plural must meet at one term);
+    # doubled-z and -che forms resolve via the exception table
+    "sizes": "size", "prizes": "prize", "freezes": "freeze",
+    "organizes": "organize", "analyzes": "analyze", "gazes": "gaze",
+    "quizzes": "quiz", "buzzes": "buzz", "aches": "ache",
+    "niches": "niche", "caches": "cache", "churches": "church",
     # irregulars via the embedded exception table
     "children": "child", "men": "man", "feet": "foot",
     "knives": "knife", "indices": "index", "agreed": "agree",
