@@ -42,14 +42,55 @@ def _parse_sequences(blob: bytes) -> Iterator[np.ndarray]:
         raise ValueError("truncated binary_collection sequence")
 
 
-def read_binary_collection(spark: SparkSession, path: str) -> DataFrame:
+def file_layouts(spark: SparkSession, path: str) -> pd.DataFrame:
+    """Per-file (n_seqs, n_vals) plus global offsets in sorted file
+    order -> pandas (file, n_seqs, n_vals, seq_off, val_off).
+
+    One cheap executor pass that hops sequence HEADERS only (O(#seqs)
+    per file, values never copied), so globalizing a sharded import
+    costs a header scan, not a second full parse. Driver holds one
+    row per FILE — bounded by shard count, never by data."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for file, blob in zip(b["file"], b["content"]):
+                buf = np.frombuffer(bytes(blob), dtype="<u4")
+                i = ns = nv = 0
+                while i < len(buf):
+                    n = int(buf[i])
+                    ns += 1
+                    nv += n
+                    i += 1 + n
+                if i != len(buf):
+                    raise ValueError(
+                        f"truncated binary_collection sequence: {file}"
+                    )
+                rows.append((file, ns, nv))
+            yield pd.DataFrame(rows, columns=["file", "n_seqs", "n_vals"])
+
+    raw = spark.read.format("binaryFile").load(path).select(
+        F.col("path").alias("file"), "content"
+    )
+    pdf = raw.mapInPandas(
+        kernel, "file string, n_seqs long, n_vals long"
+    ).toPandas().sort_values("file").reset_index(drop=True)
+    pdf["seq_off"] = pdf["n_seqs"].cumsum().shift(fill_value=0)
+    pdf["val_off"] = pdf["n_vals"].cumsum().shift(fill_value=0)
+    return pdf
+
+
+def read_binary_collection(
+    spark: SparkSession, path: str, global_seq: bool = False
+) -> DataFrame:
     """path (file or glob of shards) -> (file, seq_id, values).
 
-    ``seq_id`` numbers sequences within their file. Multi-file
-    imports get per-file parallelism; callers that need a global
-    sequence order combine ``file`` (sorted shard names) with
-    ``seq_id`` exactly as the reference's merge does for its batch
-    outputs."""
+    ``seq_id`` numbers sequences within their file; with
+    ``global_seq=True`` it numbers across ALL matched files in sorted
+    file order (shards as a straight split of one logical sequence
+    stream — the layout the reference's merge of its batch outputs
+    produces), via a broadcast per-file offset join. Multi-file
+    imports get per-file parallelism either way."""
     raw = spark.read.format("binaryFile").load(path).select(
         F.col("path").alias("file"), "content"
     )
@@ -66,18 +107,43 @@ def read_binary_collection(spark: SparkSession, path: str) -> DataFrame:
                     }
                 )
 
-    return raw.mapInPandas(
+    seqs = raw.mapInPandas(
         kernel, "file string, seq_id long, values array<long>"
+    )
+    if not global_seq:
+        return seqs
+    offs = spark.createDataFrame(
+        file_layouts(spark, path)[["file", "seq_off"]]
+    )
+    return seqs.join(F.broadcast(offs), "file").select(
+        "file",
+        (F.col("seq_off") + F.col("seq_id")).alias("seq_id"),
+        "values",
     )
 
 
 def read_sizes(spark: SparkSession, path: str) -> DataFrame:
-    """A ``.sizes`` file -> (doc_id, doc_len), the doc_sizes table
-    shape (build/invert.py doc_sizes)."""
+    """``.sizes`` (file or glob of shards) -> (doc_id, doc_len), the
+    doc_sizes table shape (build/invert.py doc_sizes).
+
+    Sharded input: each shard must be ONE sequence (a straight split
+    of the doc stream); doc_ids continue across shards in sorted file
+    order via the per-file value offsets."""
+    layout = file_layouts(spark, path)
+    if (layout["n_seqs"] != 1).any():
+        bad = layout[layout["n_seqs"] != 1]["file"].tolist()
+        raise ValueError(
+            f".sizes shards must hold exactly one sequence each: {bad}"
+        )
+    offs = spark.createDataFrame(layout[["file", "val_off"]])
     seqs = read_binary_collection(spark, path)
-    return seqs.where(F.col("seq_id") == 0).select(
-        F.posexplode("values").alias("doc_id", "doc_len")
-    ).select(F.col("doc_id").cast("long"), F.col("doc_len").cast("int"))
+    return seqs.join(F.broadcast(offs), "file").select(
+        F.col("val_off"),
+        F.posexplode("values").alias("pos", "doc_len"),
+    ).select(
+        (F.col("val_off") + F.col("pos")).alias("doc_id"),
+        F.col("doc_len").cast("int"),
+    )
 
 
 def postings_from_binary_collection(
@@ -87,16 +153,21 @@ def postings_from_binary_collection(
     doc_id, tf) — the postings table every downstream build stage
     (segments, WAND metadata, reorder) consumes.
 
-    ``.docs`` sequence 0 is the ``[num_docs]`` header, so term id =
-    seq_id - 1 there and seq_id in ``.freqs``; the two align
-    positionally (invert.cpp writes them in lockstep)."""
-    docs = read_binary_collection(spark, docs_path).where(
-        F.col("seq_id") > 0
-    ).select(
+    Sequence numbering is GLOBAL across shards (sorted file order),
+    so sharded ``.docs``/``.freqs`` pairs import correctly: the
+    single global sequence 0 of ``.docs`` is the ``[num_docs]``
+    header, term id = global seq - 1 there and global seq in
+    ``.freqs``, and the two align positionally (invert.cpp writes
+    them in lockstep)."""
+    docs = read_binary_collection(
+        spark, docs_path, global_seq=True
+    ).where(F.col("seq_id") > 0).select(
         (F.col("seq_id") - 1).alias("term_id"),
         F.posexplode("values").alias("pos", "doc_id"),
     )
-    freqs = read_binary_collection(spark, freqs_path).select(
+    freqs = read_binary_collection(
+        spark, freqs_path, global_seq=True
+    ).select(
         F.col("seq_id").alias("term_id"),
         F.posexplode("values").alias("pos", "tf"),
     )

@@ -262,3 +262,54 @@ def test_binary_collection_roundtrip_and_postings_import(spark, tmp_path):
         read_binary_collection(
             spark, str(tmp_path / "bad.docs")
         ).collect()
+
+
+def test_binary_collection_sharded_import_is_global(spark, tmp_path):
+    """Sharded .docs/.freqs pairs (the reference's batch outputs /
+    re-sharded legacy files) number sequences GLOBALLY in sorted file
+    order — term ids must not collide across shards, and sharded
+    .sizes continues doc_ids across files."""
+    from pisa_spark.build.bincoll import (
+        postings_from_binary_collection,
+        read_sizes,
+        write_binary_collection,
+    )
+
+    d = tmp_path / "idx"
+    d.mkdir()
+    # shard 00: [num_docs] header + term 0; shard 01: terms 1,2
+    write_binary_collection([[4], [0, 2]], d / "c.docs.00")
+    write_binary_collection([[1, 2, 3], [3]], d / "c.docs.01")
+    f = tmp_path / "frq"
+    f.mkdir()
+    write_binary_collection([[2, 1], [1, 5, 1]], f / "c.freqs.00")
+    write_binary_collection([[7]], f / "c.freqs.01")
+
+    got = (
+        postings_from_binary_collection(
+            spark, str(d / "c.docs.*"), str(f / "c.freqs.*")
+        )
+        .toPandas()
+        .sort_values(["term_id", "doc_id"])
+        .reset_index(drop=True)
+    )
+    exp = [
+        (0, 0, 2), (0, 2, 1),
+        (1, 1, 1), (1, 2, 5), (1, 3, 1),
+        (2, 3, 7),
+    ]
+    assert [tuple(r) for r in got[["term_id", "doc_id", "tf"]].values] == exp
+
+    s = tmp_path / "sz"
+    s.mkdir()
+    write_binary_collection([[10, 20]], s / "c.sizes.00")
+    write_binary_collection([[30, 40, 50]], s / "c.sizes.01")
+    sizes = read_sizes(spark, str(s / "c.sizes.*")).toPandas()
+    sizes = sizes.sort_values("doc_id").reset_index(drop=True)
+    assert list(sizes["doc_id"]) == [0, 1, 2, 3, 4]
+    assert list(sizes["doc_len"]) == [10, 20, 30, 40, 50]
+
+    # a multi-sequence .sizes shard is malformed input, not data
+    write_binary_collection([[1], [2]], s / "bad.sizes")
+    with pytest.raises(ValueError, match="exactly one sequence"):
+        read_sizes(spark, str(s / "bad.sizes"))
