@@ -33,6 +33,7 @@ from pisa_spark.config import EngineConfig
 from pisa_spark.functions.scoring import MICRO
 from pisa_spark.index import InvertedIndex
 from pisa_spark.query.kernels import (
+    CappedBlockCache,
     adaptive_kernel,
     PRUNE_EPS,
     Stats,
@@ -570,9 +571,12 @@ def topk_search_batch(
                 bm = g["max_score"].to_numpy(np.float64)
             tid = int(term_id)
             base_bm[tid] = bm * MICRO
-            cache: dict | None = {}
+            cache: dict = {}
             if int(g["count"].sum()) > BATCH_CACHE_MAX_POSTINGS:
-                cache = None
+                # over-cap term: cache its first cap-worth of blocks
+                # (first-come) instead of disabling caching — see
+                # kernels.CappedBlockCache
+                cache = CappedBlockCache(BATCH_CACHE_MAX_POSTINGS)
             protos[tid] = TermPostings(
                 term_id=tid,
                 df=float(g["df"].iloc[0]),

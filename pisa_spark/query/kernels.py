@@ -59,6 +59,27 @@ class Profiler:
         cls.postings = 0
 
 
+class CappedBlockCache(dict):
+    """Decoded-block cache with a POSTING budget: entries insert
+    until ``budget`` postings are held, then further inserts are
+    no-ops (those blocks re-decode per query). First-come blocks stay
+    cached, so a term just over the cap still amortizes its first
+    ``budget`` postings across the batch instead of losing caching
+    entirely — memory stays bounded without the all-or-nothing
+    cliff."""
+
+    def __init__(self, budget: int):
+        super().__init__()
+        self.budget = int(budget)
+
+    def __setitem__(self, key, value):
+        n = len(value[0])
+        if n > self.budget:
+            return
+        self.budget -= n
+        super().__setitem__(key, value)
+
+
 @dataclass
 class TermPostings:
     """One query term's posting data, block-encoded.
