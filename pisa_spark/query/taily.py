@@ -35,6 +35,7 @@ from __future__ import annotations
 import math
 
 import numpy as np
+import pandas as pd
 
 
 def _gammainc_lower_reg(k: float, x: float) -> float:
@@ -238,3 +239,79 @@ def rank_shards_for_queries(
         for si, sid in enumerate(shard_ids):
             rows.append((qid, sid, float(scores[si]), int(rank[si])))
     return pd.DataFrame(rows, columns=["query_id", "shard_id", "score", "rank"])
+
+
+def estimate_cutoff(n_any: float, e: float, var: float, k: int) -> float:
+    """taily::estimate_cutoff (tools/taily_thresholds.cpp:24-26 via
+    taily_thresholds.hpp estimate_taily_thresholds): the score s at
+    which the EXPECTED number of documents scoring above s equals k
+    under the moment-matched Gamma model — the single-collection case
+    of score_shards' global-cutoff bisection.
+
+    This is a statistical ESTIMATE of the k-th score (the reference
+    prints it for threshold-prediction experiments), NOT a sound
+    lower bound: never feed it to the executors' ``thresholds``
+    input, which promises soundness (query/executor.py topk_*)."""
+    if n_any <= 0 or e <= 0 or n_any <= k:
+        return 0.0
+    if var <= 0:
+        # point mass at e: expected count above s jumps n_any -> 0
+        return float(e)
+    hi = e + 6.0 * math.sqrt(var)
+    for _ in range(60):
+        if n_any * gamma_sf(e, var, hi) <= k:
+            break
+        hi *= 2.0
+    lo = 0.0
+    for _ in range(80):
+        mid = (lo + hi) / 2.0
+        if n_any * gamma_sf(e, var, mid) > k:
+            lo = mid
+        else:
+            hi = mid
+    return (lo + hi) / 2.0
+
+
+def estimate_taily_thresholds(parsed, moments, num_docs: int, k: int = 10):
+    """(query_id, threshold) — the taily_thresholds tool, distributed.
+
+    ``moments`` are the GLOBAL per-term score moments (term_id, df,
+    sum_micro, sum_micro_sq — shard_term_stats with one shard). The
+    per-query Gamma aggregates are pure Catalyst: E = Σ E_t, Var =
+    Σ Var_t (per-term clamped at 0), and the all-terms doc estimate
+    n_any = n·Π(df_t/n) computed as a log-sum (no underflow at web
+    scale). Only the final scalar bisection runs in an Arrow batch —
+    one row per QUERY, never per posting. Thresholds are estimates in
+    score units (see estimate_cutoff's soundness caveat)."""
+    from pyspark.sql import functions as F
+
+    qterms = parsed.select("query_id", "term_id").distinct()
+    n = float(num_docs)
+    e_t = F.col("sum_micro") / F.col("df") / F.lit(1e6)
+    var_t = F.greatest(
+        F.lit(0.0),
+        F.col("sum_micro_sq") / F.col("df") / F.lit(1e12) - e_t * e_t,
+    )
+    agg = (
+        moments.join(F.broadcast(qterms), "term_id")
+        .groupBy("query_id")
+        .agg(
+            F.sum(e_t).alias("e"),
+            F.sum(var_t).alias("var"),
+            (F.exp(F.sum(F.log(F.col("df") / F.lit(n)))) * F.lit(n))
+            .alias("n_any"),
+        )
+    )
+
+    @F.pandas_udf("double")
+    def cut(n_any: pd.Series, e: pd.Series, var: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                estimate_cutoff(float(a), float(ee), float(v), k)
+                for a, ee, v in zip(n_any, e, var)
+            ]
+        )
+
+    return agg.select(
+        "query_id", cut("n_any", "e", "var").alias("threshold")
+    )

@@ -191,3 +191,81 @@ def test_taily_ranks_exclusive_shard_first(spark):
     assert (excl[excl["shard_id"] != 0]["score"] == 0).all()
     alls = ranked[ranked["query_id"] == "q_all"]
     assert (alls["score"] > 0).all()
+
+
+def test_estimate_cutoff_inverts_expected_count():
+    """estimate_cutoff is the inverse of the Gamma expected-count
+    model: plugging the cutoff back in recovers ~k expected docs."""
+    from pisa_spark.query.taily import estimate_cutoff, gamma_sf
+
+    for n_any, e, var, k in [
+        (5000.0, 8.0, 4.0, 10),
+        (300.0, 2.5, 0.7, 25),
+        (1e9, 12.0, 30.0, 1000),
+    ]:
+        s = estimate_cutoff(n_any, e, var, k)
+        assert s > 0
+        got = n_any * gamma_sf(e, var, s)
+        assert abs(got - k) / k < 1e-3, (got, k)
+    # degenerate / no-pruning cases
+    assert estimate_cutoff(5.0, 8.0, 4.0, 10) == 0.0   # n_any <= k
+    assert estimate_cutoff(0.0, 8.0, 4.0, 10) == 0.0
+    assert estimate_cutoff(100.0, 3.0, 0.0, 10) == 3.0  # point mass
+
+
+def test_taily_thresholds_distributed_matches_local(spark, docs):
+    """estimate_taily_thresholds (the taily_thresholds tool) agrees
+    with a local per-query estimate_cutoff over the same global
+    moments, and larger k never raises the threshold."""
+    import numpy as np
+
+    from pisa_spark.build import (
+        build_doc_sizes, build_lexicon, build_postings, collection_stats,
+    )
+    from pisa_spark.build.segments import scored_postings
+    from pisa_spark.query.taily import (
+        estimate_cutoff, estimate_taily_thresholds,
+    )
+
+    lex = build_lexicon(docs)
+    sizes = build_doc_sizes(docs)
+    postings = build_postings(docs, lex)
+    st = collection_stats(sizes).collect()[0]
+    n = int(st["num_docs"])
+    scored = scored_postings(postings, sizes, lex, n, float(st["avg_len"]))
+    moments_df = shard_term_stats(
+        scored, n, float(st["avg_len"]), n_shards=1
+    ).drop("shard_id")
+
+    lexp = lex.toPandas().sort_values("df", ascending=False)
+    terms = lexp.head(4)["term_id"].tolist()
+    parsed = spark.createDataFrame(
+        [("qa", int(terms[0])), ("qb", int(terms[1])), ("qb", int(terms[2])),
+         ("qc", int(terms[0])), ("qc", int(terms[3]))],
+        "query_id string, term_id long",
+    )
+    got = (
+        estimate_taily_thresholds(parsed, moments_df, n, k=5)
+        .toPandas().set_index("query_id")["threshold"]
+    )
+
+    m = moments_df.toPandas().set_index("term_id")
+    queries = {"qa": [terms[0]], "qb": [terms[1], terms[2]],
+               "qc": [terms[0], terms[3]]}
+    for qid, tids in queries.items():
+        e = sum((m.loc[t, "sum_micro"] / m.loc[t, "df"]) / 1e6 for t in tids)
+        var = sum(
+            max(0.0, (m.loc[t, "sum_micro_sq"] / m.loc[t, "df"]) / 1e12
+                - ((m.loc[t, "sum_micro"] / m.loc[t, "df"]) / 1e6) ** 2)
+            for t in tids
+        )
+        n_any = n * float(np.prod([m.loc[t, "df"] / n for t in tids]))
+        want = estimate_cutoff(n_any, e, var, 5)
+        assert abs(got[qid] - want) <= max(1e-9, 1e-6 * abs(want)), qid
+
+    got25 = (
+        estimate_taily_thresholds(parsed, moments_df, n, k=25)
+        .toPandas().set_index("query_id")["threshold"]
+    )
+    for qid in queries:
+        assert got25[qid] <= got[qid] + 1e-12
