@@ -1,0 +1,128 @@
+"""Offline query-preparation tools.
+
+Reference parity: ``tools/extract_topics.cpp`` (TREC topic / AOL log
+-> `id:text` query lines), ``tools/stem_queries.cpp`` (QueryStemmer,
+query/query_stemmer.hpp:15-35), ``tools/map_queries.cpp`` (text ->
+term-id lines — covered by query.parser.parse_queries, whose output
+IS the mapped form). Workload files are small, but every
+transformation here still runs executor-side (mapInPandas /native
+expressions) so a billion-line query log works unchanged.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from pisa_spark.analysis import analyze_series
+
+# trec_topic_reader.hpp:60-106 semantics: every field reads until the
+# next '<'; the Number:/Description:/Narrative: attribute labels and
+# the closing tags are optional; whitespace is trimmed.
+_TOPIC_RE = re.compile(
+    r"<top>\s*<num>\s*(?:Number:)?\s*(.*?)\s*(?:</num>)?\s*"
+    r"<title>\s*(.*?)\s*(?:</title>)?\s*"
+    r"<desc>\s*(?:Description:)?\s*(.*?)\s*(?:</desc>)?\s*"
+    r"<narr>\s*(?:Narrative:)?\s*(.*?)\s*(?:</narr>)?\s*</top>",
+    re.DOTALL,
+)
+
+
+def trec_topics(spark: SparkSession, path: str) -> DataFrame:
+    """TREC topic file(s) -> (num, title, desc, narr) — the parse
+    behind ``extract_topics -f trec`` (tools/extract_topics.cpp:30-46
+    via trec_topic_reader.hpp). One row per ``<top>`` block; parsing
+    runs per FILE on executors (topic files are tiny; many files
+    parallelize)."""
+    raw = spark.read.format("text").option("wholetext", True).load(path)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            for text in b["value"]:
+                rows = _TOPIC_RE.findall(text)
+                yield pd.DataFrame(
+                    rows, columns=["num", "title", "desc", "narr"]
+                )
+
+    return raw.mapInPandas(
+        kernel, "num string, title string, desc string, narr string"
+    )
+
+
+def topics_to_query_lines(topics: DataFrame, field: str = "title") -> DataFrame:
+    """(num, title, desc, narr) -> (line) in the ``num:text`` output
+    format extract_topics writes per field (:42-44)."""
+    if field not in ("title", "desc", "narr"):
+        raise ValueError(f"field must be title/desc/narr, got {field!r}")
+    return topics.select(
+        F.concat_ws(":", F.col("num"), F.col(field)).alias("line")
+    )
+
+
+def aol_queries(lines: DataFrame, unique: bool = False) -> DataFrame:
+    """AOL query-log lines -> (query_id, query) — ``extract_topics -f
+    aol`` (tools/extract_topics.cpp:47-67). ``lines`` is (line_no
+    bigint, value string) — the caller supplies file order, the same
+    contract as parser.parse_query_id_lines. A log line is tab-
+    separated with the query in field 1; blank and ``-`` queries are
+    skipped, surviving queries keep their line number as id. (The
+    reference's aol_reader.hpp:28-30 condition reads
+    ``fields[1].empty() and fields[1] != "-"``, which as written
+    accepts only empty queries — an upstream bug; this implements the
+    evident intent it documents.) ``unique=True`` mirrors the
+    --unique output: distinct queries renumbered densely in sorted
+    order (std::set iteration, :59-66). The unique window is
+    single-partition — workload-sized output files only, like the
+    tool it mirrors."""
+    fields = F.split("value", "\t")
+    q = lines.select(
+        "line_no", F.element_at(fields, 2).alias("query")
+    ).where(
+        F.col("query").isNotNull()
+        & (F.length("query") > 0)
+        & (F.col("query") != "-")
+    )
+    if unique:
+        w = F.row_number().over(Window.orderBy("query")) - 1
+        return q.select("query").distinct().select(
+            w.cast("string").alias("query_id"), "query"
+        )
+    return q.select(
+        F.col("line_no").cast("string").alias("query_id"), "query"
+    )
+
+
+def stem_query_lines(
+    lines: DataFrame, stemmer: str | None = None
+) -> DataFrame:
+    """Query lines -> stemmed query lines, the stem_queries tool
+    (tools/stem_queries.cpp via QueryStemmer, query_stemmer.hpp:15-35):
+    keep the optional ``id:`` prefix, EnglishTokenStream tokens,
+    lowercase(+stem) each (term_transformer_builder,
+    src/query/term_processor.cpp:9-44), join with single spaces.
+
+    ``lines`` is (line string); returns (line string). Arrow-batched —
+    the analyzer kernel is the same one the build uses."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            raw = b["line"].astype(str)
+            has_colon = raw.str.contains(":", regex=False)
+            ids = raw.str.split(":", n=1).str[0].where(has_colon, None)
+            bodies = raw.str.split(":", n=1).str[-1].where(
+                has_colon, raw
+            )
+            toks = analyze_series(
+                bodies,
+                tokenizer="english",
+                lowercase=True,
+                stemmer=stemmer,
+            )
+            joined = pd.Series([" ".join(t) for t in toks])
+            out = joined.where(ids.isna(), ids.fillna("") + ":" + joined)
+            yield pd.DataFrame({"line": out})
+
+    return lines.select("line").mapInPandas(kernel, "line string")

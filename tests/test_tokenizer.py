@@ -170,3 +170,77 @@ def test_native_analyzer_gated_for_stemmer():
 
     assert native_terms_col(AnalyzerConfig(stemmer="porter2")) is None
     assert native_terms_col(AnalyzerConfig(strip_html=True)) is None
+
+
+
+def test_trec_topics_and_query_lines(spark, tmp_path):
+    """extract_topics -f trec parity (tools/extract_topics.cpp:30-46
+    via trec_topic_reader.hpp): optional attribute labels and closing
+    tags, multi-line fields, num:title output lines."""
+    from pisa_spark.query.prep import topics_to_query_lines, trec_topics
+
+    (tmp_path / "topics.txt").write_text(
+        "<top>\n<num> Number: 301 </num>\n"
+        "<title> International Organized Crime </title>\n"
+        "<desc> Description:\nIdentify organizations\nacross borders"
+        " </desc>\n<narr> Narrative: Relevant docs discuss it.\n"
+        "</narr>\n</top>\n"
+        "<top>\n<num>302\n<title>Poliomyelitis and Post-Polio\n"
+        "<desc>\nIs the disease rising?\n<narr>\nAny mention.\n"
+        "</top>\n"
+    )
+    t = trec_topics(spark, str(tmp_path / "topics.txt")).toPandas()
+    t = t.sort_values("num").reset_index(drop=True)
+    assert list(t["num"]) == ["301", "302"]
+    assert t["title"][0] == "International Organized Crime"
+    assert t["title"][1] == "Poliomyelitis and Post-Polio"
+    assert t["desc"][0] == "Identify organizations\nacross borders"
+    assert t["narr"][1] == "Any mention."
+
+    lines = topics_to_query_lines(
+        trec_topics(spark, str(tmp_path / "topics.txt")), "title"
+    ).toPandas()
+    assert sorted(lines["line"]) == [
+        "301:International Organized Crime",
+        "302:Poliomyelitis and Post-Polio",
+    ]
+
+
+def test_aol_queries_filters_and_unique(spark):
+    from pisa_spark.query.prep import aol_queries
+
+    rows = [
+        (0, "u1\tbig cats\t2006"),
+        (1, "u2\t-\t2006"),
+        (2, "u3\t\t2006"),
+        (3, "u4\tbig cats\t2006"),
+        (4, "u5\tzebras\t2006"),
+    ]
+    lines = spark.createDataFrame(rows, "line_no bigint, value string")
+    q = aol_queries(lines).toPandas().sort_values("query_id")
+    assert list(q["query_id"]) == ["0", "3", "4"]
+    assert list(q["query"]) == ["big cats", "big cats", "zebras"]
+    uq = aol_queries(lines, unique=True).toPandas()
+    uq = uq.sort_values("query_id").reset_index(drop=True)
+    assert list(uq["query_id"]) == ["0", "1"]
+    assert list(uq["query"]) == ["big cats", "zebras"]  # std::set order
+
+
+def test_stem_query_lines_keeps_id_prefix(spark):
+    """QueryStemmer parity (query_stemmer.hpp:15-35): colon id kept,
+    english tokens lowercased+stemmed, single-space joined."""
+    from pisa_spark.query.prep import stem_query_lines
+
+    lines = spark.createDataFrame(
+        [("q301:Running QUICKLY, towards cities",),
+         ("no prefix Walking here",)],
+        "line string",
+    )
+    got = sorted(
+        stem_query_lines(lines, stemmer="porter2").toPandas()["line"]
+    )
+    assert got[0] == "no prefix walk here"
+    assert got[1] == "q301:run quick toward citi"
+
+    plain = sorted(stem_query_lines(lines).toPandas()["line"])
+    assert plain[1] == "q301:running quickly towards cities"
