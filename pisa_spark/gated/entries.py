@@ -529,7 +529,38 @@ def _nonsql_engine_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cid", F.posexplode("carr").alias("pos", "cval")
     ).withColumn("key", F.concat_ws("/", "cid", "pos"))
     iv = norm(iv, "ivf_centroids", "key", "pos", "cval")
-    return p2.unionByName(kv).unionByName(ts).unionByName(bp).unionByName(iv)
+    # taily_thresholds tool (query.taily.estimate_taily_thresholds):
+    # Gamma inverse-CDF bisection, not SQL-expressible.
+    from pisa_spark.build.segments import scored_postings
+    from pisa_spark.build.shards import shard_term_stats
+    from pisa_spark.query.parser import parse_queries
+    from pisa_spark.query.taily import estimate_taily_thresholds
+
+    index = _get_index(spark, sf_dir)
+    scored = scored_postings(
+        index.postings, index.doc_sizes, index.lexicon,
+        index.num_docs, index.avg_len,
+    )
+    moments = shard_term_stats(
+        scored, index.num_docs, index.avg_len, n_shards=1
+    ).drop("shard_id")
+    parsed = parse_queries(
+        _queries_df(spark), index.lexicon, pre_tokenized=True
+    )
+    tt = estimate_taily_thresholds(
+        parsed, moments, index.num_docs, k=K
+    ).select(
+        F.col("query_id").alias("key"),
+        F.lit(0).cast("long").alias("ord"),
+        F.expr(
+            "CAST(FLOOR(threshold * 1e6 + 0.5) AS BIGINT)"
+        ).alias("value"),
+        F.lit("taily_thresholds").alias("component"),
+    ).select("component", "key", "ord", "value")
+    return (
+        p2.unionByName(kv).unionByName(ts).unionByName(bp)
+        .unionByName(iv).unionByName(tt)
+    )
 
 
 # The driver records a bounded number of CORRECTNESS rows (observed:
