@@ -3,8 +3,9 @@
 Reference parity: ``tools/extract_topics.cpp`` (TREC topic / AOL log
 -> `id:text` query lines), ``tools/stem_queries.cpp`` (QueryStemmer,
 query/query_stemmer.hpp:15-35), ``tools/map_queries.cpp`` (text ->
-term-id lines — covered by query.parser.parse_queries, whose output
-IS the mapped form). Workload files are small, but every
+term-id lines, order + duplicates preserved — map_query_lines;
+query.parser.parse_queries remains the execution-side form with
+duplicates collapsed to weights). Workload files are small, but every
 transformation here still runs executor-side (mapInPandas /native
 expressions) so a billion-line query log works unchanged.
 """
@@ -126,3 +127,71 @@ def stem_query_lines(
             yield pd.DataFrame({"line": out})
 
     return lines.select("line").mapInPandas(kernel, "line string")
+
+
+def map_query_lines(
+    lines: DataFrame,
+    lexicon: DataFrame,
+    stemmer: str | None = None,
+    separator: str = " ",
+    print_query_id: bool = True,
+) -> DataFrame:
+    """Query lines -> term-ID lines, the map_queries tool
+    (tools/map_queries.cpp:25-32): optional ``id:`` prefix kept when
+    ``print_query_id``, tokens analyzed with the SAME transformer as
+    the build (lowercase+stem), looked up in the lexicon with OOV
+    terms dropped (term_processor.hpp:19-63), and ids joined by
+    ``separator`` in ORIGINAL token order WITH duplicates — unlike
+    parse_queries, which collapses duplicates to weights for
+    execution; this tool renders the query file itself.
+
+    Shape: posexplode the analyzed tokens, one broadcast of the
+    (workload-sized) token table into the lexicon scan, regroup by
+    line sorted by position. ``lines`` is (line_no bigint, line
+    string)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            raw = b["line"].astype(str)
+            has_colon = raw.str.contains(":", regex=False)
+            ids = raw.str.split(":", n=1).str[0].where(has_colon, None)
+            bodies = raw.str.split(":", n=1).str[-1].where(has_colon, raw)
+            yield pd.DataFrame(
+                {
+                    "line_no": b["line_no"],
+                    "query_id": ids,
+                    "terms": analyze_series(
+                        bodies,
+                        tokenizer="english",
+                        lowercase=True,
+                        stemmer=stemmer,
+                    ),
+                }
+            )
+
+    toks = lines.select("line_no", "line").mapInPandas(
+        kernel, "line_no bigint, query_id string, terms array<string>"
+    ).select(
+        "line_no", "query_id", F.posexplode("terms").alias("pos", "term")
+    )
+    mapped = lexicon.select("term", "term_id").join(
+        F.broadcast(toks), "term"
+    )
+    grouped = mapped.groupBy("line_no", "query_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "term_id"))
+                ),
+                lambda s: s["term_id"].cast("string"),
+            ),
+            separator,
+        ).alias("ids")
+    )
+    line = (
+        F.when(
+            F.lit(print_query_id) & F.col("query_id").isNotNull(),
+            F.concat_ws(":", "query_id", "ids"),
+        ).otherwise(F.col("ids"))
+    )
+    return grouped.select("line_no", line.alias("line"))

@@ -244,3 +244,28 @@ def test_stem_query_lines_keeps_id_prefix(spark):
 
     plain = sorted(stem_query_lines(lines).toPandas()["line"])
     assert plain[1] == "q301:running quickly towards cities"
+
+
+def test_map_query_lines_order_and_duplicates(spark):
+    """map_queries parity (tools/map_queries.cpp:25-32): ids in
+    original token order WITH duplicates, OOV dropped, optional id
+    prefix and custom separator."""
+    from pisa_spark.query.prep import map_query_lines
+
+    lex = spark.createDataFrame(
+        [("dog", 3), ("run", 1), ("cat", 2)], "term string, term_id long"
+    )
+    lines = spark.createDataFrame(
+        [(0, "q1:Dogs running dogs unknownword"), (1, "cats only")],
+        "line_no bigint, line string",
+    )
+    got = map_query_lines(
+        lines, lex, stemmer="porter2"
+    ).toPandas().sort_values("line_no")
+    assert list(got["line"]) == ["q1:3 1 3", "2"]
+
+    noid = map_query_lines(
+        lines, lex, stemmer="porter2", separator=",",
+        print_query_id=False,
+    ).toPandas().sort_values("line_no")
+    assert list(noid["line"]) == ["3,1,3", "2"]
