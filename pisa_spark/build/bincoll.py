@@ -23,12 +23,34 @@ the reference's own tooling writes multi-file batches too,
 
 from __future__ import annotations
 
+import re
 from pathlib import Path
 from typing import Iterator, Sequence
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def _natural_key(path: str) -> tuple:
+    """Digit-aware sort key: numeric runs compare as integers, so
+    ``c.docs.2`` orders before ``c.docs.10`` (lexicographic order
+    would scramble global seq/doc numbering for >=10 unpadded
+    shards)."""
+    return tuple(
+        int(part) if part.isdigit() else part
+        for part in re.split(r"(\d+)", path)
+    )
+
+
+def _with_offsets(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Sort per-file (file, n_seqs, n_vals) rows into natural shard
+    order and attach cumulative seq/val offsets."""
+    pdf = pdf.sort_values("file", key=lambda s: s.map(_natural_key))
+    pdf = pdf.reset_index(drop=True)
+    pdf["seq_off"] = pdf["n_seqs"].cumsum().shift(fill_value=0)
+    pdf["val_off"] = pdf["n_vals"].cumsum().shift(fill_value=0)
+    return pdf
 
 
 def _parse_sequences(blob: bytes) -> Iterator[np.ndarray]:
@@ -43,13 +65,15 @@ def _parse_sequences(blob: bytes) -> Iterator[np.ndarray]:
 
 
 def file_layouts(spark: SparkSession, path: str) -> pd.DataFrame:
-    """Per-file (n_seqs, n_vals) plus global offsets in sorted file
+    """Per-file (n_seqs, n_vals) plus global offsets in natural shard
     order -> pandas (file, n_seqs, n_vals, seq_off, val_off).
 
-    One cheap executor pass that hops sequence HEADERS only (O(#seqs)
-    per file, values never copied), so globalizing a sharded import
-    costs a header scan, not a second full parse. Driver holds one
-    row per FILE — bounded by shard count, never by data."""
+    Standalone inspection utility: a header-hop pass (O(#seqs) CPU per
+    file, values never copied) — note binaryFile still reads every
+    byte off disk, so this costs one full I/O pass. The import paths
+    below derive the same layout from their single parse pass instead.
+    Driver holds one row per FILE — bounded by shard count, never by
+    data."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
@@ -74,10 +98,22 @@ def file_layouts(spark: SparkSession, path: str) -> pd.DataFrame:
     )
     pdf = raw.mapInPandas(
         kernel, "file string, n_seqs long, n_vals long"
-    ).toPandas().sort_values("file").reset_index(drop=True)
-    pdf["seq_off"] = pdf["n_seqs"].cumsum().shift(fill_value=0)
-    pdf["val_off"] = pdf["n_vals"].cumsum().shift(fill_value=0)
-    return pdf
+    ).toPandas()
+    return _with_offsets(pdf)
+
+
+def _layout_from_seqs(seqs: DataFrame) -> pd.DataFrame:
+    """Layout table derived from an already-parsed (and checkpointed)
+    (file, seq_id, values) DataFrame — no second read of the input."""
+    pdf = (
+        seqs.groupBy("file")
+        .agg(
+            F.count("*").alias("n_seqs"),
+            F.sum(F.size("values")).alias("n_vals"),
+        )
+        .toPandas()
+    )
+    return _with_offsets(pdf)
 
 
 def read_binary_collection(
@@ -86,11 +122,15 @@ def read_binary_collection(
     """path (file or glob of shards) -> (file, seq_id, values).
 
     ``seq_id`` numbers sequences within their file; with
-    ``global_seq=True`` it numbers across ALL matched files in sorted
-    file order (shards as a straight split of one logical sequence
-    stream — the layout the reference's merge of its batch outputs
-    produces), via a broadcast per-file offset join. Multi-file
-    imports get per-file parallelism either way."""
+    ``global_seq=True`` it numbers across ALL matched files in natural
+    shard order — digit-aware, so ``c.docs.10`` follows ``c.docs.2``
+    (shards as a straight split of one logical sequence stream — the
+    layout the reference's merge of its batch outputs produces), via a
+    broadcast per-file offset join. The parse is eagerly
+    localCheckpointed first so the offset job and the downstream
+    consumers share ONE read of the input (the assign_global_ids
+    pattern, build/ids.py). Multi-file imports get per-file
+    parallelism either way."""
     raw = spark.read.format("binaryFile").load(path).select(
         F.col("path").alias("file"), "content"
     )
@@ -112,8 +152,9 @@ def read_binary_collection(
     )
     if not global_seq:
         return seqs
+    seqs = seqs.localCheckpoint(eager=True)
     offs = spark.createDataFrame(
-        file_layouts(spark, path)[["file", "seq_off"]]
+        _layout_from_seqs(seqs)[["file", "seq_off"]]
     )
     return seqs.join(F.broadcast(offs), "file").select(
         "file",
@@ -127,16 +168,17 @@ def read_sizes(spark: SparkSession, path: str) -> DataFrame:
     doc_sizes table shape (build/invert.py doc_sizes).
 
     Sharded input: each shard must be ONE sequence (a straight split
-    of the doc stream); doc_ids continue across shards in sorted file
-    order via the per-file value offsets."""
-    layout = file_layouts(spark, path)
+    of the doc stream); doc_ids continue across shards in natural
+    shard order via the per-file value offsets. One read of the
+    input: layout derives from the checkpointed parse."""
+    seqs = read_binary_collection(spark, path).localCheckpoint(eager=True)
+    layout = _layout_from_seqs(seqs)
     if (layout["n_seqs"] != 1).any():
         bad = layout[layout["n_seqs"] != 1]["file"].tolist()
         raise ValueError(
             f".sizes shards must hold exactly one sequence each: {bad}"
         )
     offs = spark.createDataFrame(layout[["file", "val_off"]])
-    seqs = read_binary_collection(spark, path)
     return seqs.join(F.broadcast(offs), "file").select(
         F.col("val_off"),
         F.posexplode("values").alias("pos", "doc_len"),
@@ -153,7 +195,7 @@ def postings_from_binary_collection(
     doc_id, tf) — the postings table every downstream build stage
     (segments, WAND metadata, reorder) consumes.
 
-    Sequence numbering is GLOBAL across shards (sorted file order),
+    Sequence numbering is GLOBAL across shards (natural shard order),
     so sharded ``.docs``/``.freqs`` pairs import correctly: the
     single global sequence 0 of ``.docs`` is the ``[num_docs]``
     header, term id = global seq - 1 there and global seq in

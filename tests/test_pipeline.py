@@ -313,3 +313,26 @@ def test_binary_collection_sharded_import_is_global(spark, tmp_path):
     write_binary_collection([[1], [2]], s / "bad.sizes")
     with pytest.raises(ValueError, match="exactly one sequence"):
         read_sizes(spark, str(s / "bad.sizes"))
+
+
+def test_binary_collection_unpadded_shard_order_is_natural(spark, tmp_path):
+    """>=10 shards with UNPADDED numeric suffixes: 'c.sizes.10' must
+    order after 'c.sizes.2' (digit-aware natural order), not between
+    'c.sizes.1' and 'c.sizes.2' as lexicographic sorting would — a
+    scrambled order silently misattributes every downstream doc/term
+    id."""
+    from pisa_spark.build.bincoll import read_sizes, write_binary_collection
+
+    s = tmp_path / "sz"
+    s.mkdir()
+    n_shards = 12
+    for i in range(n_shards):
+        write_binary_collection([[100 + i]], s / f"c.sizes.{i}")
+    sizes = (
+        read_sizes(spark, str(s / "c.sizes.*"))
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(sizes["doc_id"]) == list(range(n_shards))
+    assert list(sizes["doc_len"]) == [100 + i for i in range(n_shards)]
