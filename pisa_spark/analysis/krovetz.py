@@ -42,9 +42,9 @@ _EXCEPTIONS = {
     "theses": "thesis", "hypotheses": "hypothesis", "bases": "basis",
     "axes": "axis", "data": "datum", "media": "medium",
     "criteria": "criterion", "phenomena": "phenomenon",
-    # doubled-z plurals (the -zes rule keeps the e for -ze headwords)
-    "quizzes": "quiz", "buzzes": "buzz", "fizzes": "fizz",
-    "jazzes": "jazz", "whizzes": "whiz", "frizzes": "frizz",
+    # z-plural dictionary cases the -zes rule can't see: un-doubling
+    # and vowel+z headwords that take -es
+    "quizzes": "quiz", "whizzes": "whiz", "topazes": "topaz",
     # -che headwords the -ches es-strip would mangle
     "aches": "ache", "niches": "niche", "caches": "cache",
     "mustaches": "mustache", "avalanches": "avalanche",
@@ -117,13 +117,17 @@ def stem(word: str) -> str:
     if word.endswith("ies") and len(word) > 4:
         word = word[:-3] + "y"
     elif word.endswith(("sses", "shes", "ches", "xes")) and len(word) > 4:
-        # NOT -zes: English -zes plurals overwhelmingly come from -ze
-        # headwords (size, prize, freeze, blaze) where only the -s is
-        # inflection; the rare doubled-z cases (quizzes, buzzes) are
-        # dictionary knowledge and live in _EXCEPTIONS, as do common
-        # -che headwords (ache, niche, cache) this es-strip would
-        # otherwise mangle.
+        # common -che headwords (ache, niche, cache) this es-strip
+        # would mangle are dictionary knowledge -> _EXCEPTIONS.
         word = word[:-2]
+    elif word.endswith("zes") and len(word) > 4:
+        # vowel+ze headwords (size, blaze, freeze) pluralize with -s:
+        # strip only the s. Consonant+z headwords (waltz, blitz,
+        # quartz) and doubled-z (buzz, fizz) pluralize with -es: strip
+        # es so singular and plural meet at one term. Cases needing
+        # un-doubling (quizzes->quiz) or a vowel+z -es plural
+        # (topazes->topaz) are dictionary knowledge -> _EXCEPTIONS.
+        word = word[:-1] if word[-4] in "aeiouy" else word[:-2]
     elif word.endswith("s") and not word.endswith(("ss", "us", "is")) and len(word) > 3:
         word = word[:-1]
 

@@ -88,11 +88,15 @@ KROVETZ_GOLDENS = {
     "walked": "walk", "running": "run", "flying": "fly",
     "making": "make", "hoping": "hope", "sitting": "sit",
     "queries": "query", "hashed": "hash", "scanned": "scan",
-    # -zes keeps the e (singular/plural must meet at one term);
-    # doubled-z and -che forms resolve via the exception table
+    # vowel+ze plurals keep the e; consonant+z and doubled-z plurals
+    # drop -es (singular/plural must meet at one term); un-doubling
+    # and -che forms resolve via the exception table
     "sizes": "size", "prizes": "prize", "freezes": "freeze",
     "organizes": "organize", "analyzes": "analyze", "gazes": "gaze",
-    "quizzes": "quiz", "buzzes": "buzz", "aches": "ache",
+    "waltzes": "waltz", "blitzes": "blitz", "klutzes": "klutz",
+    "quartzes": "quartz", "spritzes": "spritz", "topazes": "topaz",
+    "quizzes": "quiz", "buzzes": "buzz", "fizzes": "fizz",
+    "aches": "ache",
     "niches": "niche", "caches": "cache", "churches": "church",
     # irregulars via the embedded exception table
     "children": "child", "men": "man", "feet": "foot",
