@@ -531,20 +531,26 @@ def ivf_topk(emb: DataFrame, k: int = 5, n_queries: int = N_QUERIES,
     )
 
     cand = base.join(probes, "cell").select("q_vec_id", "vec_id", "embedding")
-    return _rank_candidates(emb, cand, n_queries, k)
+    return _rank_candidates(emb, cand, n_queries, k, q_matrix=(q_ids, q_mat))
 
 
 def _rank_candidates(emb: DataFrame, cand: DataFrame, n_queries: int,
-                     k: int) -> DataFrame:
+                     k: int,
+                     q_matrix: tuple[np.ndarray, np.ndarray] | None = None,
+                     ) -> DataFrame:
     """Exact quantized cosine over a ``(q_vec_id, vec_id)`` candidate
     set: broadcast the query matrix (small by construction), stream
     the candidates through one Arrow kernel emitting per-batch PARTIAL
     top-k (identical final result; the shuffle carries
     O(queries x k x batches) rows), window-merge to per-query top-k.
     Shared by ivf_topk and lsh_topk — candidate GENERATION is the
-    only difference between the indexed ANN variants."""
+    only difference between the indexed ANN variants. ``q_matrix``
+    lets a caller that already collected (q_ids, q_mat) pass it in
+    instead of paying a second collect job + duplicate broadcast."""
     spark = emb.sparkSession
-    q_ids, q_mat = _collect_matrix(emb.filter(F.col("vec_id") < n_queries))
+    if q_matrix is None:
+        q_matrix = _collect_matrix(emb.filter(F.col("vec_id") < n_queries))
+    q_ids, q_mat = q_matrix
     q_norms = (q_mat * q_mat).sum(axis=1)
     bq = spark.sparkContext.broadcast((q_ids, q_mat, q_norms))
 

@@ -22,30 +22,43 @@ from pisa_spark.analysis import analyze_series
 
 # trec_topic_reader.hpp:60-106 semantics: every field reads until the
 # next '<'; the Number:/Description:/Narrative: attribute labels and
-# the closing tags are optional; whitespace is trimmed.
-_TOPIC_RE = re.compile(
-    r"<top>\s*<num>\s*(?:Number:)?\s*(.*?)\s*(?:</num>)?\s*"
-    r"<title>\s*(.*?)\s*(?:</title>)?\s*"
-    r"<desc>\s*(?:Description:)?\s*(.*?)\s*(?:</desc>)?\s*"
-    r"<narr>\s*(?:Narrative:)?\s*(.*?)\s*(?:</narr>)?\s*</top>",
-    re.DOTALL,
+# the closing tags are optional; whitespace is trimmed. Fields are
+# located independently per block, so a topic missing <desc>/<narr>
+# (or carrying extra sections like <smry>) still parses instead of
+# being silently skipped.
+_FIELD_RES = (
+    re.compile(r"<num>\s*(?:Number:)?\s*([^<]*)"),
+    re.compile(r"<title>\s*([^<]*)"),
+    re.compile(r"<desc>\s*(?:Description:)?\s*([^<]*)"),
+    re.compile(r"<narr>\s*(?:Narrative:)?\s*([^<]*)"),
 )
+
+
+def _parse_topic_blocks(text: str) -> list[tuple[str, str, str, str]]:
+    rows = []
+    for blk in text.split("<top>")[1:]:
+        blk = blk.split("</top>")[0]
+        rows.append(tuple(
+            m.group(1).strip() if (m := rx.search(blk)) else ""
+            for rx in _FIELD_RES
+        ))
+    return rows
 
 
 def trec_topics(spark: SparkSession, path: str) -> DataFrame:
     """TREC topic file(s) -> (num, title, desc, narr) — the parse
     behind ``extract_topics -f trec`` (tools/extract_topics.cpp:30-46
-    via trec_topic_reader.hpp). One row per ``<top>`` block; parsing
-    runs per FILE on executors (topic files are tiny; many files
-    parallelize)."""
+    via trec_topic_reader.hpp). One row per ``<top>`` block; absent
+    sections come back as empty strings. Parsing runs per FILE on
+    executors (topic files are tiny; many files parallelize)."""
     raw = spark.read.format("text").option("wholetext", True).load(path)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             for text in b["value"]:
-                rows = _TOPIC_RE.findall(text)
                 yield pd.DataFrame(
-                    rows, columns=["num", "title", "desc", "narr"]
+                    _parse_topic_blocks(text),
+                    columns=["num", "title", "desc", "narr"],
                 )
 
     return raw.mapInPandas(
@@ -145,10 +158,17 @@ def map_query_lines(
     parse_queries, which collapses duplicates to weights for
     execution; this tool renders the query file itself.
 
-    Shape: posexplode the analyzed tokens, one broadcast of the
-    (workload-sized) token table into the lexicon scan, regroup by
-    line sorted by position. ``lines`` is (line_no bigint, line
-    string)."""
+    Every input line produces an output line: a query whose tokens
+    are all OOV (or that has no tokens) renders as an empty id list,
+    exactly as the reference tool prints one line per input query —
+    dropping it would break positional alignment with qrels.
+
+    Shape: posexplode the analyzed tokens, join against the lexicon
+    UNHINTED (workloads can be billion-line logs and lexicons can be
+    web-scale vocabularies — AQE picks broadcast vs sort-merge from
+    runtime sizes, the assign_shards_from_mapping pattern), regroup
+    by line sorted by position, then left-join back onto the full
+    line set. ``lines`` is (line_no bigint, line string)."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
@@ -169,15 +189,14 @@ def map_query_lines(
                 }
             )
 
-    toks = lines.select("line_no", "line").mapInPandas(
+    tok_lines = lines.select("line_no", "line").mapInPandas(
         kernel, "line_no bigint, query_id string, terms array<string>"
-    ).select(
-        "line_no", "query_id", F.posexplode("terms").alias("pos", "term")
     )
-    mapped = lexicon.select("term", "term_id").join(
-        F.broadcast(toks), "term"
+    toks = tok_lines.select(
+        "line_no", F.posexplode("terms").alias("pos", "term")
     )
-    grouped = mapped.groupBy("line_no", "query_id").agg(
+    mapped = lexicon.select("term", "term_id").join(toks, "term")
+    grouped = mapped.groupBy("line_no").agg(
         F.array_join(
             F.transform(
                 F.array_sort(
@@ -188,10 +207,14 @@ def map_query_lines(
             separator,
         ).alias("ids")
     )
+    base = tok_lines.select("line_no", "query_id")
+    joined = base.join(grouped, "line_no", "left").withColumn(
+        "ids", F.coalesce(F.col("ids"), F.lit(""))
+    )
     line = (
         F.when(
             F.lit(print_query_id) & F.col("query_id").isNotNull(),
             F.concat_ws(":", "query_id", "ids"),
         ).otherwise(F.col("ids"))
     )
-    return grouped.select("line_no", line.alias("line"))
+    return joined.select("line_no", line.alias("line"))

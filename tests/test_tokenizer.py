@@ -209,6 +209,22 @@ def test_trec_topics_and_query_lines(spark, tmp_path):
         "302:Poliomyelitis and Post-Polio",
     ]
 
+    # fields are located independently: a topic missing <desc>/<narr>
+    # or carrying an extra <smry> section still parses (older TREC
+    # sets do both) — it must not be silently skipped
+    (tmp_path / "topics.txt").write_text(
+        "<top>\n<num>51\n<title>Airbus Subsidies\n"
+        "<smry> Summary text that is not a kept field\n</top>\n"
+        "<top>\n<num>52\n<title>South African Sanctions\n"
+        "<desc>Document will discuss sanctions.\n</top>\n"
+    )
+    t = trec_topics(spark, str(tmp_path / "topics.txt")).toPandas()
+    t = t.sort_values("num").reset_index(drop=True)
+    assert list(t["num"]) == ["51", "52"]
+    assert t["title"][0] == "Airbus Subsidies"
+    assert t["desc"][0] == "" and t["narr"][0] == ""
+    assert t["desc"][1] == "Document will discuss sanctions."
+
 
 def test_aol_queries_filters_and_unique(spark):
     from pisa_spark.query.prep import aol_queries
@@ -260,16 +276,19 @@ def test_map_query_lines_order_and_duplicates(spark):
         [("dog", 3), ("run", 1), ("cat", 2)], "term string, term_id long"
     )
     lines = spark.createDataFrame(
-        [(0, "q1:Dogs running dogs unknownword"), (1, "cats only")],
+        [(0, "q1:Dogs running dogs unknownword"), (1, "cats only"),
+         (2, "q9:xyzzy frobnitz")],
         "line_no bigint, line string",
     )
     got = map_query_lines(
         lines, lex, stemmer="porter2"
     ).toPandas().sort_values("line_no")
-    assert list(got["line"]) == ["q1:3 1 3", "2"]
+    # all-OOV lines render as an empty id list, never vanish — the
+    # tool prints one output line per input query
+    assert list(got["line"]) == ["q1:3 1 3", "2", "q9:"]
 
     noid = map_query_lines(
         lines, lex, stemmer="porter2", separator=",",
         print_query_id=False,
     ).toPandas().sort_values("line_no")
-    assert list(noid["line"]) == ["3,1,3", "2"]
+    assert list(noid["line"]) == ["3,1,3", "2", ""]
