@@ -1,0 +1,323 @@
+"""Common Index File Format (CIFF) import/export.
+
+Reference parity: the reference consumes CIFF indexes through the
+external ``ciff2pisa`` tool (docs/source/indexing_pipeline.md:24-28),
+which converts a CIFF file into the uncompressed binary_collection
+triple that ``bincoll.py`` already imports. This module removes that
+external hop: it reads CIFF directly into the engine's postings /
+doc-metadata tables.
+
+Wire format (public spec, github.com/osirrc/ciff — CommonIndexFileFormat.proto):
+a single file holding a DELIMITED protobuf stream — each message is
+prefixed by a varint byte length — laid out as
+
+    Header, PostingsList * header.num_postings_lists,
+    DocRecord * header.num_docs
+
+with messages
+
+    Header       { 1:int32 version, 2:int32 num_postings_lists,
+                   3:int32 num_docs, 4:int32 total_postings_lists,
+                   5:int32 total_docs, 6:int64 total_terms_in_collection,
+                   7:double average_doclength, 8:string description }
+    Posting      { 1:int32 docid (GAP-encoded within its list), 2:int32 tf }
+    PostingsList { 1:string term, 2:int64 df, 3:int64 cf,
+                   4:repeated Posting postings }
+    DocRecord    { 1:int32 docid, 2:string collection_docid, 3:int32 doclength }
+
+The decoder below is a dependency-free protobuf *wire* walker for
+exactly this schema: varints, length-delimited fields, 64-bit doubles,
+unknown fields skipped by wire type (forward compatible). Like the
+binary_collection format, a CIFF file has no sync marks, so one file
+is unsplittable — parallelism is per FILE (shard large exports;
+Spark's binaryFile row limit of 2 GB applies, same documented limit
+as bincoll.py). Parsing runs executor-side via mapInPandas; the
+driver never touches the payload.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+_WT_VARINT, _WT_I64, _WT_LEN, _WT_I32 = 0, 1, 2, 5
+
+
+def _read_varint(buf, pos: int) -> tuple[int, int]:
+    out = shift = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        out |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return out, pos
+        shift += 7
+        if shift > 63:
+            raise ValueError("varint overflows 64 bits")
+
+
+def _fields(buf) -> Iterator[tuple[int, int, object]]:
+    """Yield (field_no, wire_type, value) over one message's bytes.
+    Varints come back as int, length-delimited as memoryview, i64 as
+    raw 8 bytes; unknown wire types fail loudly."""
+    pos, end = 0, len(buf)
+    while pos < end:
+        key, pos = _read_varint(buf, pos)
+        fno, wt = key >> 3, key & 7
+        if wt == _WT_VARINT:
+            v, pos = _read_varint(buf, pos)
+        elif wt == _WT_LEN:
+            n, pos = _read_varint(buf, pos)
+            v = buf[pos:pos + n]
+            pos += n
+        elif wt == _WT_I64:
+            v = buf[pos:pos + 8]
+            pos += 8
+        elif wt == _WT_I32:
+            v = buf[pos:pos + 4]
+            pos += 4
+        else:
+            raise ValueError(f"unsupported protobuf wire type {wt}")
+        yield fno, wt, v
+
+
+def _delimited(buf) -> Iterator[memoryview]:
+    """Yield each length-prefixed message's bytes."""
+    pos, end = 0, len(buf)
+    while pos < end:
+        n, pos = _read_varint(buf, pos)
+        yield buf[pos:pos + n]
+        pos += n
+
+
+def parse_ciff_header(blob: bytes) -> dict:
+    """File bytes -> Header dict from the first delimited message
+    (local helper; headers are a handful of scalars)."""
+    return _header_from_msg(next(_delimited(memoryview(blob))))
+
+
+def _header_from_msg(msg) -> dict:
+    out = {
+        "version": 0, "num_postings_lists": 0, "num_docs": 0,
+        "total_postings_lists": 0, "total_docs": 0,
+        "total_terms_in_collection": 0, "average_doclength": 0.0,
+        "description": "",
+    }
+    names = {1: "version", 2: "num_postings_lists", 3: "num_docs",
+             4: "total_postings_lists", 5: "total_docs",
+             6: "total_terms_in_collection"}
+    for fno, wt, v in _fields(msg):
+        if fno in names and wt == _WT_VARINT:
+            out[names[fno]] = int(v)
+        elif fno == 7 and wt == _WT_I64:
+            out["average_doclength"] = float(np.frombuffer(v, "<f8")[0])
+        elif fno == 8 and wt == _WT_LEN:
+            out["description"] = bytes(v).decode("utf-8")
+    return out
+
+
+def _parse_postings_list(msg) -> tuple[str, int, int, np.ndarray, np.ndarray]:
+    term, df, cf = "", 0, 0
+    gaps: list[int] = []
+    tfs: list[int] = []
+    for fno, wt, v in _fields(msg):
+        if fno == 1 and wt == _WT_LEN:
+            term = bytes(v).decode("utf-8")
+        elif fno == 2 and wt == _WT_VARINT:
+            df = int(v)
+        elif fno == 3 and wt == _WT_VARINT:
+            cf = int(v)
+        elif fno == 4 and wt == _WT_LEN:
+            d = t = 0
+            for pfno, pwt, pv in _fields(v):
+                if pfno == 1 and pwt == _WT_VARINT:
+                    d = int(pv)
+                elif pfno == 2 and pwt == _WT_VARINT:
+                    t = int(pv)
+            gaps.append(d)
+            tfs.append(t)
+    # CIFF docids are gap-encoded within each list: first absolute,
+    # rest deltas — decode to absolute ids.
+    docids = np.cumsum(np.asarray(gaps, dtype=np.int64))
+    return term, df, cf, docids, np.asarray(tfs, dtype=np.int64)
+
+
+def ciff_postings(spark: SparkSession, path: str) -> DataFrame:
+    """CIFF file(s) -> (term_id, term, doc_id, tf) — the engine's
+    postings table plus the term surface form (term_id = postings-list
+    position, the same contract the lexicon/build stages use; sharded
+    inputs number term_ids globally in natural shard order via the
+    bincoll offset pattern).
+
+    Per-row parity with ciff2pisa: identical (term, docid, tf)
+    triples — the tool emits the lists in file order with gap-decoded
+    docids, exactly this walk."""
+    from pisa_spark.build.bincoll import _natural_key
+
+    raw = spark.read.format("binaryFile").load(path).select(
+        F.col("path").alias("file"), "content"
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            for file, blob in zip(b["file"], b["content"]):
+                buf = memoryview(bytes(blob))
+                msgs = _delimited(buf)
+                hdr = _header_from_msg(next(msgs))
+                for li in range(hdr["num_postings_lists"]):
+                    term, df, cf, docids, tfs = _parse_postings_list(
+                        next(msgs)
+                    )
+                    if df and df != len(docids):
+                        raise ValueError(
+                            f"CIFF list {term!r} in {file}: df={df} "
+                            f"but {len(docids)} postings"
+                        )
+                    yield pd.DataFrame(
+                        {
+                            "file": file,
+                            "list_no": np.int64(li),
+                            "term": term,
+                            "doc_id": docids,
+                            "tf": tfs,
+                        }
+                    )
+
+    lists = raw.mapInPandas(
+        kernel,
+        "file string, list_no long, term string, doc_id long, tf long",
+    )
+    # Global term_id across shards: per-file list counts -> offsets
+    # (one read: counts derive from the checkpointed parse).
+    lists = lists.localCheckpoint(eager=True)
+    counts = (
+        lists.groupBy("file")
+        .agg(F.count_distinct("list_no").alias("n_lists"))
+        .toPandas()
+    )
+    counts = counts.sort_values(
+        "file", key=lambda s: s.map(_natural_key)
+    ).reset_index(drop=True)
+    counts["off"] = counts["n_lists"].cumsum().shift(fill_value=0)
+    offs = spark.createDataFrame(counts[["file", "off"]])
+    return lists.join(F.broadcast(offs), "file").select(
+        (F.col("off") + F.col("list_no")).alias("term_id"),
+        "term",
+        "doc_id",
+        F.col("tf").cast("int").alias("tf"),
+    )
+
+
+def ciff_docs(spark: SparkSession, path: str) -> DataFrame:
+    """CIFF file(s) -> (doc_id, collection_docid, doc_len) — doc
+    metadata (the doc_sizes shape plus the external docid map the
+    reference keeps in its .documents lexicon)."""
+    raw = spark.read.format("binaryFile").load(path).select(
+        F.col("path").alias("file"), "content"
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            for file, blob in zip(b["file"], b["content"]):
+                buf = memoryview(bytes(blob))
+                msgs = _delimited(buf)
+                hdr = _header_from_msg(next(msgs))
+                for _ in range(hdr["num_postings_lists"]):
+                    next(msgs)
+                ids, exts, lens = [], [], []
+                for _ in range(hdr["num_docs"]):
+                    did, ext, dl = 0, "", 0
+                    for fno, wt, v in _fields(next(msgs)):
+                        if fno == 1 and wt == _WT_VARINT:
+                            did = int(v)
+                        elif fno == 2 and wt == _WT_LEN:
+                            ext = bytes(v).decode("utf-8")
+                        elif fno == 3 and wt == _WT_VARINT:
+                            dl = int(v)
+                    ids.append(did)
+                    exts.append(ext)
+                    lens.append(dl)
+                yield pd.DataFrame(
+                    {
+                        "doc_id": np.asarray(ids, dtype=np.int64),
+                        "collection_docid": exts,
+                        "doc_len": np.asarray(lens, dtype=np.int64),
+                    }
+                )
+
+    return raw.mapInPandas(
+        kernel, "doc_id long, collection_docid string, doc_len long"
+    ).select("doc_id", "collection_docid", F.col("doc_len").cast("int"))
+
+
+# ------------------------------------------------------------------ export
+
+
+def _varint(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _len_field(fno: int, payload: bytes) -> bytes:
+    return _varint((fno << 3) | _WT_LEN) + _varint(len(payload)) + payload
+
+
+def _varint_field(fno: int, v: int) -> bytes:
+    return _varint((fno << 3) | _WT_VARINT) + _varint(v)
+
+
+def write_ciff(
+    path: str | Path,
+    postings: list[tuple[str, list[tuple[int, int]]]],
+    docs: list[tuple[int, str, int]],
+    description: str = "pisa_spark export",
+    average_doclength: float | None = None,
+) -> None:
+    """Export helper (format parity / test fixtures): write a CIFF
+    file from per-term absolute-docid postings and doc records.
+    LOCAL, sequential — the format is; shard large exports across
+    files like the bincoll exporter."""
+    total_terms = sum(dl for _, _, dl in docs)
+    if average_doclength is None:
+        average_doclength = total_terms / len(docs) if docs else 0.0
+    hdr = (
+        _varint_field(1, 1)
+        + _varint_field(2, len(postings))
+        + _varint_field(3, len(docs))
+        + _varint_field(4, len(postings))
+        + _varint_field(5, len(docs))
+        + _varint_field(6, total_terms)
+        + _varint((7 << 3) | _WT_I64)
+        + np.float64(average_doclength).tobytes()
+        + _len_field(8, description.encode("utf-8"))
+    )
+    with open(path, "wb") as f:
+        f.write(_varint(len(hdr)) + hdr)
+        for term, plist in postings:
+            body = _len_field(1, term.encode("utf-8"))
+            body += _varint_field(2, len(plist))
+            body += _varint_field(3, sum(tf for _, tf in plist))
+            prev = 0
+            for docid, tf in plist:
+                p = _varint_field(1, docid - prev) + _varint_field(2, tf)
+                prev = docid
+                body += _len_field(4, p)
+            f.write(_varint(len(body)) + body)
+        for did, ext, dl in docs:
+            body = (
+                _varint_field(1, did)
+                + _len_field(2, ext.encode("utf-8"))
+                + _varint_field(3, dl)
+            )
+            f.write(_varint(len(body)) + body)

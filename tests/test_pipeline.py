@@ -336,3 +336,79 @@ def test_binary_collection_unpadded_shard_order_is_natural(spark, tmp_path):
     )
     assert list(sizes["doc_id"]) == list(range(n_shards))
     assert list(sizes["doc_len"]) == [100 + i for i in range(n_shards)]
+
+
+def test_ciff_import_roundtrip(spark, tmp_path):
+    """CIFF wire-format round-trip (osirrc/ciff proto, the format
+    ciff2pisa converts for the reference): gap-encoded docids decode
+    to absolute ids, doc records come back, term_ids number lists in
+    file order."""
+    from pisa_spark.build.ciff import (
+        ciff_docs,
+        ciff_postings,
+        parse_ciff_header,
+        write_ciff,
+    )
+
+    postings = [
+        ("cat", [(0, 2), (2, 1), (7, 4)]),
+        ("dog", [(1, 1), (2, 5)]),
+        ("emu", [(7, 300)]),  # multi-byte varint tf
+    ]
+    docs = [(0, "d-zero", 3), (1, "d-one", 6), (2, "d-two", 7),
+            (7, "d-seven", 304)]
+    write_ciff(tmp_path / "c.ciff", postings, docs,
+               description="fixture")
+
+    hdr = parse_ciff_header((tmp_path / "c.ciff").read_bytes())
+    assert hdr["num_postings_lists"] == 3 and hdr["num_docs"] == 4
+    assert hdr["description"] == "fixture"
+    assert hdr["average_doclength"] == pytest.approx(320 / 4)
+
+    got = (
+        ciff_postings(spark, str(tmp_path / "c.ciff"))
+        .toPandas()
+        .sort_values(["term_id", "doc_id"])
+        .reset_index(drop=True)
+    )
+    exp = [
+        (0, "cat", 0, 2), (0, "cat", 2, 1), (0, "cat", 7, 4),
+        (1, "dog", 1, 1), (1, "dog", 2, 5),
+        (2, "emu", 7, 300),
+    ]
+    assert [tuple(r) for r in got[
+        ["term_id", "term", "doc_id", "tf"]].values] == exp
+
+    d = (
+        ciff_docs(spark, str(tmp_path / "c.ciff"))
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(d["doc_id"]) == [0, 1, 2, 7]
+    assert list(d["collection_docid"]) == [
+        "d-zero", "d-one", "d-two", "d-seven"]
+    assert list(d["doc_len"]) == [3, 6, 7, 304]
+
+
+def test_ciff_sharded_import_numbers_terms_globally(spark, tmp_path):
+    """Sharded CIFF exports: term_ids continue across files in natural
+    shard order; a df/postings mismatch fails loudly."""
+    from pisa_spark.build.ciff import ciff_postings, write_ciff
+
+    d = tmp_path / "idx"
+    d.mkdir()
+    write_ciff(d / "c.ciff.2", [("bee", [(4, 9)])],
+               [(4, "x", 9)])
+    write_ciff(d / "c.ciff.10", [("fly", [(5, 1)])],
+               [(5, "y", 1)])
+    got = (
+        ciff_postings(spark, str(d / "c.ciff.*"))
+        .toPandas()
+        .sort_values("term_id")
+        .reset_index(drop=True)
+    )
+    # natural order: shard 2 before shard 10
+    assert [tuple(r) for r in got[
+        ["term_id", "term", "doc_id", "tf"]].values] == [
+        (0, "bee", 4, 9), (1, "fly", 5, 1)]
