@@ -79,7 +79,10 @@ unchanged (gate entry ``incremental_postings``).
 
 from __future__ import annotations
 
+import hashlib
+import json
 import re
+from dataclasses import asdict
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -95,13 +98,54 @@ from pisa_spark.index import InvertedIndex
 
 _STATS_RE = re.compile(r"stats_g(\d+)")
 
+# Ownership marker: touched (atomically) before generation 0's first
+# table write, so _begin can tell "our generation-0 build crashed
+# before committing" (safe to roll back and retry — the Structured
+# Streaming retry path) from "a foreign/old-layout dir" (refused).
+_MARKER = ".pisa_spark_incremental"
+
+
+def _cfg_fp(payload: dict) -> str:
+    return hashlib.sha256(
+        json.dumps(payload, sort_keys=True, default=str).encode()
+    ).hexdigest()[:16]
+
 
 class IncrementalIndexer:
     def __init__(self, spark: SparkSession, out_dir: str,
-                 config: EngineConfig | None = None):
+                 config: EngineConfig | None = None,
+                 snapshot_grace: int = 0):
+        """``snapshot_grace``: keep the vocabulary snapshots
+        (lexicon_g*/term_meta_g*/stats_g*) of that many generations
+        BELOW the committed one instead of dropping them at commit.
+        The default (0) reclaims immediately — right for a single
+        reader that re-opens ``index()`` per generation. A deployment
+        serving queries from handles opened at generation g while the
+        stream commits g+1 needs grace >= 1, or the commit's cleanup
+        deletes parquet files a lazy DataFrame still references.
+        (``compact()`` is different: it reclaims superseded SEGMENT
+        partitions by design — quiesce readers, or re-open handles,
+        around a compact.)"""
         self.spark = spark
         self.out = Path(out_dir)
         self.config = config or EngineConfig()
+        self.snapshot_grace = int(snapshot_grace)
+        # Config fingerprints ride the stats row so a reopen with a
+        # different config is refused instead of silently mixing
+        # incompatible generations (e.g. f32 vs u8 block maxima, or
+        # two tokenizations of one corpus). The analyzer fingerprint
+        # must match FOREVER (stored postings are its output); the
+        # build fingerprint (scorer/layout) may change across a
+        # compact(), which re-encodes every segment under the new
+        # config — but never across an append.
+        a = self.config.analyzer
+        self._analyzer_fp = _cfg_fp(
+            {"analyzer": asdict(a) | {"stopwords": sorted(a.stopwords)}}
+        )
+        self._build_fp = _cfg_fp(
+            {"bm25": asdict(self.config.bm25),
+             "index": asdict(self.config.index)}
+        )
         # compress_blockmax IS supported: u8 block maxima are relative
         # to the term max AS STORED in term_meta at encode time, and
         # the query-side recovery multiplies term_max * bound_factor
@@ -160,13 +204,16 @@ class IncrementalIndexer:
         """COMMIT the generation: write its stats pointer (fresh dir,
         committed by the atomic _SUCCESS marker), then drop superseded
         pointers and snapshots — cleanup failures after the marker
-        cannot lose the commit."""
+        cannot lose the commit. ``snapshot_grace`` generations below
+        the committed one are retained for readers holding handles
+        opened at a previous generation."""
         self.spark.createDataFrame(
             [(gen, num_docs, collection_len, next_doc_id, next_term_id,
-              WIRE_VERSION)],
+              WIRE_VERSION, self._analyzer_fp, self._build_fp)],
             schema="gen int, num_docs long, collection_len long, "
                    "next_doc_id long, next_term_id long, "
-                   "wire_version int",
+                   "wire_version int, analyzer_fp string, "
+                   "build_fp string",
         ).write.mode("overwrite").parquet(self._path(f"stats_g{gen}"))
         if not (self.out / f"stats_g{gen}" / "_SUCCESS").exists():
             raise RuntimeError(
@@ -175,7 +222,7 @@ class IncrementalIndexer:
                 "mapreduce.fileoutputcommitter.marksuccessfuljobs off? "
                 "The commit protocol relies on it."
             )
-        self._drop_snapshots(before=gen)
+        self._drop_snapshots(before=gen - self.snapshot_grace)
 
     _GEN_TABLES = (
         ("docs", "generation"), ("postings", "generation"),
@@ -212,25 +259,38 @@ class IncrementalIndexer:
             if m and int(m.group(1)) > committed:
                 shutil.rmtree(d)
 
-    def _begin(self) -> int | None:
-        """Start a mutating call: refuse an uncommitted or
-        foreign-layout dir, roll back crash leftovers, return the
-        committed generation."""
+    def _begin(self, recoding: bool = False) -> int | None:
+        """Start a mutating call: refuse an uncommitted-foreign or
+        config-mismatched dir, roll back crash leftovers, return the
+        committed generation. ``recoding=True`` (compact) permits a
+        changed BUILD config — the call re-encodes every segment under
+        it — while an append never may (mixed generations would
+        corrupt decoding or pruning bounds, e.g. f32 vs u8 maxima)."""
         committed = self._committed_gen()
         if committed is None:
             stray = [t for t, _ in self._GEN_TABLES if self._exists(t)]
             if self._exists("stats"):  # pre-commit-protocol layout
                 stray.append("stats")
             if stray:
-                raise ValueError(
-                    f"{self.out} contains index tables {stray} but no "
-                    "stats_g* commit record — a foreign/old-layout dir "
-                    "or a generation-0 build that crashed before "
-                    "committing; refusing to guess id bases (clear the "
-                    "dir, or rebuild it with this version, to proceed)"
-                )
+                if (self.out / _MARKER).exists():
+                    # our own generation-0 build crashed before its
+                    # commit pointer: roll everything back so the
+                    # retry (Structured Streaming replays the batch)
+                    # starts from a clean virgin dir instead of
+                    # wedging forever
+                    self._rollback(-1)
+                else:
+                    raise ValueError(
+                        f"{self.out} contains index tables {stray} "
+                        "but no stats_g* commit record and no "
+                        f"{_MARKER} ownership marker — a foreign/"
+                        "old-layout dir; refusing to guess id bases "
+                        "(clear the dir, or rebuild it with this "
+                        "version, to proceed)"
+                    )
         else:
-            stored = self._stats_row().get("wire_version", 1)
+            st = self._stats_row()
+            stored = st.get("wire_version", 1)
             if stored != WIRE_VERSION:
                 raise ValueError(
                     f"{self.out}: stored segments use codec wire "
@@ -238,6 +298,25 @@ class IncrementalIndexer:
                     f"{WIRE_VERSION} — appending would mix layouts "
                     "and mis-decode kept generations; rebuild (or "
                     "compact with the writing version first)"
+                )
+            # Legacy stats rows (no fingerprint columns) skip the
+            # check rather than refusing a working dir.
+            a_fp, b_fp = st.get("analyzer_fp"), st.get("build_fp")
+            if a_fp is not None and a_fp != self._analyzer_fp:
+                raise ValueError(
+                    f"{self.out}: stored generations were tokenized "
+                    "under a different analyzer config — appending "
+                    "would mix two tokenizations of one corpus; "
+                    "rebuild from the raw pages"
+                )
+            if not recoding and b_fp is not None and b_fp != self._build_fp:
+                raise ValueError(
+                    f"{self.out}: stored segments were encoded under "
+                    "a different scorer/layout config — appending "
+                    "would mix incompatible generations (block "
+                    "maxima/codec layout); compact() with the new "
+                    "config to re-encode, or reopen with the stored "
+                    "one"
                 )
             self._rollback(committed)
         return committed
@@ -266,6 +345,10 @@ class IncrementalIndexer:
         prev = self._begin()
         first = prev is None
         if first:
+            # ownership marker BEFORE the first table write: a crashed
+            # generation 0 must be recognizably ours so _begin can
+            # roll it back on retry (one atomic file create)
+            (self.out / _MARKER).touch()
             gen, doc_base, term_base = 0, 0, 0
             n_old, len_old, avg_old = 0, 0, 0.0
         else:
@@ -487,7 +570,7 @@ class IncrementalIndexer:
         SURVEY §2.4). Returns the new generation number."""
         import shutil
 
-        prev = self._begin()
+        prev = self._begin(recoding=True)
         if prev is None:
             raise ValueError(f"{self.out}: nothing to compact")
         st = self._stats_row()
@@ -561,6 +644,15 @@ class IncrementalIndexer:
         live = F.col("generation") <= committed
         docs = self._read("docs").filter(live)
         st = self._stats_row()
+        a_fp, b_fp = st.get("analyzer_fp"), st.get("build_fp")
+        if (a_fp is not None and a_fp != self._analyzer_fp) or (
+                b_fp is not None and b_fp != self._build_fp):
+            raise ValueError(
+                f"{self.out}: this indexer's config differs from the "
+                "one the stored index was built with — queries would "
+                "parse/score inconsistently with the stored segments; "
+                "open with the stored config"
+            )
         n = int(st["num_docs"])
         ln = int(st["collection_len"])
         return InvertedIndex(

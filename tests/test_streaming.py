@@ -460,3 +460,106 @@ def test_pipeline_reencodes_on_wire_version_change(spark, tmp_path):
         assert p2.executed and not p2.skipped  # full re-encode
     finally:
         pipe_mod.WIRE_VERSION = orig
+
+def test_config_mismatch_refused_mixed_generations(spark, tmp_path):
+    """Reopening an index dir with a different config must be refused:
+    appending under a changed INDEX config would mix incompatible
+    segment generations (f32 vs u8 block maxima — NaN bounds, silently
+    wrong top-k); a changed ANALYZER config would mix two
+    tokenizations of one corpus. compact() may change the build
+    config (it re-encodes everything); an analyzer change never can."""
+    from pisa_spark.streaming import IncrementalIndexer
+
+    out = tmp_path / "inc_cfg"
+    IncrementalIndexer(spark, str(out), CFG).add_generation(
+        _pages(spark).limit(20)
+    )
+
+    cfg_bm = EngineConfig(
+        analyzer=AnalyzerConfig(tokenizer="whitespace"),
+        index=IndexConfig(salt_bucket_docs=256, compress_blockmax=True),
+    )
+    inc_bm = IncrementalIndexer(spark, str(out), cfg_bm)
+    with pytest.raises(ValueError, match="scorer/layout"):
+        inc_bm.add_generation(_pages(spark).limit(10))
+    with pytest.raises(ValueError, match="stored config"):
+        inc_bm.index()
+
+    cfg_an = EngineConfig(
+        analyzer=AnalyzerConfig(tokenizer="english"),
+        index=IndexConfig(salt_bucket_docs=256),
+    )
+    inc_an = IncrementalIndexer(spark, str(out), cfg_an)
+    with pytest.raises(ValueError, match="analyzer"):
+        inc_an.add_generation(_pages(spark).limit(10))
+    with pytest.raises(ValueError, match="analyzer"):
+        inc_an.compact()
+
+    # compact() re-encodes every segment, so a BUILD config change is
+    # legal there — and afterwards appends under the new config work.
+    g = inc_bm.compact()
+    assert (out / f"stats_g{g}" / "_SUCCESS").exists()
+    inc_bm.add_generation(_pages(spark).limit(10))
+    assert inc_bm.index().num_docs > 20
+
+
+def test_crashed_generation_zero_recovers_on_retry(spark, tmp_path,
+                                                   monkeypatch):
+    """A generation-0 build that crashes before its commit must NOT
+    wedge the stream: the ownership marker lets the next attempt roll
+    the leftovers back and retry from a virgin state (a foreign dir —
+    tables but no marker — is still refused)."""
+    from pisa_spark.streaming import IncrementalIndexer
+
+    out = tmp_path / "inc_g0"
+    inc = IncrementalIndexer(spark, str(out), CFG)
+    real = IncrementalIndexer._refresh_metadata
+
+    def crash(self, *a, **k):
+        real(self, *a, **k)
+        raise RuntimeError("simulated crash before gen-0 commit")
+
+    monkeypatch.setattr(IncrementalIndexer, "_refresh_metadata", crash)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        inc.add_generation(_pages(spark).limit(20))
+    monkeypatch.setattr(IncrementalIndexer, "_refresh_metadata", real)
+
+    # leftovers exist, nothing committed
+    assert (out / "docs").exists()
+    with pytest.raises(ValueError, match="no committed generation"):
+        inc.index()
+
+    # retry succeeds from clean state — same id bases as a fresh build
+    assert inc.add_generation(_pages(spark).limit(20)) == 0
+    idx = inc.index()
+    assert idx.num_docs == 20
+    assert idx.docmap.select("doc_id").distinct().count() == 20
+
+
+def test_snapshot_grace_keeps_previous_generation(spark, tmp_path):
+    """snapshot_grace=1: the previous generation's vocabulary
+    snapshots survive the next commit, so an InvertedIndex handle
+    opened before the commit keeps answering queries."""
+    from pisa_spark.streaming import IncrementalIndexer
+
+    out = tmp_path / "inc_grace"
+    inc = IncrementalIndexer(spark, str(out), CFG, snapshot_grace=1)
+    pages = _pages(spark).persist()
+    gen0 = pages.filter(F.crc32(F.col("url")) % 2 == 0)
+    gen1 = pages.filter(F.crc32(F.col("url")) % 2 == 1)
+    inc.add_generation(gen0)
+    idx0 = inc.index()
+    terms = [r["term"] for r in idx0.lexicon.limit(10).collect()]
+
+    inc.add_generation(gen1)
+    # grace keeps generation 0's snapshots...
+    assert (out / "lexicon_g0").exists()
+    assert (out / "term_meta_g0").exists()
+    # ...so the old handle still answers
+    res = _query(spark, idx0, terms, n=3)
+    assert len(res) > 0
+
+    # and they are reclaimed once generation 2 commits
+    inc.add_generation(pages.limit(15))
+    assert not (out / "lexicon_g0").exists()
+    assert (out / "lexicon_g1").exists()
