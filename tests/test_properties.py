@@ -238,3 +238,66 @@ def test_binary_collection_roundtrip_property(seqs):
         blob = open(f.name, "rb").read()
     back = [list(map(int, s)) for s in _parse_sequences(blob)]
     assert back == [list(map(int, s)) for s in seqs]
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    st.lists(  # per term: (term, [(docid gap>=0 applied cumulatively, tf)])
+        st.tuples(
+            st.text(
+                alphabet=st.characters(codec="utf-8",
+                                       exclude_categories=("Cs",)),
+                min_size=1, max_size=12,
+            ),
+            st.lists(
+                st.tuples(st.integers(0, 1 << 20), st.integers(1, 1 << 18)),
+                min_size=1, max_size=40,
+            ),
+        ),
+        min_size=0, max_size=12,
+    ),
+    st.lists(
+        st.tuples(st.text(min_size=0, max_size=16), st.integers(0, 1 << 20)),
+        min_size=0, max_size=20,
+    ),
+)
+def test_ciff_wire_roundtrip_property(term_lists, doc_recs):
+    """CIFF wire walker round-trip (local, no Spark): arbitrary terms
+    (any UTF-8), multi-byte varint docids/tfs, empty files — the
+    reader must return exactly what the writer was given, including
+    gap re-decoding."""
+    import tempfile
+
+    from pisa_spark.build.ciff import (
+        _delimited, _header_from_msg, _parse_postings_list,
+        parse_ciff_header, write_ciff,
+    )
+
+    # build absolute-docid postings from gaps (strictly increasing)
+    postings = []
+    for term, pairs in term_lists:
+        docid = -1
+        plist = []
+        for gap, tf in pairs:
+            docid += gap + 1
+            plist.append((docid, tf))
+        postings.append((term, plist))
+    docs = [(i, ext, dl) for i, (ext, dl) in enumerate(doc_recs)]
+
+    with tempfile.NamedTemporaryFile(suffix=".ciff") as f:
+        write_ciff(f.name, postings, docs)
+        blob = memoryview(open(f.name, "rb").read())
+
+    hdr = parse_ciff_header(bytes(blob))
+    assert hdr["num_postings_lists"] == len(postings)
+    assert hdr["num_docs"] == len(docs)
+
+    msgs = _delimited(blob)
+    assert _header_from_msg(next(msgs)) == hdr
+    for term, plist in postings:
+        got_term, df, cf, docids, tfs = _parse_postings_list(next(msgs))
+        assert got_term == term
+        assert df == len(plist)
+        assert cf == sum(tf for _, tf in plist)
+        assert list(docids) == [d for d, _ in plist]
+        assert list(tfs) == [tf for _, tf in plist]
