@@ -168,6 +168,24 @@ def ciff_postings(spark: SparkSession, path: str) -> DataFrame:
                 buf = memoryview(bytes(blob))
                 msgs = _delimited(buf)
                 hdr = _header_from_msg(next(msgs))
+                # One marker row per file (list_no=-1): offsets derive
+                # from the HEADER's list count, so zero-posting lists
+                # (df=0) and even all-empty shard files keep the
+                # term_id = global-list-position contract intact — a
+                # rows-only count would undercount them and collide
+                # term_ids across shards.
+                yield pd.DataFrame(
+                    {
+                        "file": [file],
+                        "list_no": np.asarray([-1], dtype=np.int64),
+                        "n_lists": np.asarray(
+                            [hdr["num_postings_lists"]], dtype=np.int64
+                        ),
+                        "term": [""],
+                        "doc_id": np.asarray([-1], dtype=np.int64),
+                        "tf": np.asarray([0], dtype=np.int64),
+                    }
+                )
                 for li in range(hdr["num_postings_lists"]):
                     term, df, cf, docids, tfs = _parse_postings_list(
                         next(msgs)
@@ -181,6 +199,7 @@ def ciff_postings(spark: SparkSession, path: str) -> DataFrame:
                         {
                             "file": file,
                             "list_no": np.int64(li),
+                            "n_lists": np.int64(hdr["num_postings_lists"]),
                             "term": term,
                             "doc_id": docids,
                             "tf": tfs,
@@ -189,14 +208,16 @@ def ciff_postings(spark: SparkSession, path: str) -> DataFrame:
 
     lists = raw.mapInPandas(
         kernel,
-        "file string, list_no long, term string, doc_id long, tf long",
+        "file string, list_no long, n_lists long, term string, "
+        "doc_id long, tf long",
     )
-    # Global term_id across shards: per-file list counts -> offsets
-    # (one read: counts derive from the checkpointed parse).
+    # Global term_id across shards: per-file HEADER list counts ->
+    # offsets (one read: counts ride the checkpointed parse's marker
+    # rows).
     lists = lists.localCheckpoint(eager=True)
     counts = (
-        lists.groupBy("file")
-        .agg(F.count_distinct("list_no").alias("n_lists"))
+        lists.filter(F.col("list_no") == -1)
+        .select("file", "n_lists")
         .toPandas()
     )
     counts = counts.sort_values(
@@ -204,11 +225,15 @@ def ciff_postings(spark: SparkSession, path: str) -> DataFrame:
     ).reset_index(drop=True)
     counts["off"] = counts["n_lists"].cumsum().shift(fill_value=0)
     offs = spark.createDataFrame(counts[["file", "off"]])
-    return lists.join(F.broadcast(offs), "file").select(
-        (F.col("off") + F.col("list_no")).alias("term_id"),
-        "term",
-        "doc_id",
-        F.col("tf").cast("int").alias("tf"),
+    return (
+        lists.filter(F.col("list_no") >= 0)
+        .join(F.broadcast(offs), "file")
+        .select(
+            (F.col("off") + F.col("list_no")).alias("term_id"),
+            "term",
+            "doc_id",
+            F.col("tf").cast("int").alias("tf"),
+        )
     )
 
 

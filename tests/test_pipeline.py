@@ -412,3 +412,30 @@ def test_ciff_sharded_import_numbers_terms_globally(spark, tmp_path):
     assert [tuple(r) for r in got[
         ["term_id", "term", "doc_id", "tf"]].values] == [
         (0, "bee", 4, 9), (1, "fly", 5, 1)]
+
+
+def test_ciff_sharded_import_zero_posting_lists(spark, tmp_path):
+    """Term offsets come from each shard's HEADER list count, so a
+    zero-posting list (df=0, legal in the proto) still occupies its
+    list position: shard 2 declares 3 lists (middle one empty), so
+    shard 10's first term must get term_id 3, not 2 — a rows-derived
+    count would collide it with shard 2's last term."""
+    from pisa_spark.build.ciff import ciff_postings, write_ciff
+
+    d = tmp_path / "idx"
+    d.mkdir()
+    write_ciff(
+        d / "c.ciff.2",
+        [("ant", [(0, 1)]), ("bare", []), ("cub", [(3, 2)])],
+        [(0, "x", 1), (3, "y", 2)],
+    )
+    write_ciff(d / "c.ciff.10", [("dew", [(5, 4)])], [(5, "z", 4)])
+    got = (
+        ciff_postings(spark, str(d / "c.ciff.*"))
+        .toPandas()
+        .sort_values("term_id")
+        .reset_index(drop=True)
+    )
+    assert [tuple(r) for r in got[
+        ["term_id", "term", "doc_id", "tf"]].values] == [
+        (0, "ant", 0, 1), (2, "cub", 3, 2), (3, "dew", 5, 4)]
