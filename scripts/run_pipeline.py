@@ -26,8 +26,12 @@ import json
 import os
 import sys
 import time
+from pathlib import Path
 
-sys.path.insert(0, "/root/repo")
+try:  # spark-submit --py-files pisa_spark.zip provides the package
+    import pisa_spark  # noqa: F401
+except ImportError:  # plain `python scripts/run_pipeline.py` from anywhere
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
 def main() -> None:
