@@ -13,6 +13,12 @@ integer-quantized; all hashing goes through md5 — hashing.py):
                          candidates -> Hamming <= max_hamming
 - embedding_dup_pairs    near-duplicate embedding pairs by quantized
                          cosine (similarity.py does the matrix math)
+- connected_components / dedup_clusters
+                         candidate pairs -> duplicate CLUSTERS -> one
+                         representative per cluster: the last mile
+                         that turns pair detection into an actual
+                         deduplicated corpus (keep doc_id ==
+                         rep_doc_id, drop the rest)
 
 Scale notes (100 TB):
 - exact: single hash-shuffle with map-side combine; skew-free (md5
@@ -37,6 +43,15 @@ Scale notes (100 TB):
   aggs); candidates via 4x 15-bit-chunk equi-joins (pigeonhole: any
   pair with Hamming <= 3 shares at least one chunk) — no cross join
   at any scale.
+- Components: alternating large-star/small-star (Kiveris, Lattanzi,
+  Mirrokni, Rastogi, Vassilvitskii: "Connected Components in
+  MapReduce and Beyond", SoCC'14) — O(log n) ROUNDS regardless of
+  component diameter (naive min-label propagation needs
+  O(diameter) rounds, and duplicate chains a-b-c-d... are exactly
+  how boilerplate corpora misbehave). Each round is two
+  bounded-key shuffles over the EDGE set (duplicate pairs, not the
+  corpus), localCheckpointed per iteration so the plan doesn't
+  grow (the build/bp.py rule).
 """
 
 from __future__ import annotations
@@ -417,3 +432,141 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
 FROM fps a JOIN fps b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.fp, b.fp)) <= {max_hamming}"""
+
+
+# ------------------------------------------------- clusters / representatives
+
+def connected_components(pairs: DataFrame, max_iters: int = 30) -> DataFrame:
+    """pairs(doc_a, doc_b) -> (doc_id, rep_doc_id) for every doc that
+    appears in a pair; rep_doc_id = the component's minimum doc_id.
+
+    Alternating large-star/small-star (SoCC'14): converges in
+    O(log n) rounds on ANY graph shape — a duplicate CHAIN (each doc
+    near-dups only its neighbor, the worst case for naive min-label
+    propagation at O(diameter) rounds) still resolves in a handful of
+    rounds. Per round: large-star connects every neighbor v > u to
+    m = min(N(u) ∪ {u}); small-star re-points every smaller neighbor
+    of u (and u itself) at the smallest; the fixpoint is depth-1
+    stars rooted at component minima. Each step is one groupBy-min
+    plus one join on the EDGE set (duplicate pairs — tiny next to the
+    corpus), eagerly localCheckpointed so the iterative plan stays
+    flat. Raises if ``max_iters`` rounds don't converge (loud, never
+    a silently-partial clustering)."""
+    e = (
+        pairs.select(
+            F.col("doc_a").cast("long").alias("u"),
+            F.col("doc_b").cast("long").alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_edges = e.count()
+    for _ in range(max_iters):
+        if n_edges == 0:
+            break
+        # large-star: m = min over the full neighborhood (either
+        # direction) plus self; every strictly LARGER neighbor
+        # re-points at m. Output edges are (larger, smaller).
+        sym = e.unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least("mn", "u").alias("m"))
+        )
+        large = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # small-star: per node u over its SMALLER neighbors (large's
+        # edges already point large -> small), m = min; u and every
+        # smaller neighbor re-point at m (self-loops dropped).
+        mins2 = large.groupBy("u").agg(F.min("v").alias("m"))
+        nodes = large.unionByName(
+            large.select("u", F.col("u").alias("v")).distinct()
+        )
+        small = (
+            nodes.join(mins2, "u")
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        n_small = small.count()
+        if n_small == n_edges and small.subtract(e).isEmpty():
+            e = small
+            break
+        e, n_edges = small, n_small
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} "
+            f"rounds ({n_edges} edges) — raise max_iters"
+        )
+    members = e.select(F.col("u").alias("doc_id"), F.col("v").alias("rep_doc_id"))
+    roots = (
+        e.select(F.col("v").alias("doc_id"))
+        .distinct()
+        .select("doc_id", F.col("doc_id").alias("rep_doc_id"))
+    )
+    return (
+        members.unionByName(roots)
+        .groupBy("doc_id")
+        .agg(F.min("rep_doc_id").alias("rep_doc_id"))
+    )
+
+
+def dedup_clusters(docs: DataFrame, pairs: DataFrame | None = None,
+                   k: int = 3) -> DataFrame:
+    """(doc_id, rep_doc_id) over the WHOLE corpus — the deduplicated
+    view is ``WHERE doc_id == rep_doc_id`` (keep one representative
+    per near-duplicate cluster; docs in no pair represent themselves).
+
+    ``pairs`` defaults to the MinHash-LSH scale path; any
+    (doc_a, doc_b) pair source (simhash, embedding cosine, a union)
+    plugs in unchanged. The component mapping is duplicate-sized, so
+    the final join against the corpus broadcasts under AQE whenever
+    duplicates are rare (the common case) and degrades to a plain
+    hash join when they are not — unhinted on purpose."""
+    if pairs is None:
+        pairs = minhash_lsh_pairs(docs, k)
+    cc = connected_components(pairs.select("doc_a", "doc_b"))
+    return (
+        docs.select("doc_id")
+        .join(cc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("rep_doc_id", F.col("doc_id")).alias("rep_doc_id"),
+        )
+    )
+
+
+def dedup_clusters_oracle(k: int = 3, num_perm: int = NUM_PERM,
+                          band_rows: int = BAND_ROWS,
+                          max_bucket: int = MAX_BUCKET) -> str:
+    """Same clustering in DuckDB: the MinHash pair oracle feeds a
+    recursive transitive closure; rep = min over each doc's reachable
+    set (identical to the star fixpoint's component minimum)."""
+    mh = minhash_lsh_oracle(k, num_perm, band_rows, max_bucket)
+    return f"""WITH RECURSIVE
+mh_pairs AS (SELECT doc_a, doc_b FROM ({mh}) mh),
+cc_edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM mh_pairs
+  UNION
+  SELECT doc_b, doc_a FROM mh_pairs
+),
+reach(u, v) AS (
+  SELECT u, v FROM cc_edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN cc_edges e
+  ON r.v = e.u AND e.v <> r.u
+),
+rep AS (
+  SELECT u AS doc_id, LEAST(u, MIN(v)) AS rep_doc_id FROM reach GROUP BY u
+)
+SELECT d.doc_id, COALESCE(r.rep_doc_id, d.doc_id) AS rep_doc_id
+FROM documents d LEFT JOIN rep r ON r.doc_id = d.doc_id"""

@@ -3,7 +3,7 @@
 Every entry pairs an idiomatic Spark job (DataFrame API / pandas
 kernels) with a DuckDB oracle that reproduces the result
 value-exactly (integer-quantized math throughout — see the module
-docstrings). ``dedup_minhash_lsh`` and both ``ann_indexed_topk``
+docstrings). ``dedup_minhash_lsh`` and the indexed ``ann_topk``
 methods (IVF cell probing, hyperplane-LSH banding) are approximate
 ALGORITHMS, but their oracles implement the identical algorithm, so
 agreement is still exact; their recall vs the exhaustive operators
@@ -71,18 +71,20 @@ def _embedding_cosine_union(s: SparkSession, d: str) -> DataFrame:
     return pairs.unionByName(dropped)
 
 
-def _ann_indexed_union(s: SparkSession, d: str) -> DataFrame:
-    """Tagged union of the two indexed ANN scale paths over one
-    result shape (method, q_vec_id, rank, vec_id, cos_micro):
-    'ivf' = coarse-quantizer cell probing, 'lsh' = hyperplane-band
-    bucketing — both exact-ranked over their candidate sets (same
-    consolidation pattern as segments_decode_check's codec tags)."""
+def _ann_union(s: SparkSession, d: str) -> DataFrame:
+    """Tagged union of all three ANN paths over one result shape
+    (method, q_vec_id, rank, vec_id, cos_micro): 'brute' = exact
+    partial-top-k baseline, 'ivf' = coarse-quantizer cell probing,
+    'lsh' = hyperplane-band bucketing — each exact-ranked over its
+    candidate set (same consolidation pattern as
+    segments_decode_check's codec tags)."""
     from pyspark.sql import functions as F
 
     emb = _emb(s, d)
+    brute = similarity.ann_topk(emb).withColumn("method", F.lit("brute"))
     ivf = similarity.ivf_topk(emb).withColumn("method", F.lit("ivf"))
     lsh = similarity.lsh_topk(emb).withColumn("method", F.lit("lsh"))
-    return ivf.unionByName(lsh).select(
+    return brute.unionByName(ivf).unionByName(lsh).select(
         "method", "q_vec_id", "rank", "vec_id", "cos_micro"
     )
 
@@ -92,10 +94,10 @@ def datapipe_queries():
         "dedup_exact": lambda s, d: dedup.exact_dedup(_docs(s, d)),
         "dedup_ngram_jaccard": lambda s, d: dedup.ngram_jaccard_pairs(_docs(s, d)),
         "dedup_minhash_lsh": lambda s, d: dedup.minhash_lsh_pairs(_docs(s, d)),
+        "dedup_clusters": lambda s, d: dedup.dedup_clusters(_docs(s, d)),
         "dedup_simhash": lambda s, d: dedup.simhash_pairs(_docs(s, d)),
         "dedup_embedding_cosine": _embedding_cosine_union,
-        "ann_cosine_topk": lambda s, d: similarity.ann_topk(_emb(s, d)),
-        "ann_indexed_topk": _ann_indexed_union,
+        "ann_topk": _ann_union,
         "lang_id": lambda s, d: textstats.lang_id(_docs(s, d)),
         "quality_score": lambda s, d: textstats.quality_score(_docs(s, d)),
         "token_counts": lambda s, d: textstats.token_counts(_docs(s, d)),
@@ -111,12 +113,15 @@ def datapipe_oracle_sql():
         "dedup_exact": dedup.exact_dedup_oracle(),
         "dedup_ngram_jaccard": dedup.ngram_jaccard_oracle(),
         "dedup_minhash_lsh": dedup.minhash_lsh_oracle(),
+        "dedup_clusters": dedup.dedup_clusters_oracle(),
         "dedup_simhash": dedup.simhash_oracle(),
         "dedup_embedding_cosine": similarity.embedding_dup_oracle(
             max_cell=GATE_EMB_MAX_CELL, audit=True
         ),
-        "ann_cosine_topk": similarity.ann_topk_oracle(),
-        "ann_indexed_topk": (
+        "ann_topk": (
+            "SELECT 'brute' AS method, q_vec_id, rank, vec_id, cos_micro FROM ("
+            + similarity.ann_topk_oracle()
+            + ") brute_q\nUNION ALL\n"
             "SELECT 'ivf' AS method, q_vec_id, rank, vec_id, cos_micro FROM ("
             + similarity.ivf_topk_oracle()
             + ") ivf_q\nUNION ALL\n"

@@ -92,6 +92,106 @@ def test_minhash_bucket_cap_drops_boilerplate(spark):
     assert len(pairs2) == 28
 
 
+def test_connected_components_chain_converges_logarithmically(spark):
+    """A 64-node duplicate CHAIN (worst case for min-label
+    propagation, which needs O(diameter)=63 rounds) must resolve to
+    one component within 8 alternating-star rounds — the SoCC'14
+    O(log n) bound is the whole reason that algorithm was chosen."""
+    from pisa_spark.datapipe.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "doc_a long, doc_b long"
+    )
+    out = connected_components(pairs, max_iters=8).toPandas()
+    assert len(out) == 64
+    assert (out["rep_doc_id"] == 0).all()
+
+
+def test_connected_components_matches_union_find(spark):
+    """Random graphs vs a plain union-find: identical component
+    minima for every node, across shapes (forests, cycles, dense
+    blobs) and an empty edge set."""
+    import random
+
+    from pisa_spark.datapipe.dedup import connected_components
+
+    for seed, n, m in ((1, 40, 25), (2, 40, 60), (3, 25, 90)):
+        rng = random.Random(seed)
+        edges = {
+            tuple(sorted(rng.sample(range(n), 2))) for _ in range(m)
+        }
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            parent[find(a)] = find(b)
+        want = {
+            x: min(y for y in range(n) if find(y) == find(x))
+            for x in range(n)
+            if any((x in e) for e in edges)
+        }
+        got = connected_components(
+            spark.createDataFrame(
+                sorted(edges), "doc_a long, doc_b long"
+            )
+        ).toPandas()
+        assert dict(zip(got["doc_id"], got["rep_doc_id"])) == want
+    empty = connected_components(
+        spark.createDataFrame([], "doc_a long, doc_b long")
+    )
+    assert empty.count() == 0
+
+
+def test_dedup_clusters_keeps_one_representative(spark):
+    """Pairs -> components -> representatives over the full corpus:
+    planted duplicate TRIPLES collapse to their original's cluster,
+    the mapping equals a union-find over the emitted pair set, and
+    the kept view (doc_id == rep_doc_id) has exactly one survivor
+    per cluster."""
+    from pisa_spark.datapipe.dedup import dedup_clusters
+
+    base = spark.read.parquet(f"{SF}/documents.parquet").limit(40)
+    d1 = base.limit(10).withColumn("doc_id", F.col("doc_id") + 10_000)
+    d2 = base.limit(10).withColumn("doc_id", F.col("doc_id") + 20_000)
+    corpus = base.unionByName(d1).unionByName(d2)
+    out = dedup_clusters(corpus).toPandas().set_index("doc_id")["rep_doc_id"]
+    # every clone maps to its original's cluster (identical text =>
+    # identical signatures => same LSH bucket => Jaccard 1.0 pair)
+    for off in (10_000, 20_000):
+        for doc in range(10):
+            assert out[doc + off] == out[doc]
+    # the mapping must equal a union-find over the SAME pair set the
+    # LSH path emits (the corpus has natural near-dups of its own, so
+    # the expected reps come from the pairs, not from "untouched ==
+    # self")
+    from pisa_spark.datapipe.dedup import minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(corpus).toPandas()
+    ids = corpus.select("doc_id").toPandas()["doc_id"].astype(int)
+    parent = {int(i): int(i) for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
+        parent[find(int(a))] = find(int(b))
+    comp: dict[int, int] = {}
+    for i in parent:
+        comp.setdefault(find(i), []).append(i)  # type: ignore[arg-type]
+    want = {i: min(comp[find(i)]) for i in parent}
+    assert dict(zip(out.index, out)) == want
+    # exactly one survivor (doc_id == rep) per cluster
+    assert (out.index == out.values).sum() == len(comp)
+
+
 def test_simhash_chunk_join_equals_cross_join(spark, docs):
     """Pigeonhole exactness: the 4x15-bit chunk-join candidate set
     must yield exactly the cross-join Hamming<=3 pairs."""
