@@ -107,7 +107,9 @@ def parse_query_id_lines(lines: DataFrame, k: int = 10) -> DataFrame:
         F.lit(k).alias("k"),
         F.explode(terms).alias("tok"),
     ).select(
-        "query_id", "k", F.col("tok").try_cast("int").alias("term_id")
+        # long, not int: lexicon term_id is BIGINT (assign_global_ids),
+        # so a valid id >= 2^31 must not be rejected as non-integer.
+        "query_id", "k", F.col("tok").try_cast("long").alias("term_id")
     )
     # std::stoi failure is fatal in the reference (:64-66); surface
     # the same contract as a hard error instead of a silent null.

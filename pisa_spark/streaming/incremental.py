@@ -644,6 +644,17 @@ class IncrementalIndexer:
         live = F.col("generation") <= committed
         docs = self._read("docs").filter(live)
         st = self._stats_row()
+        stored_wire = st.get("wire_version", 1)
+        if stored_wire != WIRE_VERSION:
+            # Same guard _begin() applies before appending: a read-only
+            # open must refuse too, or queries decode old-layout
+            # payloads with the new byte layout (silent garbage).
+            raise ValueError(
+                f"{self.out}: stored segments use codec wire version "
+                f"{stored_wire} but this build decodes {WIRE_VERSION} "
+                "— opening would mis-decode; re-encode with compact() "
+                "under the writing version, or rebuild"
+            )
         a_fp, b_fp = st.get("analyzer_fp"), st.get("build_fp")
         if (a_fp is not None and a_fp != self._analyzer_fp) or (
                 b_fp is not None and b_fp != self._build_fp):

@@ -296,6 +296,14 @@ def test_query_id_colon_and_separator_semantics(spark):
     assert q7 == {3: 1.0, 1: 1.0, 2: 2.0}
     assert set(ok[ok.query_id == "2"]["term_id"]) == {8, 9}
 
+    # term ids are BIGINT engine-wide (assign_global_ids): an id
+    # beyond 2^31 is well-formed, not a "non-integer" parse failure
+    big = spark.createDataFrame(
+        [(0, "3000000000 7")], "line_no bigint, line string"
+    )
+    wide = parse_query_id_lines(big, k=3).toPandas()
+    assert set(wide["term_id"]) == {3000000000, 7}
+
 
 def test_bp_node_config_fixture_parses():
     """The reference's own bp-node-config.txt (the input of

@@ -433,6 +433,10 @@ def test_refuses_mismatched_wire_version(spark, tmp_path):
             IncrementalIndexer(spark, str(out), CFG).add_generation(
                 _pages(spark).limit(10)
             )
+        # a read-only open must refuse too: queries against the old
+        # layout would silently mis-decode, same as an append would
+        with pytest.raises(ValueError, match="wire"):
+            IncrementalIndexer(spark, str(out), CFG).index()
     finally:
         inc_mod.WIRE_VERSION = orig
 
