@@ -146,21 +146,38 @@ def _parse_postings_list(msg) -> tuple[str, int, int, np.ndarray, np.ndarray]:
     return term, df, cf, docids, np.asarray(tfs, dtype=np.int64)
 
 
-def ciff_postings(spark: SparkSession, path: str) -> DataFrame:
-    """CIFF file(s) -> (term_id, term, doc_id, tf) — the engine's
-    postings table plus the term surface form (term_id = postings-list
-    position, the same contract the lexicon/build stages use; sharded
-    inputs number term_ids globally in natural shard order via the
-    bincoll offset pattern).
+_ROW_SCHEMA = (
+    "file string, kind int, list_no long, n_lists long, term string, "
+    "doc_id long, tf long, collection_docid string, doc_len long"
+)
+_K_MARKER, _K_POSTING, _K_DOC = 0, 1, 2
 
-    Per-row parity with ciff2pisa: identical (term, docid, tf)
-    triples — the tool emits the lists in file order with gap-decoded
-    docids, exactly this walk."""
-    from pisa_spark.build.bincoll import _natural_key
 
+def _ciff_rows(spark: SparkSession, path: str,
+               postings: bool, docs: bool) -> DataFrame:
+    """One binaryFile scan + one delimited walk per file, emitting a
+    kind-tagged frame holding whichever of the two CIFF tables the
+    caller wants (skipped sections cost only their length-prefix
+    slices — the walker never parses message fields it won't emit).
+    A full import reads every byte exactly once; ciff_postings /
+    ciff_docs / ciff_import all derive from this kernel."""
     raw = spark.read.format("binaryFile").load(path).select(
         F.col("path").alias("file"), "content"
     )
+
+    def _pad(cols: dict, n: int) -> pd.DataFrame:
+        base = {
+            "kind": np.zeros(n, dtype=np.int32),
+            "list_no": np.full(n, -1, dtype=np.int64),
+            "n_lists": np.zeros(n, dtype=np.int64),
+            "term": "",
+            "doc_id": np.full(n, -1, dtype=np.int64),
+            "tf": np.zeros(n, dtype=np.int64),
+            "collection_docid": "",
+            "doc_len": np.zeros(n, dtype=np.int64),
+        }
+        base.update(cols)
+        return pd.DataFrame(base)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
@@ -168,91 +185,47 @@ def ciff_postings(spark: SparkSession, path: str) -> DataFrame:
                 buf = memoryview(bytes(blob))
                 msgs = _delimited(buf)
                 hdr = _header_from_msg(next(msgs))
-                # One marker row per file (list_no=-1): offsets derive
-                # from the HEADER's list count, so zero-posting lists
-                # (df=0) and even all-empty shard files keep the
-                # term_id = global-list-position contract intact — a
-                # rows-only count would undercount them and collide
-                # term_ids across shards.
-                yield pd.DataFrame(
-                    {
-                        "file": [file],
-                        "list_no": np.asarray([-1], dtype=np.int64),
-                        "n_lists": np.asarray(
-                            [hdr["num_postings_lists"]], dtype=np.int64
-                        ),
-                        "term": [""],
-                        "doc_id": np.asarray([-1], dtype=np.int64),
-                        "tf": np.asarray([0], dtype=np.int64),
-                    }
-                )
-                for li in range(hdr["num_postings_lists"]):
-                    term, df, cf, docids, tfs = _parse_postings_list(
-                        next(msgs)
+                n_lists = hdr["num_postings_lists"]
+                if postings:
+                    # One marker row per file (list_no=-1): offsets
+                    # derive from the HEADER's list count, so
+                    # zero-posting lists (df=0) and even all-empty
+                    # shard files keep the term_id =
+                    # global-list-position contract intact — a
+                    # rows-only count would undercount them and
+                    # collide term_ids across shards.
+                    yield _pad(
+                        {
+                            "file": [file],
+                            "kind": np.asarray([_K_MARKER], np.int32),
+                            "n_lists": np.asarray([n_lists], np.int64),
+                        },
+                        1,
                     )
+                for li in range(n_lists):
+                    msg = next(msgs)
+                    if not postings:
+                        continue  # length-prefix skip only
+                    term, df, cf, docids, tfs = _parse_postings_list(msg)
                     if df and df != len(docids):
                         raise ValueError(
                             f"CIFF list {term!r} in {file}: df={df} "
                             f"but {len(docids)} postings"
                         )
-                    yield pd.DataFrame(
+                    yield _pad(
                         {
                             "file": file,
+                            "kind": np.int32(_K_POSTING),
                             "list_no": np.int64(li),
-                            "n_lists": np.int64(hdr["num_postings_lists"]),
+                            "n_lists": np.int64(n_lists),
                             "term": term,
                             "doc_id": docids,
                             "tf": tfs,
-                        }
+                        },
+                        len(docids),
                     )
-
-    lists = raw.mapInPandas(
-        kernel,
-        "file string, list_no long, n_lists long, term string, "
-        "doc_id long, tf long",
-    )
-    # Global term_id across shards: per-file HEADER list counts ->
-    # offsets (one read: counts ride the checkpointed parse's marker
-    # rows).
-    lists = lists.localCheckpoint(eager=True)
-    counts = (
-        lists.filter(F.col("list_no") == -1)
-        .select("file", "n_lists")
-        .toPandas()
-    )
-    counts = counts.sort_values(
-        "file", key=lambda s: s.map(_natural_key)
-    ).reset_index(drop=True)
-    counts["off"] = counts["n_lists"].cumsum().shift(fill_value=0)
-    offs = spark.createDataFrame(counts[["file", "off"]])
-    return (
-        lists.filter(F.col("list_no") >= 0)
-        .join(F.broadcast(offs), "file")
-        .select(
-            (F.col("off") + F.col("list_no")).alias("term_id"),
-            "term",
-            "doc_id",
-            F.col("tf").cast("int").alias("tf"),
-        )
-    )
-
-
-def ciff_docs(spark: SparkSession, path: str) -> DataFrame:
-    """CIFF file(s) -> (doc_id, collection_docid, doc_len) — doc
-    metadata (the doc_sizes shape plus the external docid map the
-    reference keeps in its .documents lexicon)."""
-    raw = spark.read.format("binaryFile").load(path).select(
-        F.col("path").alias("file"), "content"
-    )
-
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for b in batches:
-            for file, blob in zip(b["file"], b["content"]):
-                buf = memoryview(bytes(blob))
-                msgs = _delimited(buf)
-                hdr = _header_from_msg(next(msgs))
-                for _ in range(hdr["num_postings_lists"]):
-                    next(msgs)
+                if not docs:
+                    continue
                 ids, exts, lens = [], [], []
                 for _ in range(hdr["num_docs"]):
                     did, ext, dl = 0, "", 0
@@ -266,17 +239,88 @@ def ciff_docs(spark: SparkSession, path: str) -> DataFrame:
                     ids.append(did)
                     exts.append(ext)
                     lens.append(dl)
-                yield pd.DataFrame(
+                yield _pad(
                     {
+                        "file": file,
+                        "kind": np.int32(_K_DOC),
                         "doc_id": np.asarray(ids, dtype=np.int64),
                         "collection_docid": exts,
                         "doc_len": np.asarray(lens, dtype=np.int64),
-                    }
+                    },
+                    len(ids),
                 )
 
-    return raw.mapInPandas(
-        kernel, "doc_id long, collection_docid string, doc_len long"
-    ).select("doc_id", "collection_docid", F.col("doc_len").cast("int"))
+    return raw.mapInPandas(kernel, _ROW_SCHEMA)
+
+
+def _postings_from_rows(spark: SparkSession, rows: DataFrame) -> DataFrame:
+    """Marker rows -> per-file term_id offsets (natural shard order,
+    the bincoll pattern), applied to the posting rows."""
+    from pisa_spark.build.bincoll import _natural_key
+
+    counts = (
+        rows.filter(F.col("kind") == _K_MARKER)
+        .select("file", "n_lists")
+        .toPandas()
+    )
+    counts = counts.sort_values(
+        "file", key=lambda s: s.map(_natural_key)
+    ).reset_index(drop=True)
+    counts["off"] = counts["n_lists"].cumsum().shift(fill_value=0)
+    offs = spark.createDataFrame(counts[["file", "off"]])
+    return (
+        rows.filter(F.col("kind") == _K_POSTING)
+        .join(F.broadcast(offs), "file")
+        .select(
+            (F.col("off") + F.col("list_no")).alias("term_id"),
+            "term",
+            "doc_id",
+            F.col("tf").cast("int").alias("tf"),
+        )
+    )
+
+
+def _docs_from_rows(rows: DataFrame) -> DataFrame:
+    return rows.filter(F.col("kind") == _K_DOC).select(
+        "doc_id", "collection_docid", F.col("doc_len").cast("int")
+    )
+
+
+def ciff_import(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:
+    """Full import: (postings, docs) off ONE read + parse of every
+    file — the parsed rows are eagerly checkpointed so neither derived
+    table re-scans the CIFF bytes (binaryFile rows are unsplittable
+    whole-file payloads; reading them twice doubles import I/O)."""
+    rows = _ciff_rows(spark, path, postings=True, docs=True)
+    rows = rows.localCheckpoint(eager=True)
+    return _postings_from_rows(spark, rows), _docs_from_rows(rows)
+
+
+def ciff_postings(spark: SparkSession, path: str) -> DataFrame:
+    """CIFF file(s) -> (term_id, term, doc_id, tf) — the engine's
+    postings table plus the term surface form (term_id = postings-list
+    position, the same contract the lexicon/build stages use; sharded
+    inputs number term_ids globally in natural shard order via the
+    bincoll offset pattern). Use ciff_import for postings AND docs —
+    it shares one scan.
+
+    Per-row parity with ciff2pisa: identical (term, docid, tf)
+    triples — the tool emits the lists in file order with gap-decoded
+    docids, exactly this walk."""
+    rows = _ciff_rows(spark, path, postings=True, docs=False)
+    # Global term_id across shards needs the marker counts (a second
+    # pass over the parsed rows) — checkpoint so the file bytes are
+    # still read once.
+    rows = rows.localCheckpoint(eager=True)
+    return _postings_from_rows(spark, rows)
+
+
+def ciff_docs(spark: SparkSession, path: str) -> DataFrame:
+    """CIFF file(s) -> (doc_id, collection_docid, doc_len) — doc
+    metadata (the doc_sizes shape plus the external docid map the
+    reference keeps in its .documents lexicon). Use ciff_import for
+    postings AND docs — it shares one scan."""
+    return _docs_from_rows(_ciff_rows(spark, path, postings=False, docs=True))
 
 
 # ------------------------------------------------------------------ export

@@ -78,14 +78,17 @@ def _ann_union(s: SparkSession, d: str) -> DataFrame:
     'lsh' = hyperplane-band bucketing — each exact-ranked over its
     candidate set (same consolidation pattern as
     segments_decode_check's codec tags)."""
-    from pyspark.sql import functions as F
+    from pisa_spark.gated.entries import tagged_union
 
     emb = _emb(s, d)
-    brute = similarity.ann_topk(emb).withColumn("method", F.lit("brute"))
-    ivf = similarity.ivf_topk(emb).withColumn("method", F.lit("ivf"))
-    lsh = similarity.lsh_topk(emb).withColumn("method", F.lit("lsh"))
-    return brute.unionByName(ivf).unionByName(lsh).select(
-        "method", "q_vec_id", "rank", "vec_id", "cos_micro"
+    return tagged_union(
+        "method",
+        [
+            ("brute", similarity.ann_topk(emb)),
+            ("ivf", similarity.ivf_topk(emb)),
+            ("lsh", similarity.lsh_topk(emb)),
+        ],
+        ["q_vec_id", "rank", "vec_id", "cos_micro"],
     )
 
 

@@ -749,13 +749,18 @@ def lsh_topk_oracle(k: int = 5, n_queries: int = N_QUERIES,
     re-derived from md5 parity (hashing.hash60 convention), signature
     bits from the same quantized int64 dot sums, band keys from the
     same bit packing — then the same candidate join and exact ranking."""
+    from pisa_spark.datapipe.hashing import hash60_sql
+
     rows = n_planes // n_bands
+    plane_hash = hash60_sql(
+        "'lshp_' || CAST(t.p AS VARCHAR) || '_' || CAST(d.pos AS VARCHAR)",
+        "duckdb",
+    )
     return f"""WITH {_quant_dot_cte('TRUE', 'FALSE')},
 dims AS (SELECT DISTINCT pos FROM qc),
 planes AS (
   SELECT t.p AS plane, d.pos,
-         CASE WHEN (CAST(('0x' || substr(md5('lshp_' || CAST(t.p AS VARCHAR)
-                    || '_' || CAST(d.pos AS VARCHAR)), 1, 15)) AS BIGINT) % 2) = 0
+         CASE WHEN ({plane_hash} % 2) = 0
               THEN 1 ELSE -1 END AS h
   FROM range({n_planes}) t(p) CROSS JOIN dims d
 ),

@@ -420,41 +420,56 @@ def _boolean_docs_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.unionByName(o).select("op", "query_id", "doc_id")
 
 
+def tagged_union(tag_col: str, tagged, cols) -> DataFrame:
+    """Union an ordered sequence of (tag, DataFrame) pairs into one
+    frame, each tagged in ``tag_col``, with a fixed output column
+    order — the shared shape of every consolidated multi-variant gate
+    entry (BMW variants, range modes, strategies, codec decode checks,
+    ANN methods). One place owns the tag/column ordering so new
+    consolidated entries can't drift."""
+    from pyspark.sql import functions as F
+
+    out = None
+    for tag, df in tagged:
+        df = df.withColumn(tag_col, F.lit(tag))
+        out = df if out is None else out.unionByName(df)
+    return out.select(tag_col, *cols)
+
+
+TOPK_COLS = ["query_id", "rank", "doc_id", "score"]
+
+
 def _bmw_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BMW under all four non-default index/execution variants
     (threshold-bootstrapped, compressed block maxes, impact-quantized,
     score-optimal variable blocks), tagged by variant."""
-    from pyspark.sql import functions as F
-
     runs = {
         "bootstrap": _run_bootstrapped("block_max_wand"),
         "cwand": _run_kernel("block_max_wand", variant="cwand"),
         "quantized": _run_kernel("block_max_wand", variant="quantized"),
         "varblock": _run_kernel("block_max_wand", variant="varblock"),
     }
-    out = None
-    for tag in BMW_VARIANT_TAGS:
-        df = runs[tag](spark, sf_dir).withColumn("variant", F.lit(tag))
-        out = df if out is None else out.unionByName(df)
-    return out.select("variant", "query_id", "rank", "doc_id", "score")
+    return tagged_union(
+        "variant",
+        ((t, runs[t](spark, sf_dir)) for t in BMW_VARIANT_TAGS),
+        TOPK_COLS,
+    )
 
 
 def _range_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Doc-range-partitioned execution (wand_data_range) under
     maxscore, BMW, and BMW + live-block pre-filter, tagged by
     range_mode — each must stay rank-identical to ranked_or."""
-    from pyspark.sql import functions as F
-
     runs = {
         "maxscore": _run_kernel("maxscore", range_mode=True),
         "bmw": _run_kernel("block_max_wand", range_mode=True),
         "bmw_live": _run_range_live("block_max_wand"),
     }
-    out = None
-    for tag in RANGE_MODE_TAGS:
-        df = runs[tag](spark, sf_dir).withColumn("range_mode", F.lit(tag))
-        out = df if out is None else out.unionByName(df)
-    return out.select("range_mode", "query_id", "rank", "doc_id", "score")
+    return tagged_union(
+        "range_mode",
+        ((t, runs[t](spark, sf_dir)) for t in RANGE_MODE_TAGS),
+        TOPK_COLS,
+    )
 
 
 def _strategy_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -463,33 +478,29 @@ def _strategy_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (batch-major executor.topk_search_batch with the shared
     decoded-block cache) — each must stay rank-identical to the
     exhaustive ranked_or oracle."""
-    from pyspark.sql import functions as F
-
     runs = {
         "adaptive": _run_kernel("adaptive"),
         "batched": _run_batched("block_max_maxscore"),
     }
-    out = None
-    for tag in STRATEGY_TAGS:
-        df = runs[tag](spark, sf_dir).withColumn("strategy", F.lit(tag))
-        out = df if out is None else out.unionByName(df)
-    return out.select("strategy", "query_id", "rank", "doc_id", "score")
+    return tagged_union(
+        "strategy",
+        ((t, runs[t](spark, sf_dir)) for t in STRATEGY_TAGS),
+        TOPK_COLS,
+    )
 
 
 def _decode_check_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """compress --check across the ENTIRE codec registry: one full
     index build + segment round-trip decode per codec, union-tagged —
     a single driver row covers every codec family."""
-    from pyspark.sql import functions as F
-
-    out = None
-    for codec in DECODE_CHECK_CODECS:
-        variant = "default" if codec == "varint" else codec
-        df = _decode_check(variant)(spark, sf_dir).withColumn(
-            "codec", F.lit(codec)
-        )
-        out = df if out is None else out.unionByName(df)
-    return out.select("codec", "term_id", "doc_id", "tf")
+    return tagged_union(
+        "codec",
+        (
+            (c, _decode_check("default" if c == "varint" else c)(spark, sf_dir))
+            for c in DECODE_CHECK_CODECS
+        ),
+        ["term_id", "doc_id", "tf"],
+    )
 
 
 def _nonsql_engine_checks(spark: SparkSession, sf_dir: str) -> DataFrame:

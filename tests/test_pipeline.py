@@ -391,6 +391,31 @@ def test_ciff_import_roundtrip(spark, tmp_path):
     assert list(d["doc_len"]) == [3, 6, 7, 304]
 
 
+def test_ciff_import_single_scan_matches_per_table_readers(spark, tmp_path):
+    """ciff_import returns both tables off ONE parse: equal to the
+    per-table readers row-for-row, and the shared parse is
+    checkpointed (neither derived table plans a binaryFile scan)."""
+    from pisa_spark.build.ciff import ciff_import, write_ciff
+
+    postings = [("cat", [(0, 2), (2, 1)]), ("dog", [(1, 1)])]
+    docs = [(0, "a", 3), (1, "b", 1), (2, "c", 1)]
+    write_ciff(tmp_path / "c.ciff", postings, docs)
+    p, d = ciff_import(spark, str(tmp_path / "c.ciff"))
+    got_p = sorted(
+        tuple(r) for r in
+        p.toPandas()[["term_id", "term", "doc_id", "tf"]].values
+    )
+    assert got_p == [(0, "cat", 0, 2), (0, "cat", 2, 1), (1, "dog", 1, 1)]
+    got_d = sorted(
+        tuple(r) for r in
+        d.toPandas()[["doc_id", "collection_docid", "doc_len"]].values
+    )
+    assert got_d == [(0, "a", 3), (1, "b", 1), (2, "c", 1)]
+    # one read: both plans hang off the checkpointed parse, not a scan
+    for df in (p, d):
+        assert "binaryFile" not in df._jdf.queryExecution().toString()
+
+
 def test_ciff_sharded_import_numbers_terms_globally(spark, tmp_path):
     """Sharded CIFF exports: term_ids continue across files in natural
     shard order; a df/postings mismatch fails loudly."""
