@@ -24,6 +24,12 @@ from __future__ import annotations
 from pisa_spark.functions.scoring import bm25_sql_expr, dlit, micro_sql
 
 K = 10
+# Cache budget for the kth_thresholds 'budget' tag: how many workload
+# terms get a cached single-term k-th score (the budget fork's
+# "exist terms" list, tools/kth_threshold_budget_origional.cpp:73-125
+# — estimation sees cache HITS only). 8 of the ~30 workload terms so
+# both hit and miss paths are exercised at sf0.01.
+KTH_BUDGET = 8
 
 # Fixed literal query workload over the documents vocabulary
 # (mirrors the reference's 100-query term-ID fixture; 1-5 terms,
@@ -809,10 +815,32 @@ SELECT scorer, query_id, rank, doc_id, score FROM (
     # value-identical to kth_threshold_estimate (max over terms of the
     # term's k-th single-term score, 0 when no term reaches rank k).
     _kth_all = e["kth_threshold_triples"].rsplit("allk AS", 1)[0]
+    # 'budget' tag: the budget fork family
+    # (tools/kth_threshold_budget_origional.cpp) estimates from a
+    # CAPPED single-term cache — only the KTH_BUDGET most-queried
+    # workload terms are cached (the fork's precomputed "exist terms"
+    # gram list; qn DESC, term_id ASC is its query-log-frequency
+    # selection made deterministic), uncached terms contribute 0, and
+    # dup-term queries are skipped outright with -1 (ifDupTerm,
+    # :31-41 — the fork's prefix caches assume distinct terms).
     e["kth_thresholds"] = f"""{_kth_all}qids AS (SELECT DISTINCT query_id FROM qterms),
 m_b AS (SELECT query_id, kth FROM skth UNION ALL SELECT query_id, kth FROM pkth),
 m_c AS (SELECT query_id, kth FROM skth UNION ALL SELECT query_id, kth FROM pkth
-        UNION ALL SELECT query_id, kth FROM trikth)
+        UNION ALL SELECT query_id, kth FROM trikth),
+bsel AS (
+  SELECT term_id FROM (
+    SELECT term_id, CAST(COUNT(DISTINCT query_id) AS BIGINT) AS qn
+    FROM qterms GROUP BY term_id
+  ) t ORDER BY qn DESC, term_id ASC LIMIT {KTH_BUDGET}
+),
+bskth AS (
+  SELECT s.query_id, s.term_id, s.m AS kth FROM (
+    SELECT query_id, term_id, doc_id, m,
+           ROW_NUMBER() OVER (PARTITION BY query_id, term_id
+                              ORDER BY m DESC, doc_id ASC) AS rn
+    FROM pm
+  ) s JOIN bsel b ON b.term_id = s.term_id WHERE s.rn = {K}
+)
 SELECT method, query_id, threshold_micro FROM (
   SELECT 'single' AS method, q.query_id,
          CAST(MAX(COALESCE(a.kth, 0)) AS BIGINT) AS threshold_micro
@@ -825,6 +853,13 @@ SELECT method, query_id, threshold_micro FROM (
   SELECT 'triples' AS method, q.query_id,
          CAST(MAX(COALESCE(c.kth, 0)) AS BIGINT) AS threshold_micro
   FROM qids q LEFT JOIN m_c c ON c.query_id = q.query_id GROUP BY q.query_id
+  UNION ALL
+  SELECT 'budget' AS method, q.query_id,
+         CAST(CASE WHEN MAX(q.weight) > 1 THEN -1
+              ELSE MAX(COALESCE(d.kth, 0)) END AS BIGINT) AS threshold_micro
+  FROM qterms q
+  LEFT JOIN bskth d ON d.query_id = q.query_id AND d.term_id = q.term_id
+  GROUP BY q.query_id
 ) u ORDER BY method, query_id"""
 
     # AND + OR result sets in one statement, tagged by op (oracle for

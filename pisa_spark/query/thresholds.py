@@ -186,6 +186,54 @@ def pair_kth_thresholds(index: InvertedIndex, parsed: DataFrame,
     )
 
 
+def budget_kth_thresholds(index: InvertedIndex, parsed: DataFrame,
+                          budget: int, k: int = 10) -> DataFrame:
+    """(query_id, threshold_micro): the budget fork family's
+    cache-capped estimate (tools/kth_threshold_budget_origional.cpp).
+    Only ``budget`` workload terms get a cached single-term k-th
+    score — ranked by how many queries use the term (qn DESC,
+    term_id ASC: the fork's query-log-frequency "exist terms" gram
+    selection, :73-125, made deterministic) — uncached terms
+    contribute 0 (a cache MISS, the hit-ratio experiment's subject),
+    and a query with a duplicated term is skipped outright with -1
+    (ifDupTerm, :31-41: the fork's prefix caches assume distinct
+    terms). Still a sound bootstrap for non-skipped queries: every
+    cached value is a true k-th single-term score.
+
+    Scale shape: term selection is one tiny workload aggregate; the
+    capped cache is kth_score_cache's two-phase top-k restricted to
+    <= budget terms (semi-join prunes the postings scan before the
+    window), so cost shrinks with the budget — the fork's entire
+    point."""
+    sel = (
+        parsed.groupBy("term_id")
+        .agg(F.count_distinct("query_id").alias("qn"))
+        .orderBy(F.col("qn").desc(), F.col("term_id").asc())
+        .limit(budget)
+        .select("term_id")
+    )
+    cache = kth_score_cache(index, k=k).join(F.broadcast(sel), "term_id")
+    joined = parsed.join(F.broadcast(cache), "term_id", "left")
+    if "k" in parsed.columns:
+        # same guard as estimate_thresholds: a cache built for a
+        # different k is NOT a lower bound for this query's k
+        joined = joined.withColumn(
+            "kth_micro",
+            F.when(F.col("cache_k") == F.col("k"), F.col("kth_micro")),
+        )
+    # Every non-skipped query has weight 1 on every term (a dup is
+    # skipped below), so the UNWEIGHTED cached k-th micro equals the
+    # kernels' weighted micro exactly — no estimate_thresholds-style
+    # floor(w*(m-1)) slack, the bound is exact-integer tight.
+    return joined.groupBy("query_id").agg(
+        F.when(F.max("weight") > 1, F.lit(-1).cast("long"))
+        .otherwise(
+            F.max(F.coalesce(F.col("kth_micro"), F.lit(0))).cast("long")
+        )
+        .alias("threshold_micro")
+    )
+
+
 def estimate_thresholds_with_pairs(index: InvertedIndex, parsed: DataFrame,
                                    cache: DataFrame, k: int = 10) -> DataFrame:
     """(query_id, threshold_micro) = max(single-term cache estimate,

@@ -314,6 +314,53 @@ def test_threshold_cache_k_mismatch_ignored(spark, index, parsed):
     assert (est10["threshold_micro"] > 0).any()
 
 
+def test_budget_kth_thresholds(spark, index, parsed, oracle_topk):
+    """Budget fork family (tools/kth_threshold_budget_origional.cpp):
+    the single-term cache is capped at the B most-queried workload
+    terms, a cache miss contributes 0, a dup-term query is skipped
+    with -1, and the capped estimate is still a sound BMW bootstrap
+    (rank identity vs the exhaustive oracle)."""
+    from pisa_spark.query.thresholds import budget_kth_thresholds
+
+    full = budget_kth_thresholds(index, parsed, budget=100_000, k=10)
+    small = budget_kth_thresholds(index, parsed, budget=3, k=10)
+    zero = budget_kth_thresholds(index, parsed, budget=0, k=10)
+    f = full.toPandas().set_index("query_id")["threshold_micro"]
+    s = small.toPandas().set_index("query_id")["threshold_micro"]
+    z = zero.toPandas().set_index("query_id")["threshold_micro"]
+    nondup = f.index[f != -1]
+    assert len(nondup) > 0
+    assert (z[nondup] == 0).all()  # empty cache -> no estimate
+    # monotone in budget, and the cap actually bites somewhere
+    assert (s[nondup] <= f[nondup]).all()
+    assert (s[nondup] < f[nondup]).any()
+    assert (f[nondup] >= 0).all()
+
+    # dup-term query -> skipped with -1 at EVERY budget (ifDupTerm)
+    lex_term = index.lexicon.select("term").first()["term"]
+    dq = spark.createDataFrame(
+        pd.DataFrame(
+            {"query_id": ["dq"], "terms": [[lex_term, lex_term]], "k": [10]}
+        ),
+        schema="query_id string, terms array<string>, k int",
+    )
+    dparsed = parse_queries(dq, index.lexicon, pre_tokenized=True)
+    for b in (0, 100_000):
+        got = budget_kth_thresholds(index, dparsed, budget=b, k=10).toPandas()
+        assert list(got["threshold_micro"]) == [-1]
+
+    # sound bootstrap: BMW with the capped estimates stays rank-identical
+    got = _fetch(
+        topk_search(
+            index, parsed, algorithm="block_max_wand", k=10, thresholds=small
+        )
+    )
+    exp = oracle_topk.astype({"rank": "int64", "doc_id": "int64"})
+    pd.testing.assert_frame_equal(
+        got[["query_id", "rank", "doc_id"]], exp[["query_id", "rank", "doc_id"]]
+    )
+
+
 def test_range_live_prefilter(spark, index, parsed, oracle_topk):
     """Live-range pruning (wand_data_range compute_live_blocks in
     Catalyst): bootstrapped topk_range stays rank-identical while the
