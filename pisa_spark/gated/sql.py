@@ -30,6 +30,13 @@ K = 10
 # — estimation sees cache HITS only). 8 of the ~30 workload terms so
 # both hit and miss paths are exercised at sf0.01.
 KTH_BUDGET = 8
+# Sampling-fork parameters for the 'sampling' tag
+# (kth_threshold_sampling_origional.cpp:104-124,277-320): doc sample
+# doc_id % 10 = 0 (sample_inverted_index's convention, rate 0.1) and
+# over-estimate target 0.05 -> k' = 4 at K = 10
+# (thresholds.sampling_k_prime — pinned by pytest).
+KTH_SAMPLE_MOD = 10
+KTH_SAMPLING_TARGET_O = 0.05
 
 # Fixed literal query workload over the documents vocabulary
 # (mirrors the reference's 100-query term-ID fixture; 1-5 terms,
@@ -814,6 +821,11 @@ SELECT scorer, query_id, rank, doc_id, score FROM (
     # estimates side by side, tagged by method. The 'single' branch is
     # value-identical to kth_threshold_estimate (max over terms of the
     # term's k-th single-term score, 0 when no term reaches rank k).
+    from pisa_spark.query.thresholds import sampling_k_prime
+
+    _KPRIME = sampling_k_prime(
+        K, 1.0 / KTH_SAMPLE_MOD, KTH_SAMPLING_TARGET_O
+    )
     _kth_all = e["kth_threshold_triples"].rsplit("allk AS", 1)[0]
     # 'budget' tag: the budget fork family
     # (tools/kth_threshold_budget_origional.cpp) estimates from a
@@ -840,6 +852,19 @@ bskth AS (
                               ORDER BY m DESC, doc_id ASC) AS rn
     FROM pm
   ) s JOIN bsel b ON b.term_id = s.term_id WHERE s.rn = {K}
+),
+smp AS (
+  SELECT query_id, doc_id, CAST(SUM(m) AS BIGINT) AS ms
+  FROM pm WHERE doc_id % {KTH_SAMPLE_MOD} = 0
+  GROUP BY query_id, doc_id
+),
+skprime AS (
+  SELECT query_id, ms FROM (
+    SELECT query_id, doc_id, ms,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY ms DESC, doc_id ASC) AS rn
+    FROM smp
+  ) x WHERE rn = {_KPRIME}
 )
 SELECT method, query_id, threshold_micro FROM (
   SELECT 'single' AS method, q.query_id,
@@ -860,6 +885,10 @@ SELECT method, query_id, threshold_micro FROM (
   FROM qterms q
   LEFT JOIN bskth d ON d.query_id = q.query_id AND d.term_id = q.term_id
   GROUP BY q.query_id
+  UNION ALL
+  SELECT 'sampling' AS method, q.query_id,
+         CAST(COALESCE(sp.ms, -1) AS BIGINT) AS threshold_micro
+  FROM qids q LEFT JOIN skprime sp ON sp.query_id = q.query_id
 ) u ORDER BY method, query_id"""
 
     # AND + OR result sets in one statement, tagged by op (oracle for

@@ -234,6 +234,102 @@ def budget_kth_thresholds(index: InvertedIndex, parsed: DataFrame,
     )
 
 
+def sampling_k_prime(k: int, s: float, target_o: float) -> int:
+    """The sampling fork's k' selection
+    (tools/kth_threshold_sampling_origional.cpp:104-124): the smallest
+    k' in [1, k) whose binomial over-estimate probability
+    sum_{i=k'}^{k-1} C(k-1,i) s^i (1-s)^(k-1-i) is <= ``target_o``
+    for doc-sample rate ``s``; -1 when no k' qualifies (the fork's
+    sentinel — every estimate is then 'no estimate')."""
+    from math import comb
+
+    for k_prime in range(1, k):
+        o = sum(
+            comb(k - 1, i) * s**i * (1 - s) ** (k - 1 - i)
+            for i in range(k_prime, k)
+        )
+        if o <= target_o:
+            return k_prime
+    return -1
+
+
+def sampling_kth_thresholds(index: InvertedIndex, parsed: DataFrame,
+                            k: int = 10, sample_mod: int = 10,
+                            target_o: float = 0.05) -> DataFrame:
+    """(query_id, threshold_micro): the sampling fork family's
+    estimate (tools/kth_threshold_sampling_origional.cpp:277-320) —
+    run the query over a deterministic 1/``sample_mod`` doc sample
+    (``doc_id % sample_mod = 0``, sample_inverted_index's convention)
+    at k' = sampling_k_prime(k, 1/sample_mod, target_o) and report the
+    k'-th best disjunctive weighted micro score; -1 when the sample
+    matches fewer than k' docs (the fork's 'no estimate' sentinel).
+
+    RISKY by construction, unlike every other estimator in this
+    module: the sampled k'-th score over-estimates the true k-th final
+    score with probability <= ``target_o``, so it must NOT bootstrap a
+    kernel without a safe-mode rerun — it is the fork's threshold
+    ANALYSIS tool, not a sound bound.
+
+    Scores use FULL-index stats (df, num_docs, avg_len), so a sampled
+    doc scores exactly what it scores in the full index — which is
+    what makes sampling_k_prime's binomial bound exact: the estimate
+    over-shoots iff >= k' of the full top-(k-1) docs land in the
+    sample, each independently with probability 1/sample_mod.
+
+    Scale shape: the sample filter lands in the postings scan
+    (Catalyst pushdown), the per-query top-k' reuses the two-phase
+    salted window, and nothing query-independent is materialized."""
+    from pisa_spark.build.segments import scored_postings
+    from pisa_spark.functions.scoring import bm25_sql_expr
+
+    k_prime = sampling_k_prime(k, 1.0 / sample_mod, target_o)
+    qids = parsed.select("query_id").distinct()
+    if k_prime < 0:
+        return qids.select(
+            "query_id", F.lit(-1).cast("long").alias("threshold_micro")
+        )
+    scored = scored_postings(
+        index.postings.filter(F.col("doc_id") % sample_mod == 0),
+        index.doc_sizes, index.lexicon,
+        index.num_docs, index.avg_len,
+    )
+    bm25 = bm25_sql_expr(
+        tf="tf", df="df", doc_len="doc_len",
+        num_docs=str(float(index.num_docs)), avg_len=str(float(index.avg_len)),
+        k1=index.config.bm25.k1, b=index.config.bm25.b,
+    )
+    qdoc = (
+        scored.join(
+            F.broadcast(parsed.select("query_id", "term_id", "weight")),
+            "term_id",
+        )
+        .withColumn("m", F.expr(micro_sql(bm25, weight="weight")))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("m").cast("long").alias("ms"))
+    )
+    salted = qdoc.withColumn("salt", F.col("doc_id") % 64)
+    w1 = Window.partitionBy("query_id", "salt").orderBy(
+        F.col("ms").desc(), F.col("doc_id").asc()
+    )
+    cand = (
+        salted.withColumn("rn1", F.row_number().over(w1))
+        .filter(F.col("rn1") <= k_prime)
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("ms").desc(), F.col("doc_id").asc()
+    )
+    kth = (
+        cand.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") == k_prime)
+        .select("query_id", "ms")
+    )
+    return qids.join(kth, "query_id", "left").select(
+        "query_id",
+        F.coalesce(F.col("ms"), F.lit(-1)).cast("long")
+        .alias("threshold_micro"),
+    )
+
+
 def estimate_thresholds_with_pairs(index: InvertedIndex, parsed: DataFrame,
                                    cache: DataFrame, k: int = 10) -> DataFrame:
     """(query_id, threshold_micro) = max(single-term cache estimate,

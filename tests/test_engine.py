@@ -361,6 +361,66 @@ def test_budget_kth_thresholds(spark, index, parsed, oracle_topk):
     )
 
 
+def test_sampling_kth_thresholds(spark, index, parsed):
+    """Sampling fork family (kth_threshold_sampling_origional.cpp):
+    k' selection pins the binomial over-estimate table; the estimate
+    equals the k'-th best disjunctive micro over the doc_id%10 sample
+    (independently recomputed), -1 when the sample matches fewer than
+    k' docs; an unreachable target_o yields the -1 sentinel."""
+    from pisa_spark.functions.scoring import bm25_sql_expr, dlit, micro_sql
+    from pisa_spark.query.thresholds import (
+        sampling_k_prime, sampling_kth_thresholds,
+    )
+
+    # calculateO(k=10, k', s=0.1): 0.613, 0.225, 0.053, 0.0083 ...
+    assert sampling_k_prime(10, 0.1, 0.05) == 4
+    assert sampling_k_prime(10, 0.1, 0.3) == 2  # O(2)=0.225 <= 0.3
+    assert sampling_k_prime(10, 0.1, 0.7) == 1
+    assert sampling_k_prime(10, 0.9, 1e-12) == -1  # nothing qualifies
+
+    got = (
+        sampling_kth_thresholds(index, parsed, k=10)
+        .toPandas().set_index("query_id")["threshold_micro"]
+    )
+    # independent recompute: full-index doc scores, sampled docs only
+    sm = (
+        parsed.join(
+            index.postings.select("term_id", "doc_id", "tf")
+            .filter(F.col("doc_id") % 10 == 0),
+            "term_id",
+        )
+        .join(index.doc_sizes.select("doc_id", "doc_len"), "doc_id")
+        .join(index.lexicon.select("term_id", "df"), "term_id")
+        .withColumn(
+            "m",
+            F.expr(
+                micro_sql(
+                    bm25_sql_expr(
+                        num_docs=dlit(index.num_docs),
+                        avg_len=dlit(index.avg_len),
+                    ),
+                    weight="weight",
+                )
+            ),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("m").alias("ms"))
+        .toPandas()
+    )
+    k_prime = sampling_k_prime(10, 0.1, 0.05)
+    for qid, grp in sm.groupby("query_id"):
+        ranked = grp.sort_values(
+            ["ms", "doc_id"], ascending=[False, True]
+        )["ms"].tolist()
+        exp = ranked[k_prime - 1] if len(ranked) >= k_prime else -1
+        assert got[qid] == exp, qid
+    # queries whose sample never reaches k' docs exist at this scale
+    # and carry the sentinel
+    missing = set(got.index) - set(sm["query_id"])
+    for qid in missing:
+        assert got[qid] == -1
+
+
 def test_range_live_prefilter(spark, index, parsed, oracle_topk):
     """Live-range pruning (wand_data_range compute_live_blocks in
     Catalyst): bootstrapped topk_range stays rank-identical while the
