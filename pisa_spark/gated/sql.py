@@ -37,6 +37,10 @@ KTH_BUDGET = 8
 # (thresholds.sampling_k_prime — pinned by pytest).
 KTH_SAMPLE_MOD = 10
 KTH_SAMPLING_TARGET_O = 0.05
+# Combine-did fork prefix depth for the 'combine_did' tag
+# (kth_threshold_intersection_new.cpp:211-232: per-gram top-d cached
+# (did, score) prefixes, summed per did across the query's grams).
+KTH_COMBINE_D = 16
 
 # Fixed literal query workload over the documents vocabulary
 # (mirrors the reference's 100-query term-ID fixture; 1-5 terms,
@@ -865,6 +869,26 @@ skprime AS (
                               ORDER BY ms DESC, doc_id ASC) AS rn
     FROM smp
   ) x WHERE rn = {_KPRIME}
+),
+cdsel AS (
+  SELECT query_id, doc_id, m FROM (
+    SELECT query_id, term_id, doc_id, m,
+           ROW_NUMBER() OVER (PARTITION BY query_id, term_id
+                              ORDER BY m DESC, doc_id ASC) AS rn
+    FROM pm
+  ) t WHERE rn <= {KTH_COMBINE_D}
+),
+cdsum AS (
+  SELECT query_id, doc_id, CAST(SUM(m) AS BIGINT) AS ms
+  FROM cdsel GROUP BY query_id, doc_id
+),
+cdkth AS (
+  SELECT query_id, ms FROM (
+    SELECT query_id, doc_id, ms,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY ms DESC, doc_id ASC) AS rn
+    FROM cdsum
+  ) y WHERE rn = {K}
 )
 SELECT method, query_id, threshold_micro FROM (
   SELECT 'single' AS method, q.query_id,
@@ -889,6 +913,10 @@ SELECT method, query_id, threshold_micro FROM (
   SELECT 'sampling' AS method, q.query_id,
          CAST(COALESCE(sp.ms, -1) AS BIGINT) AS threshold_micro
   FROM qids q LEFT JOIN skprime sp ON sp.query_id = q.query_id
+  UNION ALL
+  SELECT 'combine_did' AS method, q.query_id,
+         CAST(COALESCE(cd.ms, -2) AS BIGINT) AS threshold_micro
+  FROM qids q LEFT JOIN cdkth cd ON cd.query_id = q.query_id
 ) u ORDER BY method, query_id"""
 
     # AND + OR result sets in one statement, tagged by op (oracle for

@@ -330,6 +330,85 @@ def sampling_kth_thresholds(index: InvertedIndex, parsed: DataFrame,
     )
 
 
+def combine_did_kth_thresholds(index: InvertedIndex, parsed: DataFrame,
+                               d: int = 16, k: int = 10) -> DataFrame:
+    """(query_id, threshold_micro): the combine-did fork family's
+    estimate (tools/kth_threshold_intersection_new.cpp:211-232,
+    354-440 and the *_combine_did tools): each workload term's top-``d``
+    postings form a cached prefix of (did, score) entries; per query,
+    every did seen in ANY of its terms' prefixes gets the SUM of its
+    cached per-term scores (uncached (term, did) components contribute
+    0), and the estimate is the k-th best combined sum (score DESC,
+    did ASC — the reference's sort made tie-deterministic); -2 when
+    fewer than k dids are cached (getTopKFromMap's sentinel).
+
+    SOUND, unlike the sampling estimate: a did's combined sum only
+    omits components of its true score, so the k docs achieving the
+    top-k combined sums each truly score >= the estimate — usable as a
+    kernel bootstrap. Tighter than the single-term cache whenever two
+    of a query's terms share a prefix did (the fork's whole point).
+
+    Singles-gram form; the reference's termConsidered >= 2 modes add
+    pair/triple prefixes into the same did map, which this table-layout
+    extends naturally (union more gram caches before the did sum).
+
+    Scale shape: top-d per (query, term) is the same two-phase salted
+    window as kth_score_cache; everything downstream is prefix-sized
+    (<= terms * d rows per query), not posting-list-sized."""
+    from pisa_spark.build.segments import scored_postings
+    from pisa_spark.functions.scoring import bm25_sql_expr
+
+    scored = scored_postings(
+        index.postings, index.doc_sizes, index.lexicon,
+        index.num_docs, index.avg_len,
+    )
+    bm25 = bm25_sql_expr(
+        tf="tf", df="df", doc_len="doc_len",
+        num_docs=str(float(index.num_docs)), avg_len=str(float(index.avg_len)),
+        k1=index.config.bm25.k1, b=index.config.bm25.b,
+    )
+    pm = (
+        scored.join(
+            F.broadcast(parsed.select("query_id", "term_id", "weight")),
+            "term_id",
+        )
+        .withColumn("m", F.expr(micro_sql(bm25, weight="weight")))
+        .select("query_id", "term_id", "doc_id", "m")
+    )
+    salted = pm.withColumn("salt", F.col("doc_id") % 64)
+    w1 = Window.partitionBy("query_id", "term_id", "salt").orderBy(
+        F.col("m").desc(), F.col("doc_id").asc()
+    )
+    cand = (
+        salted.withColumn("rn1", F.row_number().over(w1))
+        .filter(F.col("rn1") <= d)
+    )
+    w2 = Window.partitionBy("query_id", "term_id").orderBy(
+        F.col("m").desc(), F.col("doc_id").asc()
+    )
+    prefix = (
+        cand.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= d)
+    )
+    combined = prefix.groupBy("query_id", "doc_id").agg(
+        F.sum("m").cast("long").alias("ms")
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("ms").desc(), F.col("doc_id").asc()
+    )
+    kth = (
+        combined.withColumn("qrn", F.row_number().over(wq))
+        .filter(F.col("qrn") == k)
+        .select("query_id", "ms")
+    )
+    qids = parsed.select("query_id").distinct()
+    return qids.join(kth, "query_id", "left").select(
+        "query_id",
+        F.coalesce(F.col("ms"), F.lit(-2)).cast("long")
+        .alias("threshold_micro"),
+    )
+
+
 def estimate_thresholds_with_pairs(index: InvertedIndex, parsed: DataFrame,
                                    cache: DataFrame, k: int = 10) -> DataFrame:
     """(query_id, threshold_micro) = max(single-term cache estimate,

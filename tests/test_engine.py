@@ -421,6 +421,78 @@ def test_sampling_kth_thresholds(spark, index, parsed):
         assert got[qid] == -1
 
 
+def test_combine_did_kth_thresholds(spark, index, parsed, oracle_topk):
+    """Combine-did fork family (kth_threshold_intersection_new.cpp):
+    estimate equals an independent recompute (per-term top-d prefixes
+    -> per-did sum -> k-th best, -2 when fewer than k dids), dominates
+    the single-term estimate where both exist (shared prefix dids only
+    add components), and is still a SOUND bootstrap (rank identity)."""
+    from pisa_spark.functions.scoring import bm25_sql_expr, dlit, micro_sql
+    from pisa_spark.query.thresholds import (
+        combine_did_kth_thresholds, estimate_thresholds, kth_score_cache,
+    )
+
+    D = 16
+    got = (
+        combine_did_kth_thresholds(index, parsed, d=D, k=10)
+        .toPandas().set_index("query_id")["threshold_micro"]
+    )
+    pm = (
+        parsed.join(index.postings.select("term_id", "doc_id", "tf"), "term_id")
+        .join(index.doc_sizes.select("doc_id", "doc_len"), "doc_id")
+        .join(index.lexicon.select("term_id", "df"), "term_id")
+        .withColumn(
+            "m",
+            F.expr(
+                micro_sql(
+                    bm25_sql_expr(
+                        num_docs=dlit(index.num_docs),
+                        avg_len=dlit(index.avg_len),
+                    ),
+                    weight="weight",
+                )
+            ),
+        )
+        .select("query_id", "term_id", "doc_id", "m")
+        .toPandas()
+    )
+    for qid, grp in pm.groupby("query_id"):
+        prefix = (
+            grp.sort_values(["m", "doc_id"], ascending=[False, True])
+            .groupby("term_id").head(D)
+        )
+        combined = (
+            prefix.groupby("doc_id")["m"].sum()
+            .reset_index()
+            .sort_values(["m", "doc_id"], ascending=[False, True])["m"]
+            .tolist()
+        )
+        exp = combined[9] if len(combined) >= 10 else -2
+        assert got[qid] == exp, qid
+
+    # dominates the single-term estimate (d >= k: every term's top-k
+    # prefix did keeps at least its own component)
+    single = (
+        estimate_thresholds(parsed, kth_score_cache(index, k=10))
+        .toPandas().set_index("query_id")["threshold_micro"]
+    )
+    both = got[got >= 0].index
+    assert (got[both] >= single[both]).all()
+    assert (got[both] > single[both]).any()
+
+    # sound bootstrap: BMW with combine-did estimates stays rank-identical
+    est = combine_did_kth_thresholds(index, parsed, d=D, k=10)
+    res = _fetch(
+        topk_search(
+            index, parsed, algorithm="block_max_wand", k=10, thresholds=est
+        )
+    )
+    exp = oracle_topk.astype({"rank": "int64", "doc_id": "int64"})
+    pd.testing.assert_frame_equal(
+        res[["query_id", "rank", "doc_id"]], exp[["query_id", "rank", "doc_id"]]
+    )
+
+
 def test_range_live_prefilter(spark, index, parsed, oracle_topk):
     """Live-range pruning (wand_data_range compute_live_blocks in
     Catalyst): bootstrapped topk_range stays rank-identical while the
