@@ -90,6 +90,106 @@ def exact_dedup_oracle() -> str:
     )
 
 
+# ---------------------------------------------------------------- URL dedup
+
+# Query parameters that never change page content — the strip list of
+# every Common-Crawl-style URL canonicalizer.
+URL_TRACKING_PARAMS = "utm_[a-z0-9_]+|fbclid|gclid|msclkid|mc_cid|mc_eid"
+
+# (pattern, replacement) chain. The PATTERNS are dialect-neutral: no
+# backslash escapes anywhere ([.] classes instead of \\.), no
+# backreferences in replacements (Java $1 vs RE2 \\1 disagree), no
+# single quotes — each runs unchanged under Spark SQL (Java regex)
+# and DuckDB (RE2). The CALL is not: Spark's regexp_replace replaces
+# every match, DuckDB's only the first without the 'g' flag — so the
+# builder takes a dialect. Order matters: fragment and params go
+# before the separators tidy-up; index.html before the trailing-slash
+# strip.
+_URL_CANON_RULES = [
+    ("#.*$", ""),                               # fragment
+    (f"({URL_TRACKING_PARAMS})=[^&#]*", ""),    # tracking params
+    ("[?]&+", "?"),                             # '?&rest' -> '?rest'
+    ("&&+", "&"),                               # collapse '&' runs
+    ("[?&]+$", ""),                             # dangling '?' / '&'
+    ("^https?://", ""),                         # scheme
+    ("^www[.]", ""),                            # www.
+    (":80/", "/"), (":80$", ""),                # default http port
+    (":443/", "/"), (":443$", ""),              # default https port
+    ("/index[.]html?$", ""),                    # default document
+    ("/+$", ""),                                # trailing slash(es)
+]
+
+
+def canonical_url_sql(col: str, dialect: str = "spark") -> str:
+    """SQL expression canonicalizing a URL column — lowercase, then
+    the _URL_CANON_RULES regexp_replace chain. Patterns are shared;
+    DuckDB additionally needs the 'g' flag for replace-ALL semantics
+    (Spark replaces all matches by default)."""
+    flag = ", 'g'" if dialect == "duckdb" else ""
+    e = f"lower({col})"
+    for pat, rep in _URL_CANON_RULES:
+        e = f"regexp_replace({e}, '{pat}', '{rep}'{flag})"
+    return e
+
+
+def url_dedup(pages: DataFrame, url_col: str = "url",
+              id_col: str = "doc_id") -> DataFrame:
+    """(canon_url, keeper_doc_id, n_docs): one canonical page per
+    canonicalized URL — the dedup pass a web-crawl pipeline runs
+    BEFORE content hashing (the same URL recrawled under scheme /
+    www / tracking-param / port / index.html / trailing-slash
+    variations is one page; no reference analogue — web-pipeline
+    scope like the rest of datapipe).
+
+    Scale shape: identical to exact_dedup — one canonicalize map pass
+    (pure native expressions, no UDF) + one hash-partitioned groupBy
+    with map-side combine; canonical URLs are near-unique keys, so no
+    skew handling is needed (boilerplate TEXT is the skewed key space,
+    not URLs)."""
+    return (
+        pages.withColumn("canon_url", F.expr(canonical_url_sql(url_col)))
+        .groupBy("canon_url")
+        .agg(
+            F.min(id_col).alias("keeper_doc_id"),
+            F.count("*").alias("n_docs"),
+        )
+    )
+
+
+def exact_dedup_union_oracle() -> str:
+    """DuckDB oracle for the tagged content+url dedup entry."""
+    canon = canonical_url_sql(url_variants_sql(), dialect="duckdb")
+    return f"""SELECT kind, group_key, keeper_doc_id, n_docs FROM (
+  SELECT 'content' AS kind, md5(text) AS group_key,
+         MIN(doc_id) AS keeper_doc_id, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY md5(text)
+  UNION ALL
+  SELECT 'url' AS kind, canon AS group_key,
+         MIN(doc_id) AS keeper_doc_id, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM (SELECT doc_id, {canon} AS canon FROM documents) u
+  GROUP BY canon
+) t"""
+
+
+def url_variants_sql(id_col: str = "doc_id") -> str:
+    """Deterministic raw-URL synthesis for the gate: consecutive
+    groups of 5 docs share one base URL, each presented under a
+    different raw form (plain / http+www+slash / tracking+fragment /
+    explicit :443 / index.html) so every canonicalization rule does
+    real work and url_dedup recovers exactly the 5-doc groups.
+    Dialect-neutral (CAST AS STRING and || work in both engines)."""
+    path = (
+        f"'/doc/' || lpad(CAST({id_col} - {id_col} % 5 AS STRING), 10, '0')"
+    )
+    return f"""CASE CAST({id_col} % 5 AS INT)
+  WHEN 0 THEN 'https://example.com' || {path}
+  WHEN 1 THEN 'http://www.example.com' || {path} || '/'
+  WHEN 2 THEN 'HTTPS://example.com' || {path} || '?utm_source=feed#top'
+  WHEN 3 THEN 'https://example.com:443' || {path}
+  ELSE 'https://example.com' || {path} || '/index.html'
+END"""
+
+
 # ----------------------------------------------------------- n-gram Jaccard
 
 def _jaccard_from_shingles(shd: DataFrame, pairs: DataFrame | None = None) -> DataFrame:

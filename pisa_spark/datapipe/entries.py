@@ -92,9 +92,35 @@ def _ann_union(s: SparkSession, d: str) -> DataFrame:
     )
 
 
+def _exact_dedup_union(s: SparkSession, d: str) -> DataFrame:
+    """Tagged union of both page-identity dedup passes: 'content'
+    (text md5) and 'url' (canonicalized URL over the deterministic
+    raw-variant synthesis — see dedup.url_variants_sql), one
+    (kind, group_key, keeper_doc_id, n_docs) shape."""
+    from pyspark.sql import functions as F
+
+    from pisa_spark.gated.entries import tagged_union
+
+    docs = _docs(s, d)
+    content = dedup.exact_dedup(docs).select(
+        F.col("text_md5").alias("group_key"), "keeper_doc_id", "n_docs"
+    )
+    pages = docs.select(
+        "doc_id", F.expr(dedup.url_variants_sql()).alias("url")
+    )
+    url = dedup.url_dedup(pages).select(
+        F.col("canon_url").alias("group_key"), "keeper_doc_id", "n_docs"
+    )
+    return tagged_union(
+        "kind",
+        [("content", content), ("url", url)],
+        ["group_key", "keeper_doc_id", "n_docs"],
+    )
+
+
 def datapipe_queries():
     return {
-        "dedup_exact": lambda s, d: dedup.exact_dedup(_docs(s, d)),
+        "dedup_exact": _exact_dedup_union,
         "dedup_ngram_jaccard": lambda s, d: dedup.ngram_jaccard_pairs(_docs(s, d)),
         "dedup_minhash_lsh": lambda s, d: dedup.minhash_lsh_pairs(_docs(s, d)),
         "dedup_clusters": lambda s, d: dedup.dedup_clusters(_docs(s, d)),
@@ -113,7 +139,7 @@ def datapipe_queries():
 
 def datapipe_oracle_sql():
     return {
-        "dedup_exact": dedup.exact_dedup_oracle(),
+        "dedup_exact": dedup.exact_dedup_union_oracle(),
         "dedup_ngram_jaccard": dedup.ngram_jaccard_oracle(),
         "dedup_minhash_lsh": dedup.minhash_lsh_oracle(),
         "dedup_clusters": dedup.dedup_clusters_oracle(),

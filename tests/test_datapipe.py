@@ -47,6 +47,62 @@ def test_exact_dedup_finds_planted_duplicates(spark):
     assert (out.loc[out["n_docs"] == 2, "keeper_doc_id"] < 10_000).all()
 
 
+def test_url_canonicalization_rules(spark):
+    """Every canonicalization rule does real work: scheme, www,
+    fragment, tracking params (with surviving real params kept),
+    default ports, index.html, trailing slashes — and a non-default
+    port / non-tracking param is preserved."""
+    from pisa_spark.datapipe.dedup import canonical_url_sql
+
+    cases = [
+        ("https://example.com/a", "example.com/a"),
+        ("http://www.Example.COM/a/", "example.com/a"),
+        ("https://example.com/a#frag", "example.com/a"),
+        ("https://example.com/a?utm_source=x&utm_medium=y", "example.com/a"),
+        ("https://example.com/a?utm_source=x&page=2", "example.com/a?page=2"),
+        ("https://example.com/a?page=2&fbclid=abc", "example.com/a?page=2"),
+        ("https://example.com:443/a", "example.com/a"),
+        ("http://example.com:80/a", "example.com/a"),
+        ("https://example.com:8080/a", "example.com:8080/a"),
+        ("https://example.com/a/index.html", "example.com/a"),
+        ("https://example.com/a/index.htm", "example.com/a"),
+        ("https://example.com///", "example.com"),
+        ("https://www.example.com", "example.com"),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame({"url": [c[0] for c in cases]}), schema="url string"
+    ).withColumn("canon", F.expr(canonical_url_sql("url")))
+    got = [r["canon"] for r in df.collect()]
+    assert got == [c[1] for c in cases]
+
+    # the shared patterns are valid RE2 and the duckdb-dialect call
+    # (with the 'g' replace-all flag) agrees value-for-value
+    import duckdb
+
+    con = duckdb.connect()
+    for raw, exp in cases:
+        expr = canonical_url_sql(f"'{raw}'", dialect="duckdb")
+        assert con.sql(f"SELECT {expr}").fetchone()[0] == exp, raw
+
+
+def test_url_dedup_groups_variants(spark):
+    """url_dedup over the gate's deterministic variant synthesis:
+    every 5-doc group collapses to one canonical URL with the smallest
+    doc_id as keeper."""
+    from pisa_spark.datapipe.dedup import url_dedup, url_variants_sql
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").filter(
+        F.col("doc_id") < 50
+    )
+    pages = docs.select(
+        "doc_id", F.expr(url_variants_sql()).alias("url")
+    )
+    out = url_dedup(pages).toPandas()
+    assert (out["n_docs"] == 5).all()
+    assert sorted(out["keeper_doc_id"]) == [i * 5 for i in range(10)]
+    assert out["canon_url"].str.match(r"^example\.com/doc/\d{10}$").all()
+
+
 def test_minhash_lsh_agrees_with_exhaustive_jaccard(spark):
     """On planted near-duplicates, banded LSH must recall the pairs
     the exhaustive shingle-Jaccard operator finds (J=1 pairs have
