@@ -115,8 +115,13 @@ _URL_CANON_RULES = [
     ("^www[.]", ""),                            # www.
     (":80/", "/"), (":80$", ""),                # default http port
     (":443/", "/"), (":443$", ""),              # default https port
-    ("/index[.]html?$", ""),                    # default document
-    ("/+$", ""),                                # trailing slash(es)
+    ("/+$", ""),                                # trailing slash(es)...
+    # ...BEFORE the default-document strip, whose /+ prefix and +
+    # repetition consume interleaved slashes and stacked index.html
+    # runs in one pass — '/index.html/' or '/index.html//index.html'
+    # must not need a second application (idempotence is pinned by
+    # the randomized property test).
+    ("(/+index[.]html?)+$", ""),                # default document(s)
 ]
 
 

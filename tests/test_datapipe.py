@@ -85,6 +85,62 @@ def test_url_canonicalization_rules(spark):
         assert con.sql(f"SELECT {expr}").fetchone()[0] == exp, raw
 
 
+def test_url_canonicalization_randomized_cross_engine(spark):
+    """300 seeded random URL-ish strings assembled from schemes,
+    hosts (with ports), path segments, params, and fragments: the
+    Spark and DuckDB canonical forms agree value-for-value, and the
+    canonicalizer is idempotent (canon(canon(x)) == canon(x))."""
+    import random
+
+    import duckdb
+
+    from pisa_spark.datapipe.dedup import canonical_url_sql
+
+    rng = random.Random(7)
+    schemes = ["http://", "https://", "HTTPS://", ""]
+    hosts = ["example.com", "Sub.Example.org", "foo.net:8080",
+             "foo.net:443", "www.bar.io", "bar.io:80"]
+    segs = ["a", "B2", "index.html", "index.htm", "x-y", ""]
+    params = ["utm_source=1", "a=2", "fbclid=xyz", "utm_campaign=Q",
+              "b=", "gclid=9"]
+    frags = ["", "#top", "#a/b"]
+    urls = []
+    for _ in range(300):
+        path = "/".join(rng.choice(segs) for _ in range(rng.randint(0, 4)))
+        q = "&".join(
+            rng.choice(params) for _ in range(rng.randint(0, 3))
+        )
+        u = (
+            rng.choice(schemes) + rng.choice(hosts)
+            + ("/" + path if path or rng.random() < 0.5 else "")
+            + ("?" + q if q else "")
+            + rng.choice(frags)
+        )
+        urls.append(u)
+
+    sp = (
+        spark.createDataFrame(
+            pd.DataFrame({"i": range(len(urls)), "url": urls}),
+            schema="i int, url string",
+        )
+        .withColumn("canon", F.expr(canonical_url_sql("url")))
+        .orderBy("i")
+        .toPandas()["canon"]
+        .tolist()
+    )
+    con = duckdb.connect()
+    con.register("u", pd.DataFrame({"i": range(len(urls)), "url": urls}))
+    canon_d = canonical_url_sql("url", dialect="duckdb")
+    dk = con.sql(
+        f"SELECT {canon_d} AS c FROM u ORDER BY i"
+    ).fetchall()
+    assert sp == [r[0] for r in dk]
+    # idempotence under the duckdb dialect (same chain, 'g' flag)
+    twice = canonical_url_sql(f"({canon_d})", dialect="duckdb")
+    again = con.sql(f"SELECT {twice} AS c FROM u ORDER BY i").fetchall()
+    assert [r[0] for r in again] == [r[0] for r in dk]
+
+
 def test_url_dedup_groups_variants(spark):
     """url_dedup over the gate's deterministic variant synthesis:
     every 5-doc group collapses to one canonical URL with the smallest
