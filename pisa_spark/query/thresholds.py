@@ -282,6 +282,10 @@ def sampling_kth_thresholds(index: InvertedIndex, parsed: DataFrame,
     from pisa_spark.build.segments import scored_postings
     from pisa_spark.functions.scoring import bm25_sql_expr
 
+    if "k" in parsed.columns:
+        # same guard as pair_kth_thresholds: an estimate computed for
+        # this k is meaningless for a query asking a different k
+        parsed = parsed.filter(F.col("k") == F.lit(k))
     k_prime = sampling_k_prime(k, 1.0 / sample_mod, target_o)
     qids = parsed.select("query_id").distinct()
     if k_prime < 0:
@@ -357,6 +361,11 @@ def combine_did_kth_thresholds(index: InvertedIndex, parsed: DataFrame,
     (<= terms * d rows per query), not posting-list-sized."""
     from pisa_spark.build.segments import scored_postings
     from pisa_spark.functions.scoring import bm25_sql_expr
+
+    if "k" in parsed.columns:
+        # same guard as pair_kth_thresholds: a combined k-th computed
+        # for this k is not a bound for a query asking a different k
+        parsed = parsed.filter(F.col("k") == F.lit(k))
 
     scored = scored_postings(
         index.postings, index.doc_sizes, index.lexicon,
