@@ -41,6 +41,12 @@ KTH_SAMPLING_TARGET_O = 0.05
 # (kth_threshold_intersection_new.cpp:211-232: per-gram top-d cached
 # (did, score) prefixes, summed per did across the query's grams).
 KTH_COMBINE_D = 16
+# Intersection-fork gram cap for the 'intersection' tag
+# (kth_threshold_intersection.cpp termConsidered): slicing combs of
+# <= this many terms are cached; larger combs are cache misses. 2 so
+# the 4- and 5-term workload queries exercise skipped triple/quad
+# combs at sf0.01.
+KTH_GRAM = 2
 
 # Fixed literal query workload over the documents vocabulary
 # (mirrors the reference's 100-query term-ID fixture; 1-5 terms,
@@ -62,6 +68,20 @@ GATED_QUERIES: list[tuple[str, list[str]]] = [
     ("q14", ["key", "key", "key"]),
     ("q15", ["scan", "column", "window", "order", "sort", "part", "agg"]),
 ]
+
+
+def _slice_pos_values() -> str:
+    """The intersection fork's slicing tables as inline-VALUES rows
+    (n, slicing_id, comb_id, pos) — thresholds.INTERSECTION_SLICINGS
+    flattened, identical spelling in both dialects (no array
+    indexing, which Spark 0-bases and DuckDB 1-bases)."""
+    from pisa_spark.query.thresholds import slicing_position_rows
+
+    rows = slicing_position_rows()
+    return ",\n".join(
+        ",".join(f"({n},{s},{c},{p})" for (n, s, c, p) in chunk)
+        for chunk in (rows[i:i + 12] for i in range(0, len(rows), 12))
+    )
 
 
 class Dialect:
@@ -839,6 +859,15 @@ SELECT scorer, query_id, rank, doc_id, score FROM (
     # selection made deterministic), uncached terms contribute 0, and
     # dup-term queries are skipped outright with -1 (ifDupTerm,
     # :31-41 — the fork's prefix caches assume distinct terms).
+    # 'intersection' tag: the slicing fork
+    # (tools/kth_threshold_intersection.cpp:114-251): enumerate the
+    # fork's literal set-partition slicings of the query's sorted
+    # distinct terms (thresholds.INTERSECTION_SLICINGS — its n=5 list
+    # omits the 3+1+1 family, reproduced as-is), cache the top-d
+    # disjunctive prefix of every comb of <= KTH_GRAM terms, sum a
+    # did's cached comb scores within each slicing, MAX across
+    # slicings, take the k-th best; -2 under k cached dids (n=1 has
+    # no slicings -> always -2), -1 for > 5 distinct terms.
     e["kth_thresholds"] = f"""{_kth_all}qids AS (SELECT DISTINCT query_id FROM qterms),
 m_b AS (SELECT query_id, kth FROM skth UNION ALL SELECT query_id, kth FROM pkth),
 m_c AS (SELECT query_id, kth FROM skth UNION ALL SELECT query_id, kth FROM pkth
@@ -889,6 +918,58 @@ cdkth AS (
                               ORDER BY ms DESC, doc_id ASC) AS rn
     FROM cdsum
   ) y WHERE rn = {K}
+),
+slice_pos AS (SELECT * FROM (VALUES
+{_slice_pos_values()}
+) AS t(n, slicing_id, comb_id, pos)),
+iqdist AS (SELECT DISTINCT query_id, term_id FROM qterms),
+iqn AS (SELECT query_id, CAST(COUNT(*) AS INT) AS n
+        FROM iqdist GROUP BY query_id),
+iqrank AS (
+  SELECT query_id, term_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY term_id ASC) - 1 AS INT) AS pos
+  FROM iqdist
+),
+icomb AS (
+  SELECT r.query_id, sp.slicing_id, sp.comb_id, r.term_id
+  FROM iqrank r
+  JOIN iqn ON iqn.query_id = r.query_id
+  JOIN slice_pos sp ON sp.n = iqn.n AND sp.pos = r.pos
+),
+icsz AS (SELECT query_id, slicing_id, comb_id,
+                CAST(COUNT(*) AS INT) AS csz
+         FROM icomb GROUP BY query_id, slicing_id, comb_id),
+icombdoc AS (
+  SELECT c.query_id, c.slicing_id, c.comb_id, p.doc_id,
+         CAST(SUM(p.m) AS BIGINT) AS ms
+  FROM icomb c
+  JOIN icsz z ON z.query_id = c.query_id AND z.slicing_id = c.slicing_id
+             AND z.comb_id = c.comb_id
+  JOIN pm p ON p.query_id = c.query_id AND p.term_id = c.term_id
+  WHERE z.csz <= {KTH_GRAM}
+  GROUP BY c.query_id, c.slicing_id, c.comb_id, p.doc_id
+),
+icombtop AS (
+  SELECT query_id, slicing_id, comb_id, doc_id, ms FROM (
+    SELECT query_id, slicing_id, comb_id, doc_id, ms,
+           ROW_NUMBER() OVER (PARTITION BY query_id, slicing_id, comb_id
+                              ORDER BY ms DESC, doc_id ASC) AS rn
+    FROM icombdoc
+  ) t WHERE rn <= {KTH_COMBINE_D}
+),
+islsum AS (SELECT query_id, slicing_id, doc_id,
+                  CAST(SUM(ms) AS BIGINT) AS ms
+           FROM icombtop GROUP BY query_id, slicing_id, doc_id),
+ibest AS (SELECT query_id, doc_id, CAST(MAX(ms) AS BIGINT) AS ms
+          FROM islsum GROUP BY query_id, doc_id),
+ikth AS (
+  SELECT query_id, ms FROM (
+    SELECT query_id, doc_id, ms,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY ms DESC, doc_id ASC) AS rn
+    FROM ibest
+  ) t WHERE rn = {K}
 )
 SELECT method, query_id, threshold_micro FROM (
   SELECT 'single' AS method, q.query_id,
@@ -917,6 +998,13 @@ SELECT method, query_id, threshold_micro FROM (
   SELECT 'combine_did' AS method, q.query_id,
          CAST(COALESCE(cd.ms, -2) AS BIGINT) AS threshold_micro
   FROM qids q LEFT JOIN cdkth cd ON cd.query_id = q.query_id
+  UNION ALL
+  SELECT 'intersection' AS method, q.query_id,
+         CAST(CASE WHEN n.n > 5 THEN -1 ELSE COALESCE(ik.ms, -2) END
+              AS BIGINT) AS threshold_micro
+  FROM qids q
+  JOIN iqn n ON n.query_id = q.query_id
+  LEFT JOIN ikth ik ON ik.query_id = q.query_id
 ) u ORDER BY method, query_id"""
 
     # AND + OR result sets in one statement, tagged by op (oracle for

@@ -418,6 +418,232 @@ def combine_did_kth_thresholds(index: InvertedIndex, parsed: DataFrame,
     )
 
 
+# Set-partition "slicings" of an n-distinct-term query, keyed by n —
+# the intersection fork's hand-enumerated list
+# (tools/kth_threshold_intersection.cpp getAllPossibleSlicing,
+# :114-204), reproduced EXACTLY: each slicing is a list of combs, each
+# comb a list of 0-based positions into the query's sorted term list.
+# n=2..4 enumerate every set partition (2, 5, 15); the n=5 list has 42
+# of Bell(5)=52 — the reference omits the 3+1+1 family, and parity
+# means we do too. n=1 has NO slicings (the tool's if-chain starts at
+# 2), so 1-term queries estimate -2; n>5 queries are skipped with -1
+# before slicing (:358-363).
+INTERSECTION_SLICINGS: dict[int, list[list[list[int]]]] = {
+    2: [[[0, 1]], [[0], [1]]],
+    3: [
+        [[0, 1, 2]],
+        [[0], [1], [2]],
+        [[0, 1], [2]], [[0, 2], [1]], [[1, 2], [0]],
+    ],
+    4: [
+        [[0, 1, 2, 3]],
+        [[0], [1], [2], [3]],
+        [[0, 1], [2, 3]], [[0, 2], [1, 3]], [[1, 2], [0, 3]],
+        [[0, 1], [2], [3]], [[0, 2], [1], [3]], [[0, 3], [1], [2]],
+        [[1, 2], [0], [3]], [[1, 3], [0], [2]], [[2, 3], [0], [1]],
+        [[0, 1, 2], [3]], [[0, 1, 3], [2]], [[0, 2, 3], [1]],
+        [[1, 2, 3], [0]],
+    ],
+    5: [
+        [[0, 1, 2, 3, 4]],
+        [[0], [1], [2], [3], [4]],
+        [[0, 1], [2, 3, 4]], [[0, 2], [1, 3, 4]], [[0, 3], [1, 2, 4]],
+        [[0, 4], [1, 2, 3]], [[1, 2], [0, 3, 4]], [[1, 3], [0, 2, 4]],
+        [[1, 4], [0, 2, 3]], [[2, 3], [0, 1, 4]], [[2, 4], [0, 1, 3]],
+        [[3, 4], [0, 1, 2]],
+        [[0, 1], [2, 3], [4]], [[0, 2], [1, 3], [4]],
+        [[0, 3], [1, 2], [4]], [[0, 4], [1, 2], [3]],
+        [[1, 2], [0, 3], [4]], [[1, 3], [0, 2], [4]],
+        [[1, 4], [0, 2], [3]], [[2, 3], [0, 1], [4]],
+        [[2, 4], [0, 1], [3]], [[3, 4], [0, 1], [2]],
+        [[0, 1], [2], [3], [4]], [[0, 2], [1], [3], [4]],
+        [[0, 3], [1], [2], [4]], [[0, 4], [1], [2], [3]],
+        [[1, 2], [0], [3], [4]], [[1, 3], [0], [2], [4]],
+        [[1, 4], [0], [2], [3]], [[2, 3], [0], [1], [4]],
+        [[2, 4], [0], [1], [3]], [[3, 4], [0], [1], [2]],
+        [[0, 1, 2, 3], [4]], [[0, 1, 2, 4], [3]], [[0, 1, 3, 4], [2]],
+        [[0, 2, 3, 4], [1]], [[1, 2, 3, 4], [0]],
+    ],
+}
+
+
+def slicing_position_rows() -> list[tuple[int, int, int, int]]:
+    """INTERSECTION_SLICINGS flattened to (n, slicing_id, comb_id,
+    pos) rows — the literal inline table both engines' SQL joins
+    against a per-query (pos -> term_id) rank, so slicing enumeration
+    is pure relational algebra with no array indexing (which the two
+    dialects disagree on: Spark [] is 0-based, DuckDB 1-based)."""
+    rows = []
+    for n, slicings in sorted(INTERSECTION_SLICINGS.items()):
+        for sid, slicing in enumerate(slicings):
+            for cid, comb in enumerate(slicing):
+                for pos in comb:
+                    rows.append((n, sid, cid, pos))
+    return rows
+
+
+def intersection_kth_thresholds(index: InvertedIndex, parsed: DataFrame,
+                                d: int = 16, k: int = 10,
+                                gram: int = 2) -> DataFrame:
+    """(query_id, threshold_micro): the intersection fork family's
+    slicing estimate (tools/kth_threshold_intersection.cpp:114-251 and
+    the *_budget_lookup variant): enumerate the fork's set-partition
+    slicings of the query's sorted distinct terms
+    (INTERSECTION_SLICINGS); every comb of <= ``gram`` terms is cached
+    as the top-``d`` (did, score) prefix of its own disjunctive
+    sub-query (the tool's all_pairs/all_triples idealization of its
+    exist-term files; ``gram`` is its termConsidered knob, and the
+    budget_lookup fork's capped exist-list is the budget tag's
+    mechanics applied to combs); per slicing, a did seen in any of the
+    slicing's cached combs scores the SUM of those cached comb scores
+    (:222-241, uncached combs contribute nothing); per did, slicings
+    compete by MAX (:243-250); the estimate is the k-th best
+    (getTopKFromMap), -2 when fewer than k dids are cached, and -1 for
+    queries of > 5 distinct terms (:358-363, skipped before slicing).
+    1-term queries estimate -2 (the slicing list starts at n=2).
+
+    SOUND like combine_did: a slicing partitions a SUBSET of the
+    query's terms, each cached comb score is the exact sub-query score
+    of that did, and score components are >= 0, so every slicing sum
+    (hence the max) is <= the did's true final score. Tighter than
+    combine_did whenever a pair/triple comb's top-d holds a did that
+    neither member term's own prefix holds (the fork's whole point);
+    the all-singles slicing IS combine_did, so it never does worse on
+    2-5-term queries. Ties are pinned (ms DESC, doc_id ASC) where the
+    reference's unordered_map iteration is nondeterministic.
+
+    Deviation, documented: the tool slices raw term positions
+    (duplicates and all); this module's parsed workload is
+    distinct-terms + weight (query/parser.py), so slicings are over
+    DISTINCT terms and comb scores use the query's weighted micro
+    scores — consistent with every other estimator here.
+
+    Scale shape: slicing enumeration is a <= 289-row literal inline
+    table joined per query (no array indexing, no Python per row);
+    comb caches reuse the two-phase salted top-d window so no window
+    partition spans a head-term posting list; everything after the
+    prefixes is comb-count x d sized, not posting-list sized."""
+    from pisa_spark.build.segments import scored_postings
+    from pisa_spark.functions.scoring import bm25_sql_expr
+
+    if "k" in parsed.columns:
+        # same guard as the other per-k estimators
+        parsed = parsed.filter(F.col("k") == F.lit(k))
+
+    spark = parsed.sparkSession
+    slice_pos = spark.createDataFrame(
+        slicing_position_rows(), "n INT, slicing_id INT, comb_id INT, pos INT"
+    )
+
+    # per-query sorted-distinct-term rank: pos is the slicing tables'
+    # index into the sorted term list
+    qdist = parsed.select("query_id", "term_id").distinct()
+    wpos = Window.partitionBy("query_id").orderBy(F.col("term_id").asc())
+    qrank = qdist.withColumn("pos", F.row_number().over(wpos) - 1)
+    qn = qdist.groupBy("query_id").agg(F.count("*").alias("n"))
+
+    # comb membership: (query_id, slicing_id, comb_id, term_id) for
+    # queries with a slicing table (2 <= n <= 5)
+    qcomb = (
+        qrank.join(F.broadcast(qn), "query_id")
+        .join(F.broadcast(slice_pos), ["n", "pos"])
+        .select("query_id", "slicing_id", "comb_id", "term_id")
+    )
+    # the gram knob: only combs of <= gram terms are cached
+    csz = qcomb.groupBy("query_id", "slicing_id", "comb_id").agg(
+        F.count("*").alias("csz")
+    )
+    qcomb = qcomb.join(
+        F.broadcast(csz.filter(F.col("csz") <= gram)),
+        ["query_id", "slicing_id", "comb_id"],
+    )
+
+    scored = scored_postings(
+        index.postings, index.doc_sizes, index.lexicon,
+        index.num_docs, index.avg_len,
+    )
+    bm25 = bm25_sql_expr(
+        tf="tf", df="df", doc_len="doc_len",
+        num_docs=str(float(index.num_docs)), avg_len=str(float(index.avg_len)),
+        k1=index.config.bm25.k1, b=index.config.bm25.b,
+    )
+    pm = (
+        scored.join(
+            F.broadcast(parsed.select("query_id", "term_id", "weight")),
+            "term_id",
+        )
+        .withColumn("m", F.expr(micro_sql(bm25, weight="weight")))
+        .select("query_id", "term_id", "doc_id", "m")
+    )
+    # each comb's disjunctive sub-query scores; distinct combs are
+    # deduplicated across slicings via the sorted member-term key so a
+    # comb's top-d is computed once per query, not once per slicing
+    combkey = (
+        qcomb.groupBy("query_id", "slicing_id", "comb_id")
+        .agg(F.concat_ws("-", F.array_sort(F.collect_list("term_id")))
+             .alias("comb_key"))
+    )
+    combterms = (
+        qcomb.join(
+            F.broadcast(combkey), ["query_id", "slicing_id", "comb_id"]
+        )
+        .select("query_id", "comb_key", "term_id")
+        .distinct()
+    )
+    combdoc = (
+        pm.join(F.broadcast(combterms), ["query_id", "term_id"])
+        .groupBy("query_id", "comb_key", "doc_id")
+        .agg(F.sum("m").cast("long").alias("ms"))
+    )
+    # two-phase salted top-d per (query, comb): a head-term comb's doc
+    # set is posting-list sized, so no single window partition may
+    # span one
+    salted = combdoc.withColumn("salt", F.col("doc_id") % 64)
+    w1 = Window.partitionBy("query_id", "comb_key", "salt").orderBy(
+        F.col("ms").desc(), F.col("doc_id").asc()
+    )
+    cand = (
+        salted.withColumn("rn1", F.row_number().over(w1))
+        .filter(F.col("rn1") <= d)
+    )
+    w2 = Window.partitionBy("query_id", "comb_key").orderBy(
+        F.col("ms").desc(), F.col("doc_id").asc()
+    )
+    prefix = (
+        cand.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= d)
+        .select("query_id", "comb_key", "doc_id", "ms")
+    )
+    # per-slicing did sums over the cached prefixes, then max across
+    # slicings, then the per-query k-th best
+    slsum = (
+        combkey.join(prefix, ["query_id", "comb_key"])
+        .groupBy("query_id", "slicing_id", "doc_id")
+        .agg(F.sum("ms").cast("long").alias("ms"))
+    )
+    bestdoc = slsum.groupBy("query_id", "doc_id").agg(
+        F.max("ms").alias("ms")
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("ms").desc(), F.col("doc_id").asc()
+    )
+    kth = (
+        bestdoc.withColumn("qrn", F.row_number().over(wq))
+        .filter(F.col("qrn") == k)
+        .select("query_id", "ms")
+    )
+    return (
+        qn.join(kth, "query_id", "left")
+        .select(
+            "query_id",
+            F.when(F.col("n") > 5, F.lit(-1))
+            .otherwise(F.coalesce(F.col("ms"), F.lit(-2)))
+            .cast("long")
+            .alias("threshold_micro"),
+        )
+    )
+
+
 def estimate_thresholds_with_pairs(index: InvertedIndex, parsed: DataFrame,
                                    cache: DataFrame, k: int = 10) -> DataFrame:
     """(query_id, threshold_micro) = max(single-term cache estimate,

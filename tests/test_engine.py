@@ -493,6 +493,128 @@ def test_combine_did_kth_thresholds(spark, index, parsed, oracle_topk):
     )
 
 
+def test_intersection_kth_thresholds(spark, index, parsed, oracle_topk):
+    """Intersection/slicing fork family
+    (kth_threshold_intersection.cpp): estimate equals an independent
+    pandas recompute of the slicing semantics, dominates combine_did
+    on 2-5-term queries (the all-singles slicing IS combine_did),
+    turns EXACT when the whole-query comb is cached (gram >= n), obeys
+    the -1/-2 sentinels, and stays a sound BMW bootstrap."""
+    from pisa_spark.functions.scoring import bm25_sql_expr, dlit, micro_sql
+    from pisa_spark.query.thresholds import (
+        INTERSECTION_SLICINGS, combine_did_kth_thresholds,
+        intersection_kth_thresholds,
+    )
+
+    D, GRAM = 16, 2
+    got = (
+        intersection_kth_thresholds(index, parsed, d=D, k=10, gram=GRAM)
+        .toPandas().set_index("query_id")["threshold_micro"]
+    )
+    pm = (
+        parsed.join(index.postings.select("term_id", "doc_id", "tf"), "term_id")
+        .join(index.doc_sizes.select("doc_id", "doc_len"), "doc_id")
+        .join(index.lexicon.select("term_id", "df"), "term_id")
+        .withColumn(
+            "m",
+            F.expr(
+                micro_sql(
+                    bm25_sql_expr(
+                        num_docs=dlit(index.num_docs),
+                        avg_len=dlit(index.avg_len),
+                    ),
+                    weight="weight",
+                )
+            ),
+        )
+        .select("query_id", "term_id", "doc_id", "m")
+        .toPandas()
+    )
+    qterms = {
+        qid: sorted(grp["term_id"].unique())
+        for qid, grp in pm.groupby("query_id")
+    }
+
+    def expected(qid: str, gram: int) -> int:
+        terms = qterms[qid]
+        if len(terms) > 5:
+            return -1
+        grp = pm[pm["query_id"] == qid]
+        best: dict[int, int] = {}
+        for slicing in INTERSECTION_SLICINGS.get(len(terms), []):
+            sums: dict[int, int] = {}
+            for comb in slicing:
+                if len(comb) > gram:
+                    continue  # cache miss: contributes nothing
+                members = [terms[p] for p in comb]
+                cd = (
+                    grp[grp["term_id"].isin(members)]
+                    .groupby("doc_id")["m"].sum().reset_index()
+                    .sort_values(["m", "doc_id"], ascending=[False, True])
+                    .head(D)
+                )
+                for doc, m in zip(cd["doc_id"], cd["m"]):
+                    sums[doc] = sums.get(doc, 0) + int(m)
+            for doc, s in sums.items():
+                best[doc] = max(best.get(doc, 0), s)
+        ranked = sorted(best.items(), key=lambda kv: (-kv[1], kv[0]))
+        return ranked[9][1] if len(ranked) >= 10 else -2
+
+    for qid in qterms:
+        assert got[qid] == expected(qid, GRAM), qid
+
+    # sentinels: every 1-term query is -2 (no slicings), >5-term is -1
+    for qid, terms in qterms.items():
+        if len(terms) == 1:
+            assert got[qid] == -2, qid
+        if len(terms) > 5:
+            assert got[qid] == -1, qid
+
+    # dominates combine_did on 2-5-term queries: the all-singles
+    # slicing replays exactly combine_did's prefix sum
+    cd = (
+        combine_did_kth_thresholds(index, parsed, d=D, k=10)
+        .toPandas().set_index("query_id")["threshold_micro"]
+    )
+    mid = [q for q, t in qterms.items() if 2 <= len(t) <= 5]
+    both = [q for q in mid if got[q] >= 0 and cd[q] >= 0]
+    assert both and (got[both] >= cd[both]).all()
+
+    # gram >= n caches the whole-query comb -> the estimate IS the
+    # true k-th final score for n <= 5 queries with >= k matching docs
+    exact = (
+        intersection_kth_thresholds(index, parsed, d=D, k=10, gram=5)
+        .toPandas().set_index("query_id")["threshold_micro"]
+    )
+    true_kth = (
+        oracle_topk[oracle_topk["rank"] == 10]
+        .set_index("query_id")["score"]
+    )
+    for qid in mid:
+        if qid in true_kth.index:
+            assert exact[qid] == round(true_kth[qid] * 1e6), qid
+
+    # sound bootstrap: BMW with intersection estimates stays
+    # rank-identical (only non-negative estimates are bounds)
+    est = (
+        intersection_kth_thresholds(index, parsed, d=D, k=10, gram=GRAM)
+        .select(
+            "query_id",
+            F.greatest(F.col("threshold_micro"), F.lit(0).cast("long"))
+            .alias("threshold_micro"),
+        )
+    )
+    res = _fetch(
+        topk_search(
+            index, parsed, algorithm="block_max_wand", k=10, thresholds=est
+        )
+    )
+    exp = oracle_topk.astype({"rank": "int64", "doc_id": "int64"})
+    pd.testing.assert_frame_equal(
+        res[["query_id", "rank", "doc_id"]], exp[["query_id", "rank", "doc_id"]]
+    )
+
+
 def test_range_live_prefilter(spark, index, parsed, oracle_topk):
     """Live-range pruning (wand_data_range compute_live_blocks in
     Catalyst): bootstrapped topk_range stays rank-identical while the
