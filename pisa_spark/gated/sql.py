@@ -41,6 +41,13 @@ KTH_SAMPLING_TARGET_O = 0.05
 # (kth_threshold_intersection_new.cpp:211-232: per-gram top-d cached
 # (did, score) prefixes, summed per did across the query's grams).
 KTH_COMBINE_D = 16
+# Lookup-pipeline fork candidate budget for the 'lookup' tag
+# (kth_threshold_intersection_budget_lookup.cpp:744-790 /
+# threshold_lookup_whole_pipeline.cpp): how many cached prefix
+# entries the global drain may pop; candidates then get EXACT
+# full-score lookups. 32 so some workload queries drain fewer
+# candidates than they have matches.
+KTH_LOOKUP_BUDGET = 32
 # Intersection-fork gram cap for the 'intersection' tag
 # (kth_threshold_intersection.cpp termConsidered): slicing combs of
 # <= this many terms are cached; larger combs are cache misses. 2 so
@@ -868,6 +875,13 @@ SELECT scorer, query_id, rank, doc_id, score FROM (
     # did's cached comb scores within each slicing, MAX across
     # slicings, take the k-th best; -2 under k cached dids (n=1 has
     # no slicings -> always -2), -1 for > 5 distinct terms.
+    # 'lookup' tag: the lookup-pipeline fork
+    # (kth_threshold_intersection_budget_lookup.cpp:690-835 /
+    # threshold_lookup_whole_pipeline.cpp, gram=1 form): global
+    # drain of the KTH_LOOKUP_BUDGET best cached single-term prefix
+    # entries per query, EXACT full-score index lookup for every
+    # drained did, k-th best; -2 under k candidates, -1 over 16
+    # terms (MaxQueryLen).
     e["kth_thresholds"] = f"""{_kth_all}qids AS (SELECT DISTINCT query_id FROM qterms),
 m_b AS (SELECT query_id, kth FROM skth UNION ALL SELECT query_id, kth FROM pkth),
 m_c AS (SELECT query_id, kth FROM skth UNION ALL SELECT query_id, kth FROM pkth
@@ -970,6 +984,28 @@ ikth AS (
                               ORDER BY ms DESC, doc_id ASC) AS rn
     FROM ibest
   ) t WHERE rn = {K}
+),
+lkcand AS (
+  SELECT DISTINCT query_id, doc_id FROM (
+    SELECT query_id, doc_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY m DESC, doc_id ASC, term_id ASC) AS rn
+    FROM pm
+  ) t WHERE rn <= {KTH_LOOKUP_BUDGET}
+),
+lkfull AS (
+  SELECT p.query_id, p.doc_id, CAST(SUM(p.m) AS BIGINT) AS ms
+  FROM pm p
+  JOIN lkcand c ON c.query_id = p.query_id AND c.doc_id = p.doc_id
+  GROUP BY p.query_id, p.doc_id
+),
+lkkth AS (
+  SELECT query_id, ms FROM (
+    SELECT query_id, doc_id, ms,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY ms DESC, doc_id ASC) AS rn
+    FROM lkfull
+  ) t WHERE rn = {K}
 )
 SELECT method, query_id, threshold_micro FROM (
   SELECT 'single' AS method, q.query_id,
@@ -1005,6 +1041,13 @@ SELECT method, query_id, threshold_micro FROM (
   FROM qids q
   JOIN iqn n ON n.query_id = q.query_id
   LEFT JOIN ikth ik ON ik.query_id = q.query_id
+  UNION ALL
+  SELECT 'lookup' AS method, q.query_id,
+         CAST(CASE WHEN n.n > 16 THEN -1 ELSE COALESCE(lk.ms, -2) END
+              AS BIGINT) AS threshold_micro
+  FROM qids q
+  JOIN iqn n ON n.query_id = q.query_id
+  LEFT JOIN lkkth lk ON lk.query_id = q.query_id
 ) u ORDER BY method, query_id"""
 
     # AND + OR result sets in one statement, tagged by op (oracle for

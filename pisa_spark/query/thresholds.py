@@ -644,6 +644,162 @@ def intersection_kth_thresholds(index: InvertedIndex, parsed: DataFrame,
     )
 
 
+def lookup_kth_thresholds(index: InvertedIndex, parsed: DataFrame,
+                          budget: int = 64, k: int = 10,
+                          gram: int = 1) -> DataFrame:
+    """(query_id, threshold_micro): the lookup-pipeline fork family's
+    estimate (tools/kth_threshold_intersection_budget_lookup.cpp:
+    690-835 and threshold/threshold_lookup_whole_pipeline.cpp) — the
+    fork's end-to-end "real-world" estimator:
+
+    1. CANDIDATES: drain the ``budget`` best cached (comb, did,
+       score) prefix entries across ALL the query's cached combs (its
+       score-ordered max-heap, :744-790 — combs are every <= ``gram``
+       subset of the query's terms, getAllPossibleComb); the distinct
+       dids drained are the candidate set.
+    2. LOOKUP: for every candidate, fetch each query term's EXACT
+       score from the inverted index
+       (lookup_bm25_score_skip_block_fast, :791-818), so every
+       candidate carries its full disjunctive score.
+    3. The estimate is the k-th best full candidate score; -2 when
+       fewer than k candidates were drained (:822-834), -1 for
+       queries of > 16 terms (MaxQueryLen, :719).
+
+    SOUND: candidates are a subset of the matching docs and each
+    carries its exact full score, so their k-th best is <= the true
+    k-th. With an unbounded budget at gram=1 the candidate set is
+    every matching doc and the estimate is EXACT (pinned by pytest).
+
+    Deviations, documented: the heap pops strictly by cached score
+    with unordered tie-break and does not charge the per-comb head
+    entries against the budget — set-wise we take the global
+    top-``budget`` prefix rows per query with pinned ties (ms DESC,
+    doc_id ASC, comb ASC); scores stay in the engine's shared micro
+    quantization rather than the fork's short-quantized lookup units;
+    and combs are over distinct weighted terms like every estimator
+    here. gram in {1, 2} (singles / singles+pairs) — the fork's
+    experiments run termConsidered in the same range.
+
+    Scale shape: per-comb prefixes reuse the two-phase salted top-N
+    window (N = budget caps what one comb can contribute); the global
+    drain is a per-query window over <= combs x budget rows; the
+    lookup is one semi-join of the candidate set against the
+    workload-pruned postings scan — never a full-index pass."""
+    if gram not in (1, 2):
+        raise ValueError("lookup_kth_thresholds supports gram 1 or 2")
+    if "k" in parsed.columns:
+        # same guard as the other per-k estimators
+        parsed = parsed.filter(F.col("k") == F.lit(k))
+
+    from pisa_spark.build.segments import scored_postings
+    from pisa_spark.functions.scoring import bm25_sql_expr
+
+    scored = scored_postings(
+        index.postings, index.doc_sizes, index.lexicon,
+        index.num_docs, index.avg_len,
+    )
+    bm25 = bm25_sql_expr(
+        tf="tf", df="df", doc_len="doc_len",
+        num_docs=str(float(index.num_docs)), avg_len=str(float(index.avg_len)),
+        k1=index.config.bm25.k1, b=index.config.bm25.b,
+    )
+    pm = (
+        scored.join(
+            F.broadcast(parsed.select("query_id", "term_id", "weight")),
+            "term_id",
+        )
+        .withColumn("m", F.expr(micro_sql(bm25, weight="weight")))
+        .select("query_id", "term_id", "doc_id", "m")
+    )
+    # cached comb prefix rows: (query_id, comb, doc_id, ms)
+    combdoc = pm.select(
+        "query_id",
+        F.concat_ws("-", F.col("term_id")).alias("comb"),
+        "doc_id",
+        F.col("m").cast("long").alias("ms"),
+    )
+    if gram == 2:
+        qp = (
+            parsed.select("query_id", F.col("term_id").alias("ta"))
+            .join(parsed.select("query_id", F.col("term_id").alias("tb")),
+                  "query_id")
+            .filter(F.col("ta") < F.col("tb"))
+        )
+        pda = pm.withColumnRenamed("term_id", "ta").join(
+            F.broadcast(qp), ["query_id", "ta"]
+        )
+        pdb = pm.withColumnRenamed("term_id", "tb").join(
+            F.broadcast(qp), ["query_id", "tb"]
+        )
+        cols = ["query_id", "ta", "tb", "doc_id", "m"]
+        pairdoc = (
+            pda.select(*cols).unionByName(pdb.select(*cols))
+            .groupBy("query_id", "ta", "tb", "doc_id")
+            .agg(F.sum("m").cast("long").alias("ms"))
+            .select(
+                "query_id",
+                F.concat_ws("-", F.col("ta"), F.col("tb")).alias("comb"),
+                "doc_id", "ms",
+            )
+        )
+        combdoc = combdoc.unionByName(pairdoc)
+    # two-phase salted per-comb top-budget (one comb can contribute at
+    # most `budget` drained entries), then the global budget drain
+    salted = combdoc.withColumn("salt", F.col("doc_id") % 64)
+    w1 = Window.partitionBy("query_id", "comb", "salt").orderBy(
+        F.col("ms").desc(), F.col("doc_id").asc()
+    )
+    cand0 = (
+        salted.withColumn("rn1", F.row_number().over(w1))
+        .filter(F.col("rn1") <= budget)
+    )
+    w2 = Window.partitionBy("query_id", "comb").orderBy(
+        F.col("ms").desc(), F.col("doc_id").asc()
+    )
+    prefix = (
+        cand0.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= budget)
+        .select("query_id", "comb", "doc_id", "ms")
+    )
+    wg = Window.partitionBy("query_id").orderBy(
+        F.col("ms").desc(), F.col("doc_id").asc(), F.col("comb").asc()
+    )
+    candidates = (
+        prefix.withColumn("grn", F.row_number().over(wg))
+        .filter(F.col("grn") <= budget)
+        .select("query_id", "doc_id")
+        .distinct()
+    )
+    # exact full-score lookup for every candidate
+    full = (
+        pm.join(candidates, ["query_id", "doc_id"])
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("m").cast("long").alias("ms"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("ms").desc(), F.col("doc_id").asc()
+    )
+    kth = (
+        full.withColumn("qrn", F.row_number().over(wq))
+        .filter(F.col("qrn") == k)
+        .select("query_id", "ms")
+    )
+    qn = (
+        parsed.select("query_id", "term_id").distinct()
+        .groupBy("query_id").agg(F.count("*").alias("n"))
+    )
+    return (
+        qn.join(kth, "query_id", "left")
+        .select(
+            "query_id",
+            F.when(F.col("n") > 16, F.lit(-1))
+            .otherwise(F.coalesce(F.col("ms"), F.lit(-2)))
+            .cast("long")
+            .alias("threshold_micro"),
+        )
+    )
+
+
 def estimate_thresholds_with_pairs(index: InvertedIndex, parsed: DataFrame,
                                    cache: DataFrame, k: int = 10) -> DataFrame:
     """(query_id, threshold_micro) = max(single-term cache estimate,

@@ -615,6 +615,97 @@ def test_intersection_kth_thresholds(spark, index, parsed, oracle_topk):
     )
 
 
+def test_lookup_kth_thresholds(spark, index, parsed, oracle_topk):
+    """Lookup-pipeline fork family
+    (kth_threshold_intersection_budget_lookup.cpp): estimate equals an
+    independent pandas recompute of the budgeted drain + exact-lookup
+    semantics at gram 1 AND 2, is a sound lower bound on the true k-th
+    final score, and turns EXACT with an unbounded budget."""
+    from pisa_spark.functions.scoring import bm25_sql_expr, dlit, micro_sql
+    from pisa_spark.query.thresholds import lookup_kth_thresholds
+
+    BUDGET = 12
+    pm = (
+        parsed.join(index.postings.select("term_id", "doc_id", "tf"), "term_id")
+        .join(index.doc_sizes.select("doc_id", "doc_len"), "doc_id")
+        .join(index.lexicon.select("term_id", "df"), "term_id")
+        .withColumn(
+            "m",
+            F.expr(
+                micro_sql(
+                    bm25_sql_expr(
+                        num_docs=dlit(index.num_docs),
+                        avg_len=dlit(index.avg_len),
+                    ),
+                    weight="weight",
+                )
+            ),
+        )
+        .select("query_id", "term_id", "doc_id", "m")
+        .toPandas()
+    )
+
+    def expected(qid: str, gram: int, budget: int) -> int:
+        grp = pm[pm["query_id"] == qid]
+        rows = [
+            (str(t), d, int(m))
+            for t, d, m in zip(grp["term_id"], grp["doc_id"], grp["m"])
+        ]
+        if gram == 2:
+            terms = sorted(grp["term_id"].unique())
+            for i, ta in enumerate(terms):
+                for tb in terms[i + 1:]:
+                    sub = grp[grp["term_id"].isin([ta, tb])]
+                    for d, m in sub.groupby("doc_id")["m"].sum().items():
+                        rows.append((f"{ta}-{tb}", d, int(m)))
+        rows.sort(key=lambda r: (-r[2], r[1], r[0]))
+        cands = {d for _, d, _ in rows[:budget]}
+        full = sorted(
+            (
+                (int(grp[grp["doc_id"] == d]["m"].sum()), d)
+                for d in cands
+            ),
+            key=lambda v: (-v[0], v[1]),
+        )
+        return full[9][0] if len(full) >= 10 else -2
+
+    for gram in (1, 2):
+        got = (
+            lookup_kth_thresholds(index, parsed, budget=BUDGET, k=10,
+                                  gram=gram)
+            .toPandas().set_index("query_id")["threshold_micro"]
+        )
+        for qid in got.index:
+            assert got[qid] == expected(qid, gram, BUDGET), (qid, gram)
+
+    # sound: a non-negative estimate never exceeds the true k-th
+    true_kth = (
+        oracle_topk[oracle_topk["rank"] == 10]
+        .set_index("query_id")["score"] * 1e6
+    ).round().astype(int)
+    got = (
+        lookup_kth_thresholds(index, parsed, budget=BUDGET, k=10)
+        .toPandas().set_index("query_id")["threshold_micro"]
+    )
+    for qid, est in got.items():
+        if est >= 0 and qid in true_kth.index:
+            assert est <= true_kth[qid], qid
+
+    # unbounded budget at gram=1 drains every matching doc -> EXACT
+    exact = (
+        lookup_kth_thresholds(index, parsed, budget=10**9, k=10)
+        .toPandas().set_index("query_id")["threshold_micro"]
+    )
+    for qid, est in exact.items():
+        if qid in true_kth.index:
+            assert est == true_kth[qid], qid
+        else:
+            assert est == -2, qid  # under k matching docs
+
+    with pytest.raises(ValueError):
+        lookup_kth_thresholds(index, parsed, budget=BUDGET, k=10, gram=3)
+
+
 def test_range_live_prefilter(spark, index, parsed, oracle_topk):
     """Live-range pruning (wand_data_range compute_live_blocks in
     Catalyst): bootstrapped topk_range stays rank-identical while the
