@@ -870,7 +870,8 @@ SELECT scorer, query_id, rank, doc_id, score FROM (
     # (tools/kth_threshold_intersection.cpp:114-251): enumerate the
     # fork's literal set-partition slicings of the query's sorted
     # distinct terms (thresholds.INTERSECTION_SLICINGS — its n=5 list
-    # omits the 3+1+1 family, reproduced as-is), cache the top-d
+    # is incomplete and partially duplicated, transcribed verbatim;
+    # duplicates are value-irrelevant under the MAX), cache the top-d
     # disjunctive prefix of every comb of <= KTH_GRAM terms, sum a
     # did's cached comb scores within each slicing, MAX across
     # slicings, take the k-th best; -2 under k cached dids (n=1 has

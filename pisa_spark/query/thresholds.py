@@ -423,11 +423,15 @@ def combine_did_kth_thresholds(index: InvertedIndex, parsed: DataFrame,
 # (tools/kth_threshold_intersection.cpp getAllPossibleSlicing,
 # :114-204), reproduced EXACTLY: each slicing is a list of combs, each
 # comb a list of 0-based positions into the query's sorted term list.
-# n=2..4 enumerate every set partition (2, 5, 15); the n=5 list has 42
-# of Bell(5)=52 — the reference omits the 3+1+1 family, and parity
-# means we do too. n=1 has NO slicings (the tool's if-chain starts at
-# 2), so 1-term queries estimate -2; n>5 queries are skipped with -1
-# before slicing (:358-363).
+# n=2..4 enumerate every set partition (2, 5, 15); the n=5 list has 37
+# entries (34 distinct of Bell(5)=52 — the reference's 2+2+1 block
+# repeats 3 partitions and misses 8, and it omits the 3+1+1 family
+# entirely; duplicates are value-irrelevant under the per-did MAX,
+# and parity means we transcribe the list verbatim — pinned byte-wise
+# against the C++ by test_intersection_slicings_are_valid_partitions).
+# n=1 has NO slicings (the tool's if-chain starts at 2), so 1-term
+# queries estimate -2; n>5 queries are skipped with -1 before slicing
+# (:358-363).
 INTERSECTION_SLICINGS: dict[int, list[list[list[int]]]] = {
     2: [[[0, 1]], [[0], [1]]],
     3: [

@@ -301,3 +301,93 @@ def test_ciff_wire_roundtrip_property(term_lists, doc_recs):
         assert cf == sum(tf for _, tf in plist)
         assert list(docids) == [d for d, _ in plist]
         assert list(tfs) == [tf for _, tf in plist]
+
+
+def test_intersection_slicings_are_valid_partitions():
+    """Pin the hand-transcribed INTERSECTION_SLICINGS against the
+    reference's getAllPossibleSlicing
+    (tools/kth_threshold_intersection.cpp:114-204): byte-wise equal to
+    the C++ initializer lists when the reference tree is present;
+    structurally always — every slicing is a valid set partition of
+    0..n-1, n=2..4 enumerate ALL set partitions (Bell 2, 5, 15), and
+    the n=5 list has 37 entries, 34 distinct: the reference's 2+2+1
+    block repeats 3 partitions and misses 8, and the 3+1+1 family (10)
+    is absent entirely — duplicates/omissions are value-irrelevant or
+    the fork's own semantics, so they are transcribed verbatim."""
+    from collections import Counter
+
+    from pisa_spark.query.thresholds import (
+        INTERSECTION_SLICINGS, slicing_position_rows,
+    )
+
+    def all_partitions(items):
+        if not items:
+            yield []
+            return
+        first, rest = items[0], items[1:]
+        for part in all_partitions(rest):
+            yield [[first]] + part
+            for i in range(len(part)):
+                yield part[:i] + [[first] + part[i]] + part[i + 1:]
+
+    bell = {2: 2, 3: 5, 4: 15}
+    for n, slicings in INTERSECTION_SLICINGS.items():
+        keys = []
+        for slicing in slicings:
+            flat = sorted(p for comb in slicing for p in comb)
+            assert flat == list(range(n)), (n, slicing)
+            keys.append(frozenset(frozenset(c) for c in slicing))
+        if n <= 4:
+            assert len(set(keys)) == len(keys) == bell[n]
+        else:
+            assert len(keys) == 37 and len(set(keys)) == 34
+            full = {
+                frozenset(frozenset(c) for c in p)
+                for p in all_partitions(list(range(5)))
+            }
+            shapes = Counter(
+                tuple(sorted(len(c) for c in part))
+                for part in full - set(keys)
+            )
+            assert shapes == {(1, 1, 3): 10, (1, 2, 2): 8}
+
+    # byte-wise parity with the C++ initializer lists (skipped when
+    # the read-only reference tree is absent)
+    import os
+    import re
+
+    ref = "/root/reference/tools/kth_threshold_intersection.cpp"
+    if os.path.exists(ref):
+        src = open(ref).read()
+        body = src[src.index("getAllPossibleSlicing"):
+                   src.index("for (vector<vector<int>> comb : retVal)")]
+        blocks = re.split(r"numOfTerm == (\d)", body)
+        parsed = {}
+        for i in range(1, len(blocks), 2):
+            pushes = re.findall(
+                r"retVal\.push_back\(\{(.*?)\}\);", blocks[i + 1], re.S
+            )
+            parsed[int(blocks[i])] = [
+                [
+                    [int(x) for x in c.replace(" ", "").split(",") if x]
+                    for c in re.findall(r"\{([\d,\s]*)\}", p)
+                ]
+                for p in pushes
+            ]
+        assert parsed == INTERSECTION_SLICINGS
+
+    # the flattened SQL inline table is a faithful projection
+    rows = slicing_position_rows()
+    assert len(rows) == sum(
+        n * len(s) for n, s in INTERSECTION_SLICINGS.items()
+    )
+    rebuilt: dict = {}
+    for n, sid, cid, pos in rows:
+        rebuilt.setdefault(n, {}).setdefault(sid, {}).setdefault(
+            cid, []
+        ).append(pos)
+    for n, slicings in INTERSECTION_SLICINGS.items():
+        assert [
+            [rebuilt[n][sid][cid] for cid in sorted(rebuilt[n][sid])]
+            for sid in sorted(rebuilt[n])
+        ] == slicings
