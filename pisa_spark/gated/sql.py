@@ -256,14 +256,48 @@ SELECT l.term, p.doc_id, p.tf
 FROM postings p JOIN lex l ON l.term_id = p.term_id
 ORDER BY l.term, p.doc_id"""
 
-    e["term_meta"] = f"""{base}
+    # term stats + max score, widened with the decode-time prediction
+    # features (dec_time_prediction.hpp values_statistics:104-144 over
+    # each list's tf histogram; functions/dectime.py is the engine
+    # form). Float features are micro-quantized per distinct-value
+    # group BEFORE the integer sum so both engines aggregate identical
+    # BIGINTs in any order.
+    e["term_meta"] = f"""{base},
+vstat AS (
+  SELECT p.term_id, p.tf AS v, CAST(COUNT(*) AS BIGINT) AS c
+  FROM postings p GROUP BY p.term_id, p.tf
+),
+vfeat AS (
+  SELECT term_id,
+         CAST(SUM(c) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN v <> 0 THEN c ELSE 0 END) AS BIGINT) AS nonzeros,
+         CAST(MAX(CASE WHEN v <> 0
+                  THEN FLOOR(LOG2(CAST(v AS DOUBLE))) + 1
+                  ELSE 0 END) AS BIGINT) AS max_b,
+         CAST(SUM(CAST(FLOOR(c * LOG2(CAST(v AS DOUBLE) + {dlit(1.0)})
+              * {dlit(1e6)} + {dlit(0.5)}) AS BIGINT)) AS BIGINT)
+           AS sum_of_logs_micro,
+         CAST(SUM(CAST(FLOOR(c * LOG2(CAST(nt AS DOUBLE) / c)
+              * {dlit(1e6)} + {dlit(0.5)}) AS BIGINT)) AS BIGINT)
+           AS entropy_micro
+  FROM (SELECT term_id, v, c,
+               SUM(c) OVER (PARTITION BY term_id) AS nt
+        FROM vstat) x
+  GROUP BY term_id
+)
 SELECT p.term_id,
        CAST(MAX(l.df) AS BIGINT) AS df,
        CAST(SUM(p.tf) AS BIGINT) AS occurrence_count,
-       CAST(MAX({micro_sql(bm25_tm)}) AS BIGINT) AS max_score_micro
+       CAST(MAX({micro_sql(bm25_tm)}) AS BIGINT) AS max_score_micro,
+       MAX(f.n) AS n,
+       MAX(f.nonzeros) AS nonzeros,
+       MAX(f.max_b) AS max_b,
+       MAX(f.sum_of_logs_micro) AS sum_of_logs_micro,
+       MAX(f.entropy_micro) AS entropy_micro
 FROM postings p
 JOIN sizes s ON s.doc_id = p.doc_id
 JOIN lex l ON l.term_id = p.term_id
+JOIN vfeat f ON f.term_id = p.term_id
 CROSS JOIN stats st
 GROUP BY p.term_id"""
 

@@ -706,6 +706,70 @@ def test_lookup_kth_thresholds(spark, index, parsed, oracle_topk):
         lookup_kth_thresholds(index, parsed, budget=BUDGET, k=10, gram=3)
 
 
+def test_decode_time_features(spark, index):
+    """Decode-time prediction (dec_time_prediction.hpp): the feature
+    job equals an independent numpy recompute of values_statistics
+    (:104-144) per term — n, nonzeros, max_b, micro-quantized
+    sum_of_logs and entropy — and the linear predictor (:72-102)
+    reproduces bias + dot(weights, features) with name-keyed weights.
+    """
+    import math
+
+    from pisa_spark.functions.dectime import (
+        decode_time_features, decode_time_predict,
+    )
+
+    got = (
+        decode_time_features(index.postings)
+        .toPandas().set_index("term_id").sort_index()
+    )
+    tfs = index.postings.select("term_id", "tf").toPandas()
+    for term_id, grp in tfs.groupby("term_id"):
+        vals = grp["tf"].to_numpy()
+        counts = pd.Series(vals).value_counts()
+        n = len(vals)
+        row = got.loc[term_id]
+        assert row["n"] == n
+        assert row["nonzeros"] == int((vals != 0).sum())
+        assert row["max_b"] == (
+            int(vals.max()).bit_length() if vals.max() else 0
+        )
+        sol = sum(
+            int(math.floor(c * math.log2(v + 1.0) * 1e6 + 0.5))
+            for v, c in counts.items()
+        )
+        ent = sum(
+            int(math.floor(c * math.log2(n / c) * 1e6 + 0.5))
+            for v, c in counts.items()
+        )
+        assert row["sum_of_logs_micro"] == sol, term_id
+        assert row["entropy_micro"] == ent, term_id
+
+    # predictor: bias + dot(weights, features), micro-suffixed
+    # features matched with or without the suffix and de-quantized
+    weights = {"n": 0.25, "sum_of_logs": 1.5, "entropy_micro": -0.5,
+               "max_b": 2.0}
+    pred = (
+        decode_time_predict(decode_time_features(index.postings),
+                            weights, bias=3.0)
+        .toPandas().set_index("term_id")["predicted_micro"]
+    )
+    for term_id, row in got.iterrows():
+        # same sorted-key accumulation order as the implementation:
+        # the double sum (hence the micro rounding) depends on it
+        exp = 3.0
+        exp = exp + -0.5 * (row["entropy_micro"] / 1e6)
+        exp = exp + 2.0 * row["max_b"]
+        exp = exp + 0.25 * row["n"]
+        exp = exp + 1.5 * (row["sum_of_logs_micro"] / 1e6)
+        assert pred[term_id] == int(math.floor(exp * 1e6 + 0.5)), term_id
+
+    with pytest.raises(ValueError):
+        decode_time_predict(
+            decode_time_features(index.postings), {"pfor_b": 1.0}
+        )
+
+
 def test_range_live_prefilter(spark, index, parsed, oracle_topk):
     """Live-range pruning (wand_data_range compute_live_blocks in
     Catalyst): bootstrapped topk_range stays rank-identical while the
