@@ -458,12 +458,16 @@ def _bmw_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _range_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Doc-range-partitioned execution (wand_data_range) under
-    maxscore, BMW, and BMW + live-block pre-filter, tagged by
-    range_mode — each must stay rank-identical to ranked_or."""
+    maxscore, BMW, BMW + live-block pre-filter, and per-range TAAT
+    (range_taat_query.hpp: the accumulator algorithm run range by
+    range — here the vectorized TAAT kernel per salt-bucket range,
+    merged by the shared partial-top-k window), tagged by range_mode
+    — each must stay rank-identical to ranked_or."""
     runs = {
         "maxscore": _run_kernel("maxscore", range_mode=True),
         "bmw": _run_kernel("block_max_wand", range_mode=True),
         "bmw_live": _run_range_live("block_max_wand"),
+        "taat": _run_kernel("ranked_or", range_mode=True),
     }
     return tagged_union(
         "range_mode",

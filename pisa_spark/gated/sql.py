@@ -140,7 +140,7 @@ DECODE_CHECK_CODECS = [
 # shared between the Spark union builders (gated/entries.py) and the
 # oracle SQL so both engines emit identical tag values.
 BMW_VARIANT_TAGS = ["bootstrap", "cwand", "quantized", "varblock"]
-RANGE_MODE_TAGS = ["bmw", "bmw_live", "maxscore"]
+RANGE_MODE_TAGS = ["bmw", "bmw_live", "maxscore", "taat"]
 STRATEGY_TAGS = ["adaptive", "batched"]
 ANALYZER_TAGS = ["english", "whitespace"]
 
