@@ -230,6 +230,37 @@ def _run_bootstrapped(algorithm: str):
     return fn
 
 
+def _run_sampling_safe(algorithm: str):
+    """Kernel bootstrapped by the RISKY sampling estimator
+    (kth_threshold_sampling_origional.cpp — can over-shoot the true
+    k-th score) wrapped in the --safe rerun (tools/queries.cpp:74-90,
+    executor.topk_search_safe): under-filled heaps rerun from 0, so
+    the result must STILL be rank-identical to ranked_or."""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pisa_spark.gated.sql import (
+            KTH_SAMPLE_MOD, KTH_SAMPLING_TARGET_O,
+        )
+        from pisa_spark.query.executor import topk_search_safe
+        from pisa_spark.query.parser import parse_queries
+        from pisa_spark.query.thresholds import sampling_kth_thresholds
+
+        index = _get_index(spark, sf_dir)
+        parsed = parse_queries(
+            _queries_df(spark), index.lexicon, pre_tokenized=True
+        )
+        est = sampling_kth_thresholds(
+            index, parsed, k=K, sample_mod=KTH_SAMPLE_MOD,
+            target_o=KTH_SAMPLING_TARGET_O,
+        )
+        return topk_search_safe(
+            index, parsed, algorithm=algorithm, k=K, thresholds=est
+        )
+
+    fn.__name__ = f"gated_sampling_safe_{algorithm}"
+    return fn
+
+
 def _run_range_live(algorithm: str):
     """Range execution with the live-range pre-filter
     (wand_data_range.hpp compute_live_blocks): bootstrap thresholds
@@ -440,13 +471,15 @@ TOPK_COLS = ["query_id", "rank", "doc_id", "score"]
 
 
 def _bmw_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BMW under all four non-default index/execution variants
+    """BMW under all five non-default index/execution variants
     (threshold-bootstrapped, compressed block maxes, impact-quantized,
-    score-optimal variable blocks), tagged by variant."""
+    RISKY-sampling bootstrap + --safe rerun, score-optimal variable
+    blocks), tagged by variant."""
     runs = {
         "bootstrap": _run_bootstrapped("block_max_wand"),
         "cwand": _run_kernel("block_max_wand", variant="cwand"),
         "quantized": _run_kernel("block_max_wand", variant="quantized"),
+        "sampling_safe": _run_sampling_safe("block_max_wand"),
         "varblock": _run_kernel("block_max_wand", variant="varblock"),
     }
     return tagged_union(

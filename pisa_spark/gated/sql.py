@@ -139,7 +139,9 @@ DECODE_CHECK_CODECS = [
 # Tags for the consolidated BMW-variant and range-execution entries;
 # shared between the Spark union builders (gated/entries.py) and the
 # oracle SQL so both engines emit identical tag values.
-BMW_VARIANT_TAGS = ["bootstrap", "cwand", "quantized", "varblock"]
+BMW_VARIANT_TAGS = [
+    "bootstrap", "cwand", "quantized", "sampling_safe", "varblock",
+]
 RANGE_MODE_TAGS = ["bmw", "bmw_live", "maxscore", "taat"]
 STRATEGY_TAGS = ["adaptive", "batched"]
 ANALYZER_TAGS = ["english", "whitespace"]

@@ -313,6 +313,82 @@ def topk_search(
     return rows.groupBy("query_id").applyInPandas(run, schema)
 
 
+def topk_search_safe(
+    index: InvertedIndex,
+    parsed: DataFrame,
+    algorithm: str = "block_max_wand",
+    k: int = 10,
+    thresholds: DataFrame | None = None,
+    scan_prune: bool | None = None,
+) -> DataFrame:
+    """topk_search bootstrapped by POSSIBLY-UNSOUND threshold
+    estimates, made exact by the reference's --safe rerun
+    (tools/queries.cpp:74-90: a heap that did not fill to k under the
+    initial threshold is rerun from threshold 0).
+
+    The sound estimators (kth_score_cache / pairs / combine_did /
+    intersection / lookup) never need this — topk_search alone is
+    already exact with them. This is the companion of the RISKY
+    sampling estimator (thresholds.sampling_kth_thresholds): its
+    estimate over-shoots the true k-th score with probability <=
+    target_o, in which case the bootstrapped heap under-fills; the
+    rerun restores exactness, so the pipeline trades a bounded
+    probability of one extra (cheap, per-query) pass for starting
+    every heap near its final threshold.
+
+    Under-fill is counted over RELIABLE entries only — those scoring
+    >= the query's estimate. The reference's topk_queue never admits
+    a sub-threshold entry, so its heap size is that count by
+    construction; these kernels admit any doc they happened to score
+    (a decoded block can contain sub-threshold docs), and with an
+    over-shot threshold such lucky entries could fill the heap while
+    a true top-k doc's block was pruned. Counting entries >= the
+    estimate restores the WAND invariant the rerun rests on: every
+    doc scoring >= theta is provably enumerated (its upper bound
+    exceeds theta), so k reliable entries == the exact top-k, and
+    fewer means rerun. Scores must be in the engine's micro scale
+    (non-quantized indexes — same contract as the estimators).
+
+    Spark shape: one bootstrapped pass over all queries, one
+    unbootstrapped pass over ONLY the under-filled queries (per-query
+    k respected when the workload carries a k column), stitched by an
+    anti-join. The rerun side is workload-sized — never a second full
+    pass."""
+    first = topk_search(
+        index, parsed, algorithm=algorithm, k=k,
+        thresholds=thresholds, scan_prune=scan_prune,
+    )
+    if thresholds is None:
+        return first
+    reliable = (
+        first.join(F.broadcast(thresholds), "query_id", "left")
+        .filter(
+            F.col("threshold_micro").isNull()
+            | (
+                F.floor(F.col("score") * F.lit(1e6) + F.lit(0.5))
+                >= F.col("threshold_micro")
+            )
+        )
+    )
+    counts = reliable.groupBy("query_id").agg(F.count("*").alias("nres"))
+    qk = parsed.select(
+        "query_id",
+        (F.col("k") if "k" in parsed.columns else F.lit(k)).alias("qk"),
+    ).distinct()
+    under = (
+        qk.join(counts, "query_id", "left")
+        .filter(F.coalesce(F.col("nres"), F.lit(0)) < F.col("qk"))
+        .select("query_id")
+    )
+    rerun = topk_search(
+        index,
+        parsed.join(F.broadcast(under), "query_id"),
+        algorithm=algorithm, k=k, thresholds=None, scan_prune=scan_prune,
+    )
+    kept = first.join(F.broadcast(under), "query_id", "left_anti")
+    return kept.unionByName(rerun)
+
+
 def boolean_query(
     index: InvertedIndex,
     parsed: DataFrame,

@@ -770,6 +770,75 @@ def test_decode_time_features(spark, index):
         )
 
 
+def test_topk_search_safe_rerun(spark, index, parsed, oracle_topk):
+    """--safe rerun (tools/queries.cpp:74-90): deliberately over-shot
+    thresholds make the plain bootstrapped search under-fill, and
+    topk_search_safe repairs exactly those queries back to the
+    oracle; the RISKY sampling-estimator pipeline end-to-end is also
+    rank-identical; sound estimates pass through with no rerun."""
+    from pisa_spark.query.executor import topk_search_safe
+    from pisa_spark.query.thresholds import sampling_kth_thresholds
+
+    exp = oracle_topk.astype({"rank": "int64", "doc_id": "int64"})
+
+    # true k-th micro per query, overshot by a wide margin
+    true_kth = (
+        oracle_topk[oracle_topk["rank"] == 10]
+        .set_index("query_id")["score"] * 1e6
+    ).round().astype(int)
+    over = spark.createDataFrame(
+        [(q, int(v) + 1000) for q, v in true_kth.items()],
+        "query_id string, threshold_micro long",
+    )
+    unsafe = topk_search(
+        index, parsed, algorithm="block_max_wand", k=10, thresholds=over
+    ).toPandas()
+    # every overshot query under-fills in RELIABLE entries (docs
+    # scoring >= the estimate): an estimate above the true k-th
+    # admits at most k-1 such docs. The raw heap may still hold 10
+    # rows (these kernels admit any doc a decoded block happened to
+    # contain), which is exactly why topk_search_safe counts reliable
+    # entries, not rows.
+    unsafe["micro"] = (unsafe["score"] * 1e6 + 0.5).astype("int64")
+    rel = (
+        unsafe[unsafe["micro"] >= unsafe["query_id"].map(true_kth) + 1000]
+        .groupby("query_id").size()
+    )
+    assert (rel.reindex(true_kth.index, fill_value=0) < 10).all()
+
+    safe = _fetch(
+        topk_search_safe(
+            index, parsed, algorithm="block_max_wand", k=10,
+            thresholds=over,
+        )
+    )
+    pd.testing.assert_frame_equal(
+        safe[["query_id", "rank", "doc_id"]],
+        exp[["query_id", "rank", "doc_id"]],
+    )
+
+    # the risky sampling estimator + safe rerun, end-to-end
+    est = sampling_kth_thresholds(index, parsed, k=10, sample_mod=4)
+    safe2 = _fetch(
+        topk_search_safe(
+            index, parsed, algorithm="maxscore", k=10, thresholds=est
+        )
+    )
+    pd.testing.assert_frame_equal(
+        safe2[["query_id", "rank", "doc_id"]],
+        exp[["query_id", "rank", "doc_id"]],
+    )
+
+    # thresholds=None short-circuits to plain topk_search
+    plain = _fetch(
+        topk_search_safe(index, parsed, algorithm="block_max_wand", k=10)
+    )
+    pd.testing.assert_frame_equal(
+        plain[["query_id", "rank", "doc_id"]],
+        exp[["query_id", "rank", "doc_id"]],
+    )
+
+
 def test_range_live_prefilter(spark, index, parsed, oracle_topk):
     """Live-range pruning (wand_data_range compute_live_blocks in
     Catalyst): bootstrapped topk_range stays rank-identical while the
