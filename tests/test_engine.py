@@ -839,6 +839,107 @@ def test_topk_search_safe_rerun(spark, index, parsed, oracle_topk):
     )
 
 
+def test_estimator_mixed_k_soundness(spark, index, parsed):
+    """Every threshold-estimator family under a MIXED-k workload
+    (the ADVICE-r2 failure class): caches/estimates built for k=10
+    must never leak into queries asking k=5 — per-family, a k=5 query
+    either gets the null/sentinel fallback (single/budget guards) or
+    is absent from the output (the filtering families) — and every
+    estimate produced for a k=10 query is <= that query's true 10th
+    final score."""
+    from pisa_spark.functions.scoring import bm25_sql_expr, dlit, micro_sql
+    from pisa_spark.query.thresholds import (
+        budget_kth_thresholds, combine_did_kth_thresholds,
+        estimate_thresholds, intersection_kth_thresholds,
+        kth_score_cache, lookup_kth_thresholds, pair_kth_thresholds,
+        sampling_kth_thresholds,
+    )
+
+    mixed = parsed.withColumn(
+        "k",
+        F.when(
+            F.crc32(F.col("query_id").cast("string")) % 2 == 0, F.lit(5)
+        ).otherwise(F.lit(10)),
+    ).persist()
+    kmap = (
+        mixed.select("query_id", "k").distinct()
+        .toPandas().set_index("query_id")["k"]
+    )
+    k10 = set(kmap[kmap == 10].index)
+
+    # true k-th at each query's own k
+    scored = (
+        mixed.join(index.postings, "term_id")
+        .join(index.doc_sizes, "doc_id")
+        .join(index.lexicon.select("term_id", "df"), "term_id")
+        .withColumn(
+            "m",
+            F.expr(
+                micro_sql(
+                    bm25_sql_expr(
+                        num_docs=dlit(index.num_docs),
+                        avg_len=dlit(index.avg_len),
+                    ),
+                    weight="weight",
+                )
+            ),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("m").cast("long").alias("ms"))
+        .toPandas()
+    )
+    true_kth = {}
+    for qid, grp in scored.groupby("query_id"):
+        vals = grp.sort_values(
+            ["ms", "doc_id"], ascending=[False, True]
+        )["ms"].tolist()
+        kk = int(kmap[qid])
+        if len(vals) >= kk:
+            true_kth[qid] = vals[kk - 1]
+
+    # single-term cache: k=5 queries must fall back to 0 (cache_k
+    # guard), k=10 estimates must be sound
+    single = (
+        estimate_thresholds(mixed, kth_score_cache(index, k=10))
+        .toPandas().set_index("query_id")["threshold_micro"]
+    )
+    for qid, est in single.items():
+        if kmap[qid] == 5:
+            assert est == 0, qid
+        elif qid in true_kth:
+            assert est <= true_kth[qid], qid
+
+    # budget: same guard via cache_k (dup queries may be -1)
+    bud = (
+        budget_kth_thresholds(index, mixed, budget=100, k=10)
+        .toPandas().set_index("query_id")["threshold_micro"]
+    )
+    for qid, est in bud.items():
+        if kmap[qid] == 5:
+            assert est <= 0, qid
+        elif qid in true_kth:
+            assert est <= true_kth[qid], qid
+
+    # filtering families: k=5 queries are ABSENT; k=10 estimates sound
+    fams = {
+        "pairs": pair_kth_thresholds(index, mixed, k=10),
+        "combine_did": combine_did_kth_thresholds(index, mixed, k=10),
+        "intersection": intersection_kth_thresholds(index, mixed, k=10),
+        "lookup": lookup_kth_thresholds(index, mixed, budget=16, k=10),
+        "sampling": sampling_kth_thresholds(index, mixed, k=10),
+    }
+    for fam, df in fams.items():
+        got = df.toPandas()
+        col = "pair_micro" if fam == "pairs" else "threshold_micro"
+        assert set(got["query_id"]) <= k10, fam
+        if fam == "sampling":
+            continue  # risky by design; soundness not claimed
+        for qid, est in zip(got["query_id"], got[col]):
+            if est >= 0 and qid in true_kth:
+                assert est <= true_kth[qid], (fam, qid)
+    mixed.unpersist()
+
+
 def test_range_live_prefilter(spark, index, parsed, oracle_topk):
     """Live-range pruning (wand_data_range compute_live_blocks in
     Catalyst): bootstrapped topk_range stays rank-identical while the
