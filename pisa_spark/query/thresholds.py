@@ -149,7 +149,9 @@ def pair_kth_thresholds(index: InvertedIndex, parsed: DataFrame,
     )
     qp = (
         parsed.select("query_id", F.col("term_id").alias("ta"))
-        .join(parsed.select("query_id", F.col("term_id").alias("tb")), "query_id")
+        .join(F.broadcast(
+            parsed.select("query_id", F.col("term_id").alias("tb"))
+        ), "query_id")
         .filter(F.col("ta") < F.col("tb"))
     )
     pda = pm.withColumnRenamed("term_id", "ta").join(
@@ -327,7 +329,7 @@ def sampling_kth_thresholds(index: InvertedIndex, parsed: DataFrame,
         .filter(F.col("rn") == k_prime)
         .select("query_id", "ms")
     )
-    return qids.join(kth, "query_id", "left").select(
+    return qids.join(F.broadcast(kth), "query_id", "left").select(
         "query_id",
         F.coalesce(F.col("ms"), F.lit(-1)).cast("long")
         .alias("threshold_micro"),
@@ -411,7 +413,7 @@ def combine_did_kth_thresholds(index: InvertedIndex, parsed: DataFrame,
         .select("query_id", "ms")
     )
     qids = parsed.select("query_id").distinct()
-    return qids.join(kth, "query_id", "left").select(
+    return qids.join(F.broadcast(kth), "query_id", "left").select(
         "query_id",
         F.coalesce(F.col("ms"), F.lit(-2)).cast("long")
         .alias("threshold_micro"),
@@ -621,7 +623,7 @@ def intersection_kth_thresholds(index: InvertedIndex, parsed: DataFrame,
     # per-slicing did sums over the cached prefixes, then max across
     # slicings, then the per-query k-th best
     slsum = (
-        combkey.join(prefix, ["query_id", "comb_key"])
+        F.broadcast(combkey).join(prefix, ["query_id", "comb_key"])
         .groupBy("query_id", "slicing_id", "doc_id")
         .agg(F.sum("ms").cast("long").alias("ms"))
     )
@@ -637,7 +639,7 @@ def intersection_kth_thresholds(index: InvertedIndex, parsed: DataFrame,
         .select("query_id", "ms")
     )
     return (
-        qn.join(kth, "query_id", "left")
+        qn.join(F.broadcast(kth), "query_id", "left")
         .select(
             "query_id",
             F.when(F.col("n") > 5, F.lit(-1))
@@ -725,8 +727,9 @@ def lookup_kth_thresholds(index: InvertedIndex, parsed: DataFrame,
     if gram == 2:
         qp = (
             parsed.select("query_id", F.col("term_id").alias("ta"))
-            .join(parsed.select("query_id", F.col("term_id").alias("tb")),
-                  "query_id")
+            .join(F.broadcast(
+                parsed.select("query_id", F.col("term_id").alias("tb"))
+            ), "query_id")
             .filter(F.col("ta") < F.col("tb"))
         )
         pda = pm.withColumnRenamed("term_id", "ta").join(
@@ -776,7 +779,7 @@ def lookup_kth_thresholds(index: InvertedIndex, parsed: DataFrame,
     )
     # exact full-score lookup for every candidate
     full = (
-        pm.join(candidates, ["query_id", "doc_id"])
+        pm.join(F.broadcast(candidates), ["query_id", "doc_id"])
         .groupBy("query_id", "doc_id")
         .agg(F.sum("m").cast("long").alias("ms"))
     )
@@ -793,7 +796,7 @@ def lookup_kth_thresholds(index: InvertedIndex, parsed: DataFrame,
         .groupBy("query_id").agg(F.count("*").alias("n"))
     )
     return (
-        qn.join(kth, "query_id", "left")
+        qn.join(F.broadcast(kth), "query_id", "left")
         .select(
             "query_id",
             F.when(F.col("n") > 16, F.lit(-1))
@@ -811,7 +814,7 @@ def estimate_thresholds_with_pairs(index: InvertedIndex, parsed: DataFrame,
     (kth_threshold.cpp: threshold = max over singles and pairs)."""
     single = estimate_thresholds(parsed, cache)
     pairs = pair_kth_thresholds(index, parsed, k=k)
-    return single.join(pairs, "query_id", "left").select(
+    return single.join(F.broadcast(pairs), "query_id", "left").select(
         "query_id",
         F.greatest(
             F.col("threshold_micro"),

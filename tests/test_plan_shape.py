@@ -221,3 +221,29 @@ def test_live_range_join_is_unhinted(index, parsed, spark):
     for line in analyzed.splitlines():
         if "ResolvedHint" in line:
             assert "doc_bytes" not in line
+
+
+def test_estimator_plans_have_no_sort_merge_join(index, parsed):
+    """The threshold-estimator jobs keep the kernel path's join
+    discipline: every WORKLOAD-keyed join (query_id / comb keys —
+    sides bounded by the query batch, not the corpus) is hinted
+    broadcast, never sort-merge — pinned for the intersection-slicing
+    and lookup-pipeline families, whose multi-stage comb machinery is
+    the likeliest place for a future edit to drop a hint. The one
+    permitted SortMergeJoin is postings ⨝ lexicon on term_id:
+    scored_postings deliberately never force-broadcasts an
+    unknown-size vocabulary (AQE converts small ones at runtime)."""
+    from pisa_spark.query.thresholds import (
+        intersection_kth_thresholds, lookup_kth_thresholds,
+    )
+
+    for df in (
+        intersection_kth_thresholds(index, parsed, k=10),
+        lookup_kth_thresholds(index, parsed, budget=16, k=10, gram=2),
+    ):
+        plan = _plan_str(df)
+        assert "BroadcastHashJoin" in plan
+        for line in plan.splitlines():
+            if "SortMergeJoin" in line:
+                assert "query_id" not in line and "comb" not in line, line
+                assert "term_id" in line, line  # the permitted lexicon join
