@@ -360,6 +360,11 @@ def topk_search_safe(
     )
     if thresholds is None:
         return first
+    # `first` feeds the under-fill count AND both stitch branches —
+    # pin it eagerly so the kernel pass runs once, not per consumer
+    # (eager localCheckpoint over persist per the repo rule:
+    # CacheManager entries leak in per-micro-batch callers).
+    first = first.localCheckpoint()
     reliable = (
         first.join(F.broadcast(thresholds), "query_id", "left")
         .filter(
