@@ -58,10 +58,15 @@ def decode_time_features(postings: DataFrame,
         f"CAST(FLOOR(c * LOG2(CAST(nt AS DOUBLE) / c)"
         f" * {dlit(1e6)} + {dlit(0.5)}) AS BIGINT)"
     )
+    # +0.5 inside the log keeps the argument ~0.5/v away from exact
+    # power-of-two boundaries, where FLOOR(LOG2(2^k)) is at the mercy
+    # of each engine's libm ULP (Spark computes log2 as a log ratio);
+    # the margin dwarfs the error for any 31-bit tf, so both engines
+    # floor identically — integer broadword::msb semantics.
     bits = F.expr(
-        "CASE WHEN v <> 0 THEN"
-        " CAST(FLOOR(LOG2(CAST(v AS DOUBLE))) + 1 AS BIGINT)"
-        " ELSE CAST(0 AS BIGINT) END"
+        f"CASE WHEN v <> 0 THEN"
+        f" CAST(FLOOR(LOG2(CAST(v AS DOUBLE) + {dlit(0.5)})) + 1 AS BIGINT)"
+        f" ELSE CAST(0 AS BIGINT) END"
     )
     return (
         vc.select(
@@ -94,6 +99,7 @@ def decode_time_predict(features: DataFrame,
     the micro rounding) is deterministic."""
     cols = set(features.columns)
     acc = F.lit(float(bias))
+    resolved: dict[str, str] = {}
     for name, wt in sorted(weights.items()):
         if name in cols:
             col = name
@@ -101,6 +107,14 @@ def decode_time_predict(features: DataFrame,
             col = f"{name}_micro"
         else:
             raise ValueError(f"unknown feature {name!r}")
+        if col in resolved:
+            # 'sum_of_logs' and 'sum_of_logs_micro' alias one column;
+            # silently summing both weights would misweight it
+            raise ValueError(
+                f"weights {resolved[col]!r} and {name!r} both resolve "
+                f"to feature column {col!r}"
+            )
+        resolved[col] = name
         val = F.col(col).cast("double")
         if col.endswith("_micro"):
             val = val / F.lit(1e6)

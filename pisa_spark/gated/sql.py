@@ -274,7 +274,7 @@ vfeat AS (
          CAST(SUM(c) AS BIGINT) AS n,
          CAST(SUM(CASE WHEN v <> 0 THEN c ELSE 0 END) AS BIGINT) AS nonzeros,
          CAST(MAX(CASE WHEN v <> 0
-                  THEN FLOOR(LOG2(CAST(v AS DOUBLE))) + 1
+                  THEN FLOOR(LOG2(CAST(v AS DOUBLE) + {dlit(0.5)})) + 1
                   ELSE 0 END) AS BIGINT) AS max_b,
          CAST(SUM(CAST(FLOOR(c * LOG2(CAST(v AS DOUBLE) + {dlit(1.0)})
               * {dlit(1e6)} + {dlit(0.5)}) AS BIGINT)) AS BIGINT)

@@ -380,9 +380,17 @@ def topk_search_safe(
         "query_id",
         (F.col("k") if "k" in parsed.columns else F.lit(k)).alias("qk"),
     ).distinct()
+    # only a genuinely bootstrapped heap (non-negative estimate) can
+    # under-fill from over-pruning; NULL/sentinel-threshold queries
+    # already ran unbootstrapped and exact — rerunning them would
+    # just repeat the identical pass
     under = (
         qk.join(counts, "query_id", "left")
-        .filter(F.coalesce(F.col("nres"), F.lit(0)) < F.col("qk"))
+        .join(F.broadcast(thresholds), "query_id", "left")
+        .filter(
+            (F.coalesce(F.col("nres"), F.lit(0)) < F.col("qk"))
+            & (F.coalesce(F.col("threshold_micro"), F.lit(-1)) >= 0)
+        )
         .select("query_id")
     )
     rerun = topk_search(

@@ -41,25 +41,8 @@ def kth_score_cache(index: InvertedIndex, k: int = 10) -> DataFrame:
         k1=index.config.bm25.k1, b=index.config.bm25.b,
     )
     with_micro = scored.withColumn("micro", F.expr(micro_sql(bm25)))
-    # Two-phase top-k so no window partition ever spans a full
-    # head-term posting list (at 10^12 docs a head term has ~10^11
-    # postings — one window partition would be a straggler): per-salt
-    # top-k first (any salt's top-k superset-contains the global
-    # top-k members that landed in it), then the exact k-th over the
-    # <= 64k survivors per term.
-    salted = with_micro.withColumn("salt", F.col("doc_id") % 64)
-    w1 = Window.partitionBy("term_id", "salt").orderBy(
-        F.col("micro").desc(), F.col("doc_id").asc()
-    )
-    cand = (
-        salted.withColumn("rn1", F.row_number().over(w1))
-        .filter(F.col("rn1") <= k)
-    )
-    w2 = Window.partitionBy("term_id").orderBy(
-        F.col("micro").desc(), F.col("doc_id").asc()
-    )
     return (
-        cand.withColumn("rn", F.row_number().over(w2))
+        _top_n_per_group(with_micro, ["term_id"], k, "micro")
         .filter(F.col("rn") == k)
         .select(
             "term_id",
@@ -104,6 +87,91 @@ def estimate_thresholds(parsed: DataFrame, cache: DataFrame) -> DataFrame:
     )
 
 
+def _workload_micro_postings(index: InvertedIndex, parsed: DataFrame,
+                             postings: DataFrame | None = None) -> DataFrame:
+    """(query_id, term_id, doc_id, m): each workload term's postings
+    scored with the query's weighted micro BM25 — the shared input of
+    every fork-family estimator. The broadcast of the tiny parsed
+    side prunes the postings scan to workload terms; ``postings``
+    overrides the index table (the sampling fork passes a
+    deterministic doc sample)."""
+    from pisa_spark.build.segments import scored_postings
+    from pisa_spark.functions.scoring import bm25_sql_expr
+
+    scored = scored_postings(
+        postings if postings is not None else index.postings,
+        index.doc_sizes, index.lexicon,
+        index.num_docs, index.avg_len,
+    )
+    bm25 = bm25_sql_expr(
+        tf="tf", df="df", doc_len="doc_len",
+        num_docs=str(float(index.num_docs)), avg_len=str(float(index.avg_len)),
+        k1=index.config.bm25.k1, b=index.config.bm25.b,
+    )
+    return (
+        scored.join(
+            F.broadcast(parsed.select("query_id", "term_id", "weight")),
+            "term_id",
+        )
+        .withColumn("m", F.expr(micro_sql(bm25, weight="weight")))
+        .select("query_id", "term_id", "doc_id", "m")
+    )
+
+
+def _top_n_per_group(df: DataFrame, keys: list[str], n: int,
+                     value_col: str) -> DataFrame:
+    """Rows ranked <= ``n`` per ``keys`` group under (value DESC,
+    doc_id ASC), rank exposed as ``rn`` — the two-phase salted
+    window shared by every estimator cache: a per-(group, salt)
+    partial top-n first (any salt's top-n superset-contains the
+    group-global top-n members that landed in it), then the exact
+    window over the <= 64n survivors, so no single window partition
+    ever spans a posting-list-sized group (at 10^12 docs a head term
+    has ~10^11 postings — one partition would be a straggler)."""
+    salted = df.withColumn("salt", F.col("doc_id") % 64)
+    w1 = Window.partitionBy(*keys, "salt").orderBy(
+        F.col(value_col).desc(), F.col("doc_id").asc()
+    )
+    cand = (
+        salted.withColumn("rn1", F.row_number().over(w1))
+        .filter(F.col("rn1") <= n)
+    )
+    w2 = Window.partitionBy(*keys).orderBy(
+        F.col(value_col).desc(), F.col("doc_id").asc()
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= n)
+        .drop("salt", "rn1")
+    )
+
+
+def _pair_doc_scores(pm: DataFrame, parsed: DataFrame) -> DataFrame:
+    """(query_id, ta, tb, doc_id, ms): each workload term-PAIR's
+    disjunctive weighted micro scores (ta < tb, union semantics:
+    a doc present under either member sums the present members) —
+    shared by the pair cache and the lookup drain's gram-2 combs."""
+    qp = (
+        parsed.select("query_id", F.col("term_id").alias("ta"))
+        .join(F.broadcast(
+            parsed.select("query_id", F.col("term_id").alias("tb"))
+        ), "query_id")
+        .filter(F.col("ta") < F.col("tb"))
+    )
+    pda = pm.withColumnRenamed("term_id", "ta").join(
+        F.broadcast(qp), ["query_id", "ta"]
+    )
+    pdb = pm.withColumnRenamed("term_id", "tb").join(
+        F.broadcast(qp), ["query_id", "tb"]
+    )
+    cols = ["query_id", "ta", "tb", "doc_id", "m"]
+    return (
+        pda.select(*cols).unionByName(pdb.select(*cols))
+        .groupBy("query_id", "ta", "tb", "doc_id")
+        .agg(F.sum("m").cast("long").alias("ms"))
+    )
+
+
 def pair_kth_thresholds(index: InvertedIndex, parsed: DataFrame,
                         k: int = 10) -> DataFrame:
     """(query_id, pair_micro): the k-th best micro score of each
@@ -122,69 +190,16 @@ def pair_kth_thresholds(index: InvertedIndex, parsed: DataFrame,
     differs from this cache's ``k`` gets NO pair estimate (its pair
     k-th score at a different k is not a lower bound for its k), so
     it falls back to estimate_thresholds' own guarded value."""
-    from pisa_spark.build.segments import scored_postings
-    from pisa_spark.functions.scoring import bm25_sql_expr
-
     if "k" in parsed.columns:
         parsed = parsed.filter(F.col("k") == F.lit(k))
 
-    scored = scored_postings(
-        index.postings, index.doc_sizes, index.lexicon,
-        index.num_docs, index.avg_len,
-    )
-    bm25 = bm25_sql_expr(
-        tf="tf", df="df", doc_len="doc_len",
-        num_docs=str(float(index.num_docs)), avg_len=str(float(index.avg_len)),
-        k1=index.config.bm25.k1, b=index.config.bm25.b,
-    )
-    # per-(query, term, doc) weighted micro — workload terms only
-    # (broadcast of the tiny parsed side prunes the postings scan)
-    pm = (
-        scored.join(
-            F.broadcast(parsed.select("query_id", "term_id", "weight")),
-            "term_id",
-        )
-        .withColumn("m", F.expr(micro_sql(bm25, weight="weight")))
-        .select("query_id", "term_id", "doc_id", "m")
-    )
-    qp = (
-        parsed.select("query_id", F.col("term_id").alias("ta"))
-        .join(F.broadcast(
-            parsed.select("query_id", F.col("term_id").alias("tb"))
-        ), "query_id")
-        .filter(F.col("ta") < F.col("tb"))
-    )
-    pda = pm.withColumnRenamed("term_id", "ta").join(
-        F.broadcast(qp), ["query_id", "ta"]
-    )
-    pdb = pm.withColumnRenamed("term_id", "tb").join(
-        F.broadcast(qp), ["query_id", "tb"]
-    )
-    cols = ["query_id", "ta", "tb", "doc_id", "m"]
-    pairdoc = (
-        pda.select(*cols).unionByName(pdb.select(*cols))
-        .groupBy("query_id", "ta", "tb", "doc_id")
-        .agg(F.sum("m").cast("long").alias("m2"))
-    )
-    # same two-phase top-k as kth_score_cache: head-term pairs have
-    # posting-list-sized doc sets, so no single window partition may
-    # span one
-    salted = pairdoc.withColumn("salt", F.col("doc_id") % 64)
-    w1 = Window.partitionBy("query_id", "ta", "tb", "salt").orderBy(
-        F.col("m2").desc(), F.col("doc_id").asc()
-    )
-    cand = (
-        salted.withColumn("rn1", F.row_number().over(w1))
-        .filter(F.col("rn1") <= k)
-    )
-    w2 = Window.partitionBy("query_id", "ta", "tb").orderBy(
-        F.col("m2").desc(), F.col("doc_id").asc()
-    )
+    pm = _workload_micro_postings(index, parsed)
+    pairdoc = _pair_doc_scores(pm, parsed)
     return (
-        cand.withColumn("rn", F.row_number().over(w2))
+        _top_n_per_group(pairdoc, ["query_id", "ta", "tb"], k, "ms")
         .filter(F.col("rn") == k)
         .groupBy("query_id")
-        .agg(F.max("m2").alias("pair_micro"))
+        .agg(F.max("ms").alias("pair_micro"))
     )
 
 
@@ -281,9 +296,6 @@ def sampling_kth_thresholds(index: InvertedIndex, parsed: DataFrame,
     Scale shape: the sample filter lands in the postings scan
     (Catalyst pushdown), the per-query top-k' reuses the two-phase
     salted window, and nothing query-independent is materialized."""
-    from pisa_spark.build.segments import scored_postings
-    from pisa_spark.functions.scoring import bm25_sql_expr
-
     if "k" in parsed.columns:
         # same guard as pair_kth_thresholds: an estimate computed for
         # this k is meaningless for a query asking a different k
@@ -294,38 +306,16 @@ def sampling_kth_thresholds(index: InvertedIndex, parsed: DataFrame,
         return qids.select(
             "query_id", F.lit(-1).cast("long").alias("threshold_micro")
         )
-    scored = scored_postings(
-        index.postings.filter(F.col("doc_id") % sample_mod == 0),
-        index.doc_sizes, index.lexicon,
-        index.num_docs, index.avg_len,
-    )
-    bm25 = bm25_sql_expr(
-        tf="tf", df="df", doc_len="doc_len",
-        num_docs=str(float(index.num_docs)), avg_len=str(float(index.avg_len)),
-        k1=index.config.bm25.k1, b=index.config.bm25.b,
-    )
     qdoc = (
-        scored.join(
-            F.broadcast(parsed.select("query_id", "term_id", "weight")),
-            "term_id",
+        _workload_micro_postings(
+            index, parsed,
+            postings=index.postings.filter(F.col("doc_id") % sample_mod == 0),
         )
-        .withColumn("m", F.expr(micro_sql(bm25, weight="weight")))
         .groupBy("query_id", "doc_id")
         .agg(F.sum("m").cast("long").alias("ms"))
     )
-    salted = qdoc.withColumn("salt", F.col("doc_id") % 64)
-    w1 = Window.partitionBy("query_id", "salt").orderBy(
-        F.col("ms").desc(), F.col("doc_id").asc()
-    )
-    cand = (
-        salted.withColumn("rn1", F.row_number().over(w1))
-        .filter(F.col("rn1") <= k_prime)
-    )
-    w2 = Window.partitionBy("query_id").orderBy(
-        F.col("ms").desc(), F.col("doc_id").asc()
-    )
     kth = (
-        cand.withColumn("rn", F.row_number().over(w2))
+        _top_n_per_group(qdoc, ["query_id"], k_prime, "ms")
         .filter(F.col("rn") == k_prime)
         .select("query_id", "ms")
     )
@@ -361,46 +351,13 @@ def combine_did_kth_thresholds(index: InvertedIndex, parsed: DataFrame,
     Scale shape: top-d per (query, term) is the same two-phase salted
     window as kth_score_cache; everything downstream is prefix-sized
     (<= terms * d rows per query), not posting-list-sized."""
-    from pisa_spark.build.segments import scored_postings
-    from pisa_spark.functions.scoring import bm25_sql_expr
-
     if "k" in parsed.columns:
         # same guard as pair_kth_thresholds: a combined k-th computed
         # for this k is not a bound for a query asking a different k
         parsed = parsed.filter(F.col("k") == F.lit(k))
 
-    scored = scored_postings(
-        index.postings, index.doc_sizes, index.lexicon,
-        index.num_docs, index.avg_len,
-    )
-    bm25 = bm25_sql_expr(
-        tf="tf", df="df", doc_len="doc_len",
-        num_docs=str(float(index.num_docs)), avg_len=str(float(index.avg_len)),
-        k1=index.config.bm25.k1, b=index.config.bm25.b,
-    )
-    pm = (
-        scored.join(
-            F.broadcast(parsed.select("query_id", "term_id", "weight")),
-            "term_id",
-        )
-        .withColumn("m", F.expr(micro_sql(bm25, weight="weight")))
-        .select("query_id", "term_id", "doc_id", "m")
-    )
-    salted = pm.withColumn("salt", F.col("doc_id") % 64)
-    w1 = Window.partitionBy("query_id", "term_id", "salt").orderBy(
-        F.col("m").desc(), F.col("doc_id").asc()
-    )
-    cand = (
-        salted.withColumn("rn1", F.row_number().over(w1))
-        .filter(F.col("rn1") <= d)
-    )
-    w2 = Window.partitionBy("query_id", "term_id").orderBy(
-        F.col("m").desc(), F.col("doc_id").asc()
-    )
-    prefix = (
-        cand.withColumn("rn", F.row_number().over(w2))
-        .filter(F.col("rn") <= d)
-    )
+    pm = _workload_micro_postings(index, parsed)
+    prefix = _top_n_per_group(pm, ["query_id", "term_id"], d, "m")
     combined = prefix.groupBy("query_id", "doc_id").agg(
         F.sum("m").cast("long").alias("ms")
     )
@@ -524,7 +481,7 @@ def intersection_kth_thresholds(index: InvertedIndex, parsed: DataFrame,
     DISTINCT terms and comb scores use the query's weighted micro
     scores — consistent with every other estimator here.
 
-    Scale shape: slicing enumeration is a <= 289-row literal inline
+    Scale shape: slicing enumeration is a 264-row literal inline
     table joined per query (no array indexing, no Python per row);
     comb caches reuse the two-phase salted top-d window so no window
     partition spans a head-term posting list; everything after the
@@ -564,23 +521,7 @@ def intersection_kth_thresholds(index: InvertedIndex, parsed: DataFrame,
         ["query_id", "slicing_id", "comb_id"],
     )
 
-    scored = scored_postings(
-        index.postings, index.doc_sizes, index.lexicon,
-        index.num_docs, index.avg_len,
-    )
-    bm25 = bm25_sql_expr(
-        tf="tf", df="df", doc_len="doc_len",
-        num_docs=str(float(index.num_docs)), avg_len=str(float(index.avg_len)),
-        k1=index.config.bm25.k1, b=index.config.bm25.b,
-    )
-    pm = (
-        scored.join(
-            F.broadcast(parsed.select("query_id", "term_id", "weight")),
-            "term_id",
-        )
-        .withColumn("m", F.expr(micro_sql(bm25, weight="weight")))
-        .select("query_id", "term_id", "doc_id", "m")
-    )
+    pm = _workload_micro_postings(index, parsed)
     # each comb's disjunctive sub-query scores; distinct combs are
     # deduplicated across slicings via the sorted member-term key so a
     # comb's top-d is computed once per query, not once per slicing
@@ -601,25 +542,11 @@ def intersection_kth_thresholds(index: InvertedIndex, parsed: DataFrame,
         .groupBy("query_id", "comb_key", "doc_id")
         .agg(F.sum("m").cast("long").alias("ms"))
     )
-    # two-phase salted top-d per (query, comb): a head-term comb's doc
-    # set is posting-list sized, so no single window partition may
-    # span one
-    salted = combdoc.withColumn("salt", F.col("doc_id") % 64)
-    w1 = Window.partitionBy("query_id", "comb_key", "salt").orderBy(
-        F.col("ms").desc(), F.col("doc_id").asc()
-    )
-    cand = (
-        salted.withColumn("rn1", F.row_number().over(w1))
-        .filter(F.col("rn1") <= d)
-    )
-    w2 = Window.partitionBy("query_id", "comb_key").orderBy(
-        F.col("ms").desc(), F.col("doc_id").asc()
-    )
-    prefix = (
-        cand.withColumn("rn", F.row_number().over(w2))
-        .filter(F.col("rn") <= d)
-        .select("query_id", "comb_key", "doc_id", "ms")
-    )
+    # a head-term comb's doc set is posting-list sized — two-phase
+    # salted top-d so no single window partition spans one
+    prefix = _top_n_per_group(
+        combdoc, ["query_id", "comb_key"], d, "ms"
+    ).select("query_id", "comb_key", "doc_id", "ms")
     # per-slicing did sums over the cached prefixes, then max across
     # slicings, then the per-query k-th best
     slsum = (
@@ -697,26 +624,7 @@ def lookup_kth_thresholds(index: InvertedIndex, parsed: DataFrame,
         # same guard as the other per-k estimators
         parsed = parsed.filter(F.col("k") == F.lit(k))
 
-    from pisa_spark.build.segments import scored_postings
-    from pisa_spark.functions.scoring import bm25_sql_expr
-
-    scored = scored_postings(
-        index.postings, index.doc_sizes, index.lexicon,
-        index.num_docs, index.avg_len,
-    )
-    bm25 = bm25_sql_expr(
-        tf="tf", df="df", doc_len="doc_len",
-        num_docs=str(float(index.num_docs)), avg_len=str(float(index.avg_len)),
-        k1=index.config.bm25.k1, b=index.config.bm25.b,
-    )
-    pm = (
-        scored.join(
-            F.broadcast(parsed.select("query_id", "term_id", "weight")),
-            "term_id",
-        )
-        .withColumn("m", F.expr(micro_sql(bm25, weight="weight")))
-        .select("query_id", "term_id", "doc_id", "m")
-    )
+    pm = _workload_micro_postings(index, parsed)
     # cached comb prefix rows: (query_id, comb, doc_id, ms)
     combdoc = pm.select(
         "query_id",
@@ -725,49 +633,17 @@ def lookup_kth_thresholds(index: InvertedIndex, parsed: DataFrame,
         F.col("m").cast("long").alias("ms"),
     )
     if gram == 2:
-        qp = (
-            parsed.select("query_id", F.col("term_id").alias("ta"))
-            .join(F.broadcast(
-                parsed.select("query_id", F.col("term_id").alias("tb"))
-            ), "query_id")
-            .filter(F.col("ta") < F.col("tb"))
-        )
-        pda = pm.withColumnRenamed("term_id", "ta").join(
-            F.broadcast(qp), ["query_id", "ta"]
-        )
-        pdb = pm.withColumnRenamed("term_id", "tb").join(
-            F.broadcast(qp), ["query_id", "tb"]
-        )
-        cols = ["query_id", "ta", "tb", "doc_id", "m"]
-        pairdoc = (
-            pda.select(*cols).unionByName(pdb.select(*cols))
-            .groupBy("query_id", "ta", "tb", "doc_id")
-            .agg(F.sum("m").cast("long").alias("ms"))
-            .select(
-                "query_id",
-                F.concat_ws("-", F.col("ta"), F.col("tb")).alias("comb"),
-                "doc_id", "ms",
-            )
+        pairdoc = _pair_doc_scores(pm, parsed).select(
+            "query_id",
+            F.concat_ws("-", F.col("ta"), F.col("tb")).alias("comb"),
+            "doc_id", "ms",
         )
         combdoc = combdoc.unionByName(pairdoc)
     # two-phase salted per-comb top-budget (one comb can contribute at
     # most `budget` drained entries), then the global budget drain
-    salted = combdoc.withColumn("salt", F.col("doc_id") % 64)
-    w1 = Window.partitionBy("query_id", "comb", "salt").orderBy(
-        F.col("ms").desc(), F.col("doc_id").asc()
-    )
-    cand0 = (
-        salted.withColumn("rn1", F.row_number().over(w1))
-        .filter(F.col("rn1") <= budget)
-    )
-    w2 = Window.partitionBy("query_id", "comb").orderBy(
-        F.col("ms").desc(), F.col("doc_id").asc()
-    )
-    prefix = (
-        cand0.withColumn("rn", F.row_number().over(w2))
-        .filter(F.col("rn") <= budget)
-        .select("query_id", "comb", "doc_id", "ms")
-    )
+    prefix = _top_n_per_group(
+        combdoc, ["query_id", "comb"], budget, "ms"
+    ).select("query_id", "comb", "doc_id", "ms")
     wg = Window.partitionBy("query_id").orderBy(
         F.col("ms").desc(), F.col("doc_id").asc(), F.col("comb").asc()
     )
