@@ -327,7 +327,8 @@ def sampling_kth_thresholds(index: InvertedIndex, parsed: DataFrame,
 
 
 def combine_did_kth_thresholds(index: InvertedIndex, parsed: DataFrame,
-                               d: int = 16, k: int = 10) -> DataFrame:
+                               d: int = 16, k: int = 10,
+                               budget: int | None = None) -> DataFrame:
     """(query_id, threshold_micro): the combine-did fork family's
     estimate (tools/kth_threshold_intersection_new.cpp:211-232,
     354-440 and the *_combine_did tools): each workload term's top-``d``
@@ -348,15 +349,35 @@ def combine_did_kth_thresholds(index: InvertedIndex, parsed: DataFrame,
     pair/triple prefixes into the same did map, which this table-layout
     extends naturally (union more gram caches before the did sum).
 
+    ``budget`` models the BUDGETED combine-did fork
+    (tools/kth_threshold_budget_combine_did.cpp:100-145,254-262: the
+    exist-list files hold only the budgeted most-frequent grams, so
+    uncached grams contribute no prefix): when set, only the
+    ``budget`` most-queried workload terms (qn DESC, term_id ASC —
+    budget_kth_thresholds' deterministic exist-term selection) get
+    cached prefixes; the others contribute 0 to every did. Still
+    sound — dropping components only shrinks the combined sums.
+
     Scale shape: top-d per (query, term) is the same two-phase salted
     window as kth_score_cache; everything downstream is prefix-sized
-    (<= terms * d rows per query), not posting-list-sized."""
+    (<= terms * d rows per query), not posting-list-sized; the budget
+    cap is one tiny workload aggregate semi-joined into pm (cost
+    SHRINKS with the budget — the fork's whole point)."""
     if "k" in parsed.columns:
         # same guard as pair_kth_thresholds: a combined k-th computed
         # for this k is not a bound for a query asking a different k
         parsed = parsed.filter(F.col("k") == F.lit(k))
 
     pm = _workload_micro_postings(index, parsed)
+    if budget is not None:
+        sel = (
+            parsed.groupBy("term_id")
+            .agg(F.count_distinct("query_id").alias("qn"))
+            .orderBy(F.col("qn").desc(), F.col("term_id").asc())
+            .limit(budget)
+            .select("term_id")
+        )
+        pm = pm.join(F.broadcast(sel), "term_id")
     prefix = _top_n_per_group(pm, ["query_id", "term_id"], d, "m")
     combined = prefix.groupBy("query_id", "doc_id").agg(
         F.sum("m").cast("long").alias("ms")

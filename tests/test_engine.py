@@ -480,6 +480,29 @@ def test_combine_did_kth_thresholds(spark, index, parsed, oracle_topk):
     assert (got[both] >= single[both]).all()
     assert (got[both] > single[both]).any()
 
+    # budgeted variant (kth_threshold_budget_combine_did.cpp): an
+    # unbounded budget reproduces the plain estimate; a capped budget
+    # only drops components, so estimates never rise and every
+    # non-negative value stays a sound bound; budget=0 caches nothing
+    # -> -2 everywhere
+    full_b = (
+        combine_did_kth_thresholds(index, parsed, d=D, k=10, budget=10**6)
+        .toPandas().set_index("query_id")["threshold_micro"]
+    )
+    pd.testing.assert_series_equal(full_b.sort_index(), got.sort_index())
+    small_b = (
+        combine_did_kth_thresholds(index, parsed, d=D, k=10, budget=3)
+        .toPandas().set_index("query_id")["threshold_micro"]
+    )
+    for qid in got.index:
+        if small_b[qid] >= 0:
+            assert small_b[qid] <= got[qid], qid
+    zero_b = (
+        combine_did_kth_thresholds(index, parsed, d=D, k=10, budget=0)
+        .toPandas()["threshold_micro"]
+    )
+    assert (zero_b == -2).all()
+
     # sound bootstrap: BMW with combine-did estimates stays rank-identical
     est = combine_did_kth_thresholds(index, parsed, d=D, k=10)
     res = _fetch(
