@@ -600,7 +600,8 @@ def intersection_kth_thresholds(index: InvertedIndex, parsed: DataFrame,
 
 def lookup_kth_thresholds(index: InvertedIndex, parsed: DataFrame,
                           budget: int = 64, k: int = 10,
-                          gram: int = 1) -> DataFrame:
+                          gram: int = 1,
+                          sample_mod: int | None = None) -> DataFrame:
     """(query_id, threshold_micro): the lookup-pipeline fork family's
     estimate (tools/kth_threshold_intersection_budget_lookup.cpp:
     690-835 and threshold/threshold_lookup_whole_pipeline.cpp) — the
@@ -634,6 +635,19 @@ def lookup_kth_thresholds(index: InvertedIndex, parsed: DataFrame,
     here. gram in {1, 2} (singles / singles+pairs) — the fork's
     experiments run termConsidered in the same range.
 
+    ``sample_mod`` models the SAMPLING-lookup fork
+    (tools/kth_threshold_sampling_lookup.cpp:380-430,820-835: the
+    drain heap skips any did outside a precomputed doc sample): when
+    set, only prefix entries with ``doc_id % sample_mod = 0``
+    (sample_inverted_index's deterministic convention) may be
+    drained — the LOOKUP still fetches exact FULL scores, so the
+    estimate stays a sound lower bound; sampling only shrinks the
+    candidate set. That fork's remaining nuance — a per-term cap of
+    ``targetDid`` lookups chosen by sequentially-updated partial
+    sums (:867-895) — is a latency experiment around the same
+    primitive and is not modeled: lookups here are set-oriented, one
+    semi-join per batch rather than per-term RPC rounds.
+
     Scale shape: per-comb prefixes reuse the two-phase salted top-N
     window (N = budget caps what one comb can contribute); the global
     drain is a per-query window over <= combs x budget rows; the
@@ -646,15 +660,21 @@ def lookup_kth_thresholds(index: InvertedIndex, parsed: DataFrame,
         parsed = parsed.filter(F.col("k") == F.lit(k))
 
     pm = _workload_micro_postings(index, parsed)
+    # the sampled drain: only in-sample dids may become candidates;
+    # their LOOKUP below still reads full exact scores from pm
+    pmd = (
+        pm.filter(F.col("doc_id") % sample_mod == 0)
+        if sample_mod is not None else pm
+    )
     # cached comb prefix rows: (query_id, comb, doc_id, ms)
-    combdoc = pm.select(
+    combdoc = pmd.select(
         "query_id",
         F.concat_ws("-", F.col("term_id")).alias("comb"),
         "doc_id",
         F.col("m").cast("long").alias("ms"),
     )
     if gram == 2:
-        pairdoc = _pair_doc_scores(pm, parsed).select(
+        pairdoc = _pair_doc_scores(pmd, parsed).select(
             "query_id",
             F.concat_ws("-", F.col("ta"), F.col("tb")).alias("comb"),
             "doc_id", "ms",

@@ -725,6 +725,37 @@ def test_lookup_kth_thresholds(spark, index, parsed, oracle_topk):
         else:
             assert est == -2, qid  # under k matching docs
 
+    # sampled drain (kth_threshold_sampling_lookup.cpp): candidates
+    # restricted to the doc sample, lookups still exact -> matches a
+    # recompute whose drain rows are pre-filtered to the sample, and
+    # every non-negative estimate stays a sound bound
+    MOD = 3
+    got_s = (
+        lookup_kth_thresholds(index, parsed, budget=BUDGET, k=10,
+                              sample_mod=MOD)
+        .toPandas().set_index("query_id")["threshold_micro"]
+    )
+
+    def expected_sampled(qid: str, budget: int) -> int:
+        grp = pm[pm["query_id"] == qid]
+        sgrp = grp[grp["doc_id"] % MOD == 0]
+        rows = sorted(
+            ((str(t), d, int(m)) for t, d, m
+             in zip(sgrp["term_id"], sgrp["doc_id"], sgrp["m"])),
+            key=lambda r: (-r[2], r[1], r[0]),
+        )
+        cands = {d for _, d, _ in rows[:budget]}
+        full = sorted(
+            ((int(grp[grp["doc_id"] == d]["m"].sum()), d) for d in cands),
+            key=lambda v: (-v[0], v[1]),
+        )
+        return full[9][0] if len(full) >= 10 else -2
+
+    for qid in got_s.index:
+        assert got_s[qid] == expected_sampled(qid, BUDGET), qid
+        if got_s[qid] >= 0 and qid in true_kth.index:
+            assert got_s[qid] <= true_kth[qid], qid
+
     with pytest.raises(ValueError):
         lookup_kth_thresholds(index, parsed, budget=BUDGET, k=10, gram=3)
 
