@@ -54,6 +54,12 @@ KTH_LOOKUP_BUDGET = 32
 # the 4- and 5-term workload queries exercise skipped triple/quad
 # combs at sf0.01.
 KTH_GRAM = 2
+# Gram cap for the 'combine_did_new' and 'substructure' tags
+# (kth_threshold_combine_did_new.cpp getAllPossibleComb /
+# kth_threshold_existance_substructure_test.cpp): every comb of <=
+# this many terms has a cached top-d prefix (the tools' "all pairs
+# available" idealization of their single/duplet prefix files).
+KTH_NEW_GRAM = 2
 
 # Fixed literal query workload over the documents vocabulary
 # (mirrors the reference's 100-query term-ID fixture; 1-5 terms,
@@ -919,6 +925,17 @@ SELECT scorer, query_id, rank, doc_id, score FROM (
     # entries per query, EXACT full-score index lookup for every
     # drained did, k-th best; -2 under k candidates, -1 over 16
     # terms (MaxQueryLen).
+    # 'combine_did_new' tag (kth_threshold_combine_did_new.cpp:
+    # 211-232,340-432): every <= KTH_NEW_GRAM comb of the query's
+    # terms (ncomb: singles + pairs at gram 2) caches the top-d dids
+    # of its disjunctive sub-query; per did, cached comb scores
+    # combine by MAX (not the original combine-did's per-term SUM);
+    # k-th best, -2 under k cached dids.
+    # 'substructure' tag
+    # (kth_threshold_existance_substructure_test.cpp:211-232,
+    # 380-432): same comb prefixes, unpacked to per-TERM components
+    # deduplicated across overlapping combs (did_t_map[did][term]),
+    # summed per did; k-th best, -2 under k cached dids.
     e["kth_thresholds"] = f"""{_kth_all}qids AS (SELECT DISTINCT query_id FROM qterms),
 m_b AS (SELECT query_id, kth FROM skth UNION ALL SELECT query_id, kth FROM pkth),
 m_c AS (SELECT query_id, kth FROM skth UNION ALL SELECT query_id, kth FROM pkth
@@ -1043,6 +1060,63 @@ lkkth AS (
                               ORDER BY ms DESC, doc_id ASC) AS rn
     FROM lkfull
   ) t WHERE rn = {K}
+),
+ncomb AS (
+  SELECT query_id, CAST(term_id AS {d.str_type}) AS comb_key, term_id
+  FROM iqdist
+  UNION ALL
+  SELECT a.query_id,
+         CONCAT(CAST(a.term_id AS {d.str_type}), '-', CAST(b.term_id AS {d.str_type})),
+         a.term_id
+  FROM iqdist a JOIN iqdist b
+    ON a.query_id = b.query_id AND a.term_id < b.term_id
+  UNION ALL
+  SELECT a.query_id,
+         CONCAT(CAST(a.term_id AS {d.str_type}), '-', CAST(b.term_id AS {d.str_type})),
+         b.term_id
+  FROM iqdist a JOIN iqdist b
+    ON a.query_id = b.query_id AND a.term_id < b.term_id
+),
+ncombdoc AS (
+  SELECT c.query_id, c.comb_key, p.doc_id,
+         CAST(SUM(p.m) AS BIGINT) AS ms
+  FROM ncomb c
+  JOIN pm p ON p.query_id = c.query_id AND p.term_id = c.term_id
+  GROUP BY c.query_id, c.comb_key, p.doc_id
+),
+nprefix AS (
+  SELECT query_id, comb_key, doc_id, ms FROM (
+    SELECT query_id, comb_key, doc_id, ms,
+           ROW_NUMBER() OVER (PARTITION BY query_id, comb_key
+                              ORDER BY ms DESC, doc_id ASC) AS rn
+    FROM ncombdoc
+  ) t WHERE rn <= {KTH_COMBINE_D}
+),
+nkth AS (
+  SELECT query_id, ms FROM (
+    SELECT query_id, doc_id, ms,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY ms DESC, doc_id ASC) AS rn
+    FROM (SELECT query_id, doc_id, CAST(MAX(ms) AS BIGINT) AS ms
+          FROM nprefix GROUP BY query_id, doc_id) b
+  ) t WHERE rn = {K}
+),
+sscomp AS (
+  SELECT DISTINCT n.query_id, c.term_id, n.doc_id
+  FROM nprefix n
+  JOIN ncomb c ON c.query_id = n.query_id AND c.comb_key = n.comb_key
+),
+sskth AS (
+  SELECT query_id, ms FROM (
+    SELECT query_id, doc_id, ms,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY ms DESC, doc_id ASC) AS rn
+    FROM (SELECT s.query_id, s.doc_id, CAST(SUM(p.m) AS BIGINT) AS ms
+          FROM sscomp s
+          JOIN pm p ON p.query_id = s.query_id
+                   AND p.term_id = s.term_id AND p.doc_id = s.doc_id
+          GROUP BY s.query_id, s.doc_id) u
+  ) t WHERE rn = {K}
 )
 SELECT method, query_id, threshold_micro FROM (
   SELECT 'single' AS method, q.query_id,
@@ -1085,6 +1159,14 @@ SELECT method, query_id, threshold_micro FROM (
   FROM qids q
   JOIN iqn n ON n.query_id = q.query_id
   LEFT JOIN lkkth lk ON lk.query_id = q.query_id
+  UNION ALL
+  SELECT 'combine_did_new' AS method, q.query_id,
+         CAST(COALESCE(nk.ms, -2) AS BIGINT) AS threshold_micro
+  FROM qids q LEFT JOIN nkth nk ON nk.query_id = q.query_id
+  UNION ALL
+  SELECT 'substructure' AS method, q.query_id,
+         CAST(COALESCE(sk.ms, -2) AS BIGINT) AS threshold_micro
+  FROM qids q LEFT JOIN sskth sk ON sk.query_id = q.query_id
 ) u ORDER BY method, query_id"""
 
     # AND + OR result sets in one statement, tagged by op (oracle for

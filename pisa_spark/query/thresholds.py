@@ -398,6 +398,187 @@ def combine_did_kth_thresholds(index: InvertedIndex, parsed: DataFrame,
     )
 
 
+def _gram_comb_members(parsed: DataFrame, gram: int) -> DataFrame:
+    """(query_id, comb_key, term_id): every comb (subset) of 1..``gram``
+    of the query's distinct terms, keyed by the sorted '-'-joined
+    member ids — the combine-did-new / substructure forks' gram
+    enumeration (kth_threshold_combine_did_new.cpp getAllPossibleComb
+    :96-146 / term_to_string). Workload-sized throughout (<= queries
+    x C(n, <=gram) rows); every join is broadcast."""
+    if gram not in (1, 2, 3, 4):
+        raise ValueError("gram combs support 1 <= gram <= 4 "
+                         "(the fork's single..quadruplet prefix files)")
+    qdist = parsed.select("query_id", "term_id").distinct()
+    sized = qdist.select(
+        "query_id", F.array("term_id").alias("members")
+    )
+    out = sized
+    for _ in range(gram - 1):
+        sized = (
+            sized.join(F.broadcast(qdist), "query_id")
+            .filter(F.col("term_id") > F.element_at("members", -1))
+            .select(
+                "query_id",
+                F.concat("members", F.array("term_id")).alias("members"),
+            )
+        )
+        out = out.unionByName(sized)
+    return out.select(
+        "query_id",
+        F.concat_ws("-", F.col("members").cast("array<string>"))
+        .alias("comb_key"),
+        F.explode("members").alias("term_id"),
+    )
+
+
+def _gram_comb_prefixes(index: InvertedIndex, parsed: DataFrame,
+                        d: int, gram: int,
+                        budget: int | None = None):
+    """Shared cache layer of the combine-did-new / substructure forks:
+    ``members`` (query_id, comb_key, term_id) comb membership, ``pm``
+    the workload micro postings, and ``prefix`` (query_id, comb_key,
+    doc_id, ms) — each cached comb's top-``d`` dids by its disjunctive
+    summed score (the forks' single/duplet/triplet/quadruplet prefix
+    files, kth_threshold_combine_did_new.cpp:370-428).
+
+    ``budget`` models the budgeted variants
+    (kth_threshold_combine_did_new_budget.cpp load_lexicon: only
+    grams on the freq list have cached prefixes): keep the ``budget``
+    most-queried combs (distinct-query count DESC, comb_key ASC —
+    the same deterministic exist-list selection as the budget fork);
+    uncached combs contribute no prefix entries."""
+    members = _gram_comb_members(parsed, gram)
+    if budget is not None:
+        sel = (
+            members.select("query_id", "comb_key").distinct()
+            .groupBy("comb_key")
+            .agg(F.count("*").alias("qn"))
+            .orderBy(F.col("qn").desc(), F.col("comb_key").asc())
+            .limit(budget)
+            .select("comb_key")
+        )
+        members = members.join(F.broadcast(sel), "comb_key")
+    pm = _workload_micro_postings(index, parsed)
+    combdoc = (
+        pm.join(F.broadcast(members), ["query_id", "term_id"])
+        .groupBy("query_id", "comb_key", "doc_id")
+        .agg(F.sum("m").cast("long").alias("ms"))
+    )
+    # head-term combs are posting-list sized -> two-phase salted top-d
+    prefix = _top_n_per_group(
+        combdoc, ["query_id", "comb_key"], d, "ms"
+    ).select("query_id", "comb_key", "doc_id", "ms")
+    return members, pm, prefix
+
+
+def _qids_with_kth(parsed: DataFrame, perdoc: DataFrame, k: int,
+                   missing: int = -2) -> DataFrame:
+    """k-th best ``ms`` per query over ``perdoc`` (query_id, doc_id,
+    ms) with the forks' pinned tie order (ms DESC, doc_id ASC),
+    ``missing`` when fewer than k dids are cached (getTopKFromMap's
+    sentinel) — the shared tail of every combine-family estimator."""
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("ms").desc(), F.col("doc_id").asc()
+    )
+    kth = (
+        perdoc.withColumn("qrn", F.row_number().over(wq))
+        .filter(F.col("qrn") == k)
+        .select("query_id", "ms")
+    )
+    qids = parsed.select("query_id").distinct()
+    return qids.join(F.broadcast(kth), "query_id", "left").select(
+        "query_id",
+        F.coalesce(F.col("ms"), F.lit(missing)).cast("long")
+        .alias("threshold_micro"),
+    )
+
+
+def combine_did_new_kth_thresholds(index: InvertedIndex, parsed: DataFrame,
+                                   d: int = 16, k: int = 10,
+                                   gram: int = 2,
+                                   budget: int | None = None) -> DataFrame:
+    """(query_id, threshold_micro): the combine-did-NEW fork's
+    estimate (tools/kth_threshold_combine_did_new.cpp:211-232,
+    340-432 and its *_budget variant): every comb of <= ``gram`` of
+    the query's terms is cached as the top-``d`` (did, score) prefix
+    of its own disjunctive sub-query; per did, competing cached comb
+    scores combine by MAX (:417-421 — unlike the original
+    combine-did's per-term SUM); the estimate is the k-th best
+    combined value (getTopKFromMap :211-232), -2 when fewer than k
+    dids are cached.
+
+    SOUND: each cached comb score is the did's exact sub-query score
+    over a SUBSET of the query's terms, components are >= 0, so the
+    max over combs is <= the true final score. EXACT when gram >= n
+    and the did survives the full-query comb's top-d (pinned by
+    pytest). Tighter than the original combine-did whenever a
+    pair/triple comb's top-d holds a did that no member term's own
+    prefix holds; never tighter than substructure (which sums the
+    union of cached components instead of taking the best single
+    comb — see substructure_kth_thresholds).
+
+    Deviation, documented: the tool pushes -1 for queries whose TRUE
+    result set holds < k docs (its simulator skips them before
+    estimating, :368-374); that coupling belongs to the quality
+    harness (estimator_quality), not the estimator — here such
+    queries estimate from their caches like any other.
+
+    Scale shape: comb enumeration is workload-sized; comb prefixes
+    reuse the two-phase salted top-d window; everything downstream is
+    prefix-sized (<= combs x d rows per query)."""
+    if "k" in parsed.columns:
+        # same guard as the other per-k estimators
+        parsed = parsed.filter(F.col("k") == F.lit(k))
+    _, _, prefix = _gram_comb_prefixes(index, parsed, d, gram, budget)
+    best = prefix.groupBy("query_id", "doc_id").agg(
+        F.max("ms").alias("ms")
+    )
+    return _qids_with_kth(parsed, best, k)
+
+
+def substructure_kth_thresholds(index: InvertedIndex, parsed: DataFrame,
+                                d: int = 16, k: int = 10,
+                                gram: int = 2) -> DataFrame:
+    """(query_id, threshold_micro): the existence-substructure fork's
+    estimate (tools/kth_threshold_existance_substructure_test.cpp:
+    211-232, 380-432): the same <= ``gram`` comb prefixes as
+    combine-did-new, but each cached prefix entry is unpacked into
+    its per-TERM score components (did_t_map[did][term] = score,
+    :417-422 — a term seen in several overlapping combs counts ONCE);
+    per did, the DISTINCT cached term components SUM (:214-224); the
+    estimate is the k-th best, -2 when fewer than k dids are cached.
+
+    SOUND: the distinct cached terms are a subset of the query's
+    terms and each component is the did's exact per-term score, so
+    the sum is <= the true final score. Dominates combine-did-new at
+    equal (d, gram) — the union of a did's cached components covers
+    every single comb's member set (pinned by pytest); the candidate
+    did set is identical (same prefixes).
+
+    Scale shape: the component unpack is a prefix-sized broadcast
+    semi-join back into the workload-pruned postings scan (the
+    reference reads the score bytes it already holds; columnar
+    postings re-read them instead of widening every prefix row)."""
+    if "k" in parsed.columns:
+        # same guard as the other per-k estimators
+        parsed = parsed.filter(F.col("k") == F.lit(k))
+    members, pm, prefix = _gram_comb_prefixes(index, parsed, d, gram)
+    # per-term components of every cached entry: a (did, term) pair
+    # absent from pm is the reference's zero score byte (adds 0)
+    comps = (
+        prefix.select("query_id", "comb_key", "doc_id")
+        .join(F.broadcast(members), ["query_id", "comb_key"])
+        .select("query_id", "term_id", "doc_id")
+        .distinct()
+    )
+    sums = (
+        pm.join(F.broadcast(comps), ["query_id", "term_id", "doc_id"])
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("m").cast("long").alias("ms"))
+    )
+    return _qids_with_kth(parsed, sums, k)
+
+
 # Set-partition "slicings" of an n-distinct-term query, keyed by n —
 # the intersection fork's hand-enumerated list
 # (tools/kth_threshold_intersection.cpp getAllPossibleSlicing,

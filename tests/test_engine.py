@@ -638,6 +638,151 @@ def test_intersection_kth_thresholds(spark, index, parsed, oracle_topk):
     )
 
 
+def test_combine_did_new_and_substructure_kth_thresholds(
+    spark, index, parsed, oracle_topk
+):
+    """Combine-did-new + existence-substructure forks
+    (kth_threshold_combine_did_new.cpp /
+    kth_threshold_existance_substructure_test.cpp): both equal an
+    independent pandas recompute of the gram-comb prefix semantics
+    (per-did MAX across combs vs per-term-deduplicated SUM),
+    substructure dominates combine-did-new at equal (d, gram),
+    combine-did-new turns EXACT when gram >= n, the budget knob only
+    drops components, and both stay sound BMW bootstraps."""
+    from pisa_spark.functions.scoring import bm25_sql_expr, dlit, micro_sql
+    from pisa_spark.query.thresholds import (
+        combine_did_new_kth_thresholds, substructure_kth_thresholds,
+    )
+
+    D, GRAM = 8, 2
+    got_new = (
+        combine_did_new_kth_thresholds(index, parsed, d=D, k=10, gram=GRAM)
+        .toPandas().set_index("query_id")["threshold_micro"]
+    )
+    got_sub = (
+        substructure_kth_thresholds(index, parsed, d=D, k=10, gram=GRAM)
+        .toPandas().set_index("query_id")["threshold_micro"]
+    )
+    pm = (
+        parsed.join(index.postings.select("term_id", "doc_id", "tf"), "term_id")
+        .join(index.doc_sizes.select("doc_id", "doc_len"), "doc_id")
+        .join(index.lexicon.select("term_id", "df"), "term_id")
+        .withColumn(
+            "m",
+            F.expr(
+                micro_sql(
+                    bm25_sql_expr(
+                        num_docs=dlit(index.num_docs),
+                        avg_len=dlit(index.avg_len),
+                    ),
+                    weight="weight",
+                )
+            ),
+        )
+        .select("query_id", "term_id", "doc_id", "m")
+        .toPandas()
+    )
+
+    def kth_of(scores: dict, k: int = 10) -> int:
+        vals = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        return vals[k - 1][1] if len(vals) >= k else -2
+
+    from itertools import combinations
+
+    for qid, grp in pm.groupby("query_id"):
+        terms = sorted(grp["term_id"].unique())
+        tm = grp.set_index(["term_id", "doc_id"])["m"]
+        new_map: dict[int, int] = {}
+        comp: dict[int, dict[int, int]] = {}
+        for g in range(1, GRAM + 1):
+            for comb in combinations(terms, g):
+                cd = (
+                    grp[grp["term_id"].isin(comb)]
+                    .groupby("doc_id")["m"].sum().reset_index()
+                    .sort_values(["m", "doc_id"], ascending=[False, True])
+                    .head(D)
+                )
+                for did, ms in zip(cd["doc_id"], cd["m"]):
+                    new_map[did] = max(new_map.get(did, 0), int(ms))
+                    for t in comb:
+                        if (t, did) in tm.index:
+                            comp.setdefault(did, {})[t] = int(tm[(t, did)])
+        assert got_new[qid] == kth_of(new_map), qid
+        sub_map = {did: sum(c.values()) for did, c in comp.items()}
+        assert got_sub[qid] == kth_of(sub_map), qid
+
+    # substructure dominates combine-did-new (union of components
+    # covers every single comb's member set; same candidate dids)
+    both = [q for q in got_new.index if got_new[q] >= 0]
+    assert both and (got_sub[both] >= got_new[both]).all()
+    assert (got_sub[both] > got_new[both]).any()
+
+    # gram >= n: the whole-query comb is cached, so with d >= k the
+    # estimate IS the true k-th final score
+    qn = pm.groupby("query_id")["term_id"].nunique()
+    small = [q for q in qn.index if qn[q] <= 4]
+    assert small, "workload should hold <=4-term queries"
+    exact = (
+        combine_did_new_kth_thresholds(
+            index, parsed.filter(F.col("query_id").isin(small)),
+            d=16, k=10, gram=4,
+        )
+        .toPandas().set_index("query_id")["threshold_micro"]
+    )
+    true_kth = (
+        oracle_topk[oracle_topk["rank"] == 10]
+        .set_index("query_id")["score"]
+    )
+    for qid in small:
+        if qid in true_kth.index:
+            assert exact[qid] == round(true_kth[qid] * 1e6), qid
+
+    # budget knob (kth_threshold_combine_did_new_budget.cpp): an
+    # unbounded budget reproduces the plain estimate, a capped budget
+    # never raises it, budget 0 caches nothing -> -2
+    full_b = (
+        combine_did_new_kth_thresholds(
+            index, parsed, d=D, k=10, gram=GRAM, budget=10**6
+        ).toPandas().set_index("query_id")["threshold_micro"]
+    )
+    pd.testing.assert_series_equal(
+        full_b.sort_index(), got_new.sort_index()
+    )
+    small_b = (
+        combine_did_new_kth_thresholds(
+            index, parsed, d=D, k=10, gram=GRAM, budget=5
+        ).toPandas().set_index("query_id")["threshold_micro"]
+    )
+    for qid in got_new.index:
+        if small_b[qid] >= 0:
+            assert small_b[qid] <= got_new[qid], qid
+    zero_b = (
+        combine_did_new_kth_thresholds(
+            index, parsed, d=D, k=10, gram=GRAM, budget=0
+        ).toPandas()["threshold_micro"]
+    )
+    assert (zero_b == -2).all()
+
+    # sound bootstrap: BMW with substructure estimates (the tighter
+    # family; negatives clamped to 0) stays rank-identical
+    est = substructure_kth_thresholds(
+        index, parsed, d=D, k=10, gram=GRAM
+    ).select(
+        "query_id",
+        F.greatest(F.col("threshold_micro"), F.lit(0).cast("long"))
+        .alias("threshold_micro"),
+    )
+    res = _fetch(
+        topk_search(
+            index, parsed, algorithm="block_max_wand", k=10, thresholds=est
+        )
+    )
+    exp = oracle_topk.astype({"rank": "int64", "doc_id": "int64"})
+    pd.testing.assert_frame_equal(
+        res[["query_id", "rank", "doc_id"]], exp[["query_id", "rank", "doc_id"]]
+    )
+
+
 def test_lookup_kth_thresholds(spark, index, parsed, oracle_topk):
     """Lookup-pipeline fork family
     (kth_threshold_intersection_budget_lookup.cpp): estimate equals an
@@ -975,9 +1120,15 @@ def test_estimator_mixed_k_soundness(spark, index, parsed):
             assert est <= true_kth[qid], qid
 
     # filtering families: k=5 queries are ABSENT; k=10 estimates sound
+    from pisa_spark.query.thresholds import (
+        combine_did_new_kth_thresholds, substructure_kth_thresholds,
+    )
+
     fams = {
         "pairs": pair_kth_thresholds(index, mixed, k=10),
         "combine_did": combine_did_kth_thresholds(index, mixed, k=10),
+        "combine_did_new": combine_did_new_kth_thresholds(index, mixed, k=10),
+        "substructure": substructure_kth_thresholds(index, mixed, k=10),
         "intersection": intersection_kth_thresholds(index, mixed, k=10),
         "lookup": lookup_kth_thresholds(index, mixed, budget=16, k=10),
         "sampling": sampling_kth_thresholds(index, mixed, k=10),
