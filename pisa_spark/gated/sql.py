@@ -60,6 +60,11 @@ KTH_GRAM = 2
 # this many terms has a cached top-d prefix (the tools' "all pairs
 # available" idealization of their single/duplet prefix files).
 KTH_NEW_GRAM = 2
+# Ranked-list depth for the 'estimated_k_single' quality tag (the
+# simulator tools' reference heap: topk_queue(k * 50) in
+# kth_threshold_sampling_simulator.cpp:317, k * 1000 in the
+# combine/real_world tools). 100 at gate scale.
+KTH_QUALITY_DEPTH = 100
 
 # Fixed literal query workload over the documents vocabulary
 # (mirrors the reference's 100-query term-ID fixture; 1-5 terms,
@@ -936,6 +941,18 @@ SELECT scorer, query_id, rank, doc_id, score FROM (
     # 380-432): same comb prefixes, unpacked to per-TERM components
     # deduplicated across overlapping combs (did_t_map[did][term]),
     # summed per did; k-th best, -2 under k cached dids.
+    # Quality-harness tags — the simulator/real-world/score-generator
+    # tools' shared evaluation protocol:
+    # 'real_k10'/'real_k100' (kth_threshold_origional_score_generator
+    # .cpp:144-179): the TRUE k-th final score at k in {10, 100}, 0
+    # when the query has fewer results (the tool's 0 sentinel).
+    # 'estimated_k_single' (kth_threshold_origional_real_world.cpp:
+    # 330-343 and every *_simulator tool): the 1-based rank the
+    # single-cache estimate lands at in the true ranked list —
+    # 1 + the count of top-KTH_QUALITY_DEPTH scores strictly above
+    # the estimate, clamped to the ranked-row count (the tools'
+    # i+2 loop made tie- and tail-deterministic); -1 when the true
+    # result set holds fewer than K docs (their skip sentinel).
     e["kth_thresholds"] = f"""{_kth_all}qids AS (SELECT DISTINCT query_id FROM qterms),
 m_b AS (SELECT query_id, kth FROM skth UNION ALL SELECT query_id, kth FROM pkth),
 m_c AS (SELECT query_id, kth FROM skth UNION ALL SELECT query_id, kth FROM pkth
@@ -1117,6 +1134,29 @@ sskth AS (
                    AND p.term_id = s.term_id AND p.doc_id = s.doc_id
           GROUP BY s.query_id, s.doc_id) u
   ) t WHERE rn = {K}
+),
+fullrk AS (
+  SELECT query_id, doc_id, ms,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY ms DESC, doc_id ASC) AS rn
+  FROM (SELECT query_id, doc_id, CAST(SUM(m) AS BIGINT) AS ms
+        FROM pm GROUP BY query_id, doc_id) f
+),
+sest AS (
+  SELECT q.query_id, CAST(MAX(COALESCE(a.kth, 0)) AS BIGINT) AS est
+  FROM qids q LEFT JOIN skth a ON a.query_id = q.query_id
+  GROUP BY q.query_id
+),
+estk AS (
+  SELECT s.query_id,
+         CAST(LEAST(
+           CAST(COUNT(CASE WHEN f.ms > s.est THEN 1 END) + 1 AS BIGINT),
+           CAST(COUNT(f.ms) AS BIGINT)
+         ) AS BIGINT) AS ek
+  FROM sest s
+  LEFT JOIN fullrk f ON f.query_id = s.query_id
+                    AND f.rn <= {KTH_QUALITY_DEPTH}
+  GROUP BY s.query_id, s.est
 )
 SELECT method, query_id, threshold_micro FROM (
   SELECT 'single' AS method, q.query_id,
@@ -1167,6 +1207,21 @@ SELECT method, query_id, threshold_micro FROM (
   SELECT 'substructure' AS method, q.query_id,
          CAST(COALESCE(sk.ms, -2) AS BIGINT) AS threshold_micro
   FROM qids q LEFT JOIN sskth sk ON sk.query_id = q.query_id
+  UNION ALL
+  SELECT 'real_k10' AS method, q.query_id,
+         CAST(COALESCE(r.ms, 0) AS BIGINT) AS threshold_micro
+  FROM qids q LEFT JOIN fullrk r ON r.query_id = q.query_id AND r.rn = 10
+  UNION ALL
+  SELECT 'real_k100' AS method, q.query_id,
+         CAST(COALESCE(r.ms, 0) AS BIGINT) AS threshold_micro
+  FROM qids q LEFT JOIN fullrk r ON r.query_id = q.query_id AND r.rn = 100
+  UNION ALL
+  SELECT 'estimated_k_single' AS method, q.query_id,
+         CAST(CASE WHEN r.ms IS NULL THEN -1 ELSE e.ek END
+              AS BIGINT) AS threshold_micro
+  FROM qids q
+  LEFT JOIN fullrk r ON r.query_id = q.query_id AND r.rn = {K}
+  LEFT JOIN estk e ON e.query_id = q.query_id
 ) u ORDER BY method, query_id"""
 
     # AND + OR result sets in one statement, tagged by op (oracle for

@@ -905,6 +905,112 @@ def lookup_kth_thresholds(index: InvertedIndex, parsed: DataFrame,
     )
 
 
+def real_kth_thresholds(index: InvertedIndex, parsed: DataFrame,
+                        ks: tuple[int, ...] = (10, 100, 1000)) -> DataFrame:
+    """(query_id, k, threshold_micro): each query's TRUE k-th final
+    disjunctive score at every requested k — the score-generator
+    tool's reference lists (kth_threshold_origional_score_generator
+    .cpp:144-179: k in {10, 100, 1000}; 0 when the query has fewer
+    results, its sentinel). The ground truth every simulator /
+    real-world fork evaluates its estimates against.
+
+    Scale shape: one disjunctive sum per (query, did) + one window
+    per query capped at max(ks) rows read — the workload-pruned
+    postings scan, never a full-index pass."""
+    pm = _workload_micro_postings(index, parsed)
+    full = pm.groupBy("query_id", "doc_id").agg(
+        F.sum("m").cast("long").alias("ms")
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("ms").desc(), F.col("doc_id").asc()
+    )
+    ranked = full.withColumn("rn", F.row_number().over(wq)).filter(
+        F.col("rn").isin(list(ks))
+    )
+    kdf = parsed.sparkSession.createDataFrame(
+        [(int(k),) for k in ks], "k INT"
+    )
+    qids = parsed.select("query_id").distinct()
+    return (
+        qids.join(F.broadcast(kdf))
+        .join(
+            F.broadcast(ranked.select(
+                "query_id", F.col("rn").alias("k"), "ms"
+            )),
+            ["query_id", "k"], "left",
+        )
+        .select(
+            "query_id", "k",
+            F.coalesce(F.col("ms"), F.lit(0)).cast("long")
+            .alias("threshold_micro"),
+        )
+    )
+
+
+def estimator_quality(index: InvertedIndex, parsed: DataFrame,
+                      estimates: DataFrame, k: int = 10,
+                      depth: int = 500) -> DataFrame:
+    """(query_id, real_micro, est_micro, estimated_k, overshoot): the
+    fork simulators' shared evaluation protocol
+    (kth_threshold_origional_real_world.cpp:330-343,
+    kth_threshold_sampling_simulator.cpp:313-340, and every
+    *_simulator/_real_world tool): for each query, the TRUE k-th
+    final score, the estimator's value, the 1-based rank the
+    estimate lands at in the true ranked list (their i+2 loop over
+    the reference heap, made tie- and tail-deterministic: 1 + the
+    count of top-``depth`` scores strictly above the estimate,
+    clamped to the ranked-row count), and whether the estimate
+    OVERSHOOTS the true k-th (an unsound bootstrap — the sampling
+    fork's over-estimate event, rate target_o). Queries whose true
+    result set holds fewer than k docs report estimated_k = -1 (the
+    tools skip them with -1 before estimating).
+
+    ``depth`` models the reference heap the tools rank against
+    (topk_queue(k * 50) in the sampling simulator, k * 1000 in the
+    combine/real-world tools). ``estimates`` is any estimator
+    family's (query_id, threshold_micro) output; negative sentinel
+    estimates compare as-is (they land past every positive score and
+    never overshoot).
+
+    Scale shape: one disjunctive sum per (query, did), one window
+    per query, one broadcast join of the workload-sized estimate
+    table — never a full-index pass."""
+    pm = _workload_micro_postings(index, parsed)
+    full = pm.groupBy("query_id", "doc_id").agg(
+        F.sum("m").cast("long").alias("ms")
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("ms").desc(), F.col("doc_id").asc()
+    )
+    ranked = full.withColumn("rn", F.row_number().over(wq)).filter(
+        F.col("rn") <= depth
+    )
+    est = estimates.select(
+        "query_id", F.col("threshold_micro").alias("est_micro")
+    )
+    joined = ranked.join(F.broadcast(est), "query_id", "left")
+    agg = joined.groupBy("query_id", "est_micro").agg(
+        F.max(F.when(F.col("rn") == k, F.col("ms"))).alias("real_micro"),
+        F.sum(
+            F.when(F.col("ms") > F.col("est_micro"), 1).otherwise(0)
+        ).cast("long").alias("above"),
+        F.count("*").cast("long").alias("nranked"),
+    )
+    return agg.select(
+        "query_id",
+        "real_micro",
+        "est_micro",
+        F.when(F.col("est_micro").isNull(), F.lit(None))
+        .when(F.col("real_micro").isNull(), F.lit(-1))
+        .otherwise(F.least(F.col("above") + 1, F.col("nranked")))
+        .cast("long").alias("estimated_k"),
+        F.when(F.col("est_micro").isNull(), F.lit(None))
+        .when(F.col("real_micro").isNull(), F.lit(False))
+        .otherwise(F.col("est_micro") > F.col("real_micro"))
+        .alias("overshoot"),
+    )
+
+
 def estimate_thresholds_with_pairs(index: InvertedIndex, parsed: DataFrame,
                                    cache: DataFrame, k: int = 10) -> DataFrame:
     """(query_id, threshold_micro) = max(single-term cache estimate,

@@ -783,6 +783,103 @@ def test_combine_did_new_and_substructure_kth_thresholds(
     )
 
 
+def test_real_kth_and_estimator_quality(spark, index, parsed):
+    """Score-generator + simulator evaluation protocol
+    (kth_threshold_origional_score_generator.cpp / the *_simulator
+    and *_real_world tools): real_kth_thresholds equals a pandas
+    recompute at every k (0 sentinel under k results),
+    estimator_quality lands sound estimates at the pandas-recomputed
+    rank with overshoot=False, flags a deliberately inflated estimate
+    as an overshoot, and reports -1 / NULL sentinels for short result
+    sets and missing estimates."""
+    from pisa_spark.functions.scoring import bm25_sql_expr, dlit, micro_sql
+    from pisa_spark.query.thresholds import (
+        estimate_thresholds, estimator_quality, kth_score_cache,
+        real_kth_thresholds,
+    )
+
+    scored = (
+        parsed.join(index.postings.select("term_id", "doc_id", "tf"), "term_id")
+        .join(index.doc_sizes.select("doc_id", "doc_len"), "doc_id")
+        .join(index.lexicon.select("term_id", "df"), "term_id")
+        .withColumn(
+            "m",
+            F.expr(
+                micro_sql(
+                    bm25_sql_expr(
+                        num_docs=dlit(index.num_docs),
+                        avg_len=dlit(index.avg_len),
+                    ),
+                    weight="weight",
+                )
+            ),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("m").cast("long").alias("ms"))
+        .toPandas()
+    )
+    ranked = {
+        qid: grp.sort_values(["ms", "doc_id"], ascending=[False, True])
+        ["ms"].tolist()
+        for qid, grp in scored.groupby("query_id")
+    }
+
+    KS = (3, 10, 100)
+    real = (
+        real_kth_thresholds(index, parsed, ks=KS)
+        .toPandas().set_index(["query_id", "k"])["threshold_micro"]
+    )
+    assert {k for (_, k) in real.index} == set(KS)
+    short_seen = False
+    for qid, vals in ranked.items():
+        for k in KS:
+            exp = vals[k - 1] if len(vals) >= k else 0
+            short_seen = short_seen or len(vals) < k
+            assert real[(qid, k)] == exp, (qid, k)
+    assert short_seen, "workload should exercise the 0 sentinel"
+
+    DEPTH = 50
+    est = estimate_thresholds(parsed, kth_score_cache(index, k=10))
+    q = (
+        estimator_quality(index, parsed, est, k=10, depth=DEPTH)
+        .toPandas().set_index("query_id")
+    )
+    est_pd = est.toPandas().set_index("query_id")["threshold_micro"]
+    for qid, vals in ranked.items():
+        row = q.loc[qid]
+        top = vals[:DEPTH]
+        if len(vals) < 10:
+            assert row["estimated_k"] == -1 and not row["overshoot"], qid
+            continue
+        assert row["real_micro"] == vals[9], qid
+        assert row["est_micro"] == est_pd[qid], qid
+        exp_k = min(sum(1 for v in top if v > est_pd[qid]) + 1, len(top))
+        assert row["estimated_k"] == exp_k, qid
+        assert not row["overshoot"], qid  # single cache is sound
+
+    # a deliberately inflated estimate overshoots and lands shallower
+    bad = est.select(
+        "query_id", (F.col("threshold_micro") * 2 + 10**9)
+        .cast("long").alias("threshold_micro"),
+    )
+    qb = (
+        estimator_quality(index, parsed, bad, k=10, depth=DEPTH)
+        .toPandas().set_index("query_id")
+    )
+    long_q = [q_ for q_, v in ranked.items() if len(v) >= 10]
+    assert qb.loc[long_q]["overshoot"].all()
+
+    # a query missing from the estimate table reports NULL sentinels
+    some = sorted(ranked)[0]
+    part = est.filter(F.col("query_id") != some)
+    qp = (
+        estimator_quality(index, parsed, part, k=10, depth=DEPTH)
+        .toPandas().set_index("query_id")
+    )
+    assert pd.isna(qp.loc[some]["estimated_k"])
+    assert pd.isna(qp.loc[some]["overshoot"])
+
+
 def test_lookup_kth_thresholds(spark, index, parsed, oracle_topk):
     """Lookup-pipeline fork family
     (kth_threshold_intersection_budget_lookup.cpp): estimate equals an
