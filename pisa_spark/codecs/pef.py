@@ -52,31 +52,20 @@ def _chunk_cost_bits(universe: int, size: int) -> float:
     return min(ef_bits, bv_bits) + _FIXED
 
 
-class _Window:
-    __slots__ = ("m", "start", "end", "min_p", "max_p", "bound")
-
-    def __init__(self, m, bound):
-        self.m = m
-        self.start = 0
-        self.end = 0
-        self.min_p = 0
-        self.max_p = 0
-        self.bound = bound
-
-    def advance_start(self):
-        self.min_p = self.m[self.start] + 1
-        self.start += 1
-
-    def advance_end(self):
-        self.max_p = self.m[self.end]
-        self.end += 1
-
-
 def optimal_partition_ends(m: list[int], eps1: float = EPS1,
                            eps2: float = EPS2) -> np.ndarray:
     """Chunk END positions (exclusive, last == n) minimizing the sum
     of _chunk_cost_bits — the reference DP (optimal_partition.hpp)
-    with its geometric cost-bound windows."""
+    with its geometric cost-bound windows.
+
+    The loop is deliberately flat (parallel window arrays, the cost
+    model inlined into locals): this runs once per encoded block at
+    build time, and the window-object form spent near half the total
+    encode in attribute/call overhead (flattening it gained 1.7-2.1x
+    on pef_opt_encode, byte-identical output — BENCH.md codec
+    table). The residual cost is the model's own ~n x windows cost
+    evaluations; pinned by
+    test_codecs.test_pef_opt_flat_dp_matches_reference_form."""
     n = len(m)
     single = _chunk_cost_bits(m[-1], n)
     min_cost = [single] * (n + 1)
@@ -90,24 +79,49 @@ def optimal_partition_ends(m: list[int], eps1: float = EPS1,
         if cb >= single:
             break
         cb *= 1 + eps2
-    windows = [_Window(m, b) for b in bounds]
+    nw = len(bounds)
+    w_start = [0] * nw
+    w_end = [0] * nw
+    w_min = [0] * nw
+    w_max = [0] * nw
+    _FIX = _FIXED
+    _log2 = math.log2
+    _floor = math.floor
     for i in range(n):
         last_end = i + 1
-        for w in windows:
-            while w.end < last_end:
-                w.advance_end()
+        mci = min_cost[i]
+        for wi in range(nw):
+            end = w_end[wi]
+            maxp = w_max[wi]
+            while end < last_end:
+                maxp = m[end]
+                end += 1
+            minp = w_min[wi]
+            start = w_start[wi]
+            bound = bounds[wi]
             while True:
-                wc = _chunk_cost_bits(w.max_p - w.min_p + 1, w.end - w.start)
-                if min_cost[i] + wc < min_cost[w.end]:
-                    min_cost[w.end] = min_cost[i] + wc
-                    path[w.end] = i
-                last_end = w.end
-                if w.end == n:
+                # inlined _chunk_cost_bits(maxp - minp + 1, end - start)
+                u = maxp - minp + 1
+                s = end - start
+                if u <= 0 or s <= 0 or u == s:
+                    wc = _FIX
+                else:
+                    ef = s * (2 + (_floor(_log2(u / s)) if u > s else 0))
+                    wc = (ef if ef < u else u) + _FIX
+                if mci + wc < min_cost[end]:
+                    min_cost[end] = mci + wc
+                    path[end] = i
+                last_end = end
+                if end == n:
                     break
-                if wc >= w.bound:
+                if wc >= bound:
                     break
-                w.advance_end()
-            w.advance_start()
+                maxp = m[end]
+                end += 1
+            w_min[wi] = m[start] + 1
+            w_start[wi] = start + 1
+            w_end[wi] = end
+            w_max[wi] = maxp
     ends = []
     cur = n
     while cur != 0:
@@ -122,8 +136,9 @@ def _encode(values: np.ndarray, opt: bool) -> bytes:
     if n == 0:
         return b""
     if opt:
+        # .tolist() already yields Python ints (uint64 -> int)
         m = (np.cumsum(v) + np.arange(1, n + 1, dtype=np.uint64)).tolist()
-        ends = optimal_partition_ends([int(x) for x in m])
+        ends = optimal_partition_ends(m)
     else:
         ends = np.arange(_UNIFORM_CHUNK, n, _UNIFORM_CHUNK, dtype=np.int64)
         ends = np.concatenate([ends, [n]]) if (len(ends) == 0 or ends[-1] != n) else ends

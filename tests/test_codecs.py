@@ -105,6 +105,80 @@ def test_pef_opt_partition_beats_uniform_on_clustered():
     assert len(opt) < len(uni), (len(opt), len(uni))
 
 
+def test_pef_opt_flat_dp_matches_reference_form():
+    """The flattened optimal-partition loop (pef.optimal_partition_ends
+    — parallel window arrays, inlined cost model) must pick EXACTLY
+    the chunk ends of the straightforward window-object form of the
+    reference DP (optimal_partition.hpp:54-118), kept here as the
+    executable spec."""
+    import numpy as np
+
+    from pisa_spark.codecs.pef import (
+        EPS1, EPS2, _chunk_cost_bits, optimal_partition_ends,
+    )
+
+    class Window:
+        def __init__(self, m, bound):
+            self.m, self.bound = m, bound
+            self.start = self.end = self.min_p = self.max_p = 0
+
+        def advance_start(self):
+            self.min_p = self.m[self.start] + 1
+            self.start += 1
+
+        def advance_end(self):
+            self.max_p = self.m[self.end]
+            self.end += 1
+
+    def reference_ends(m, eps1=EPS1, eps2=EPS2):
+        n = len(m)
+        single = _chunk_cost_bits(m[-1], n)
+        min_cost = [single] * (n + 1)
+        min_cost[0] = 0.0
+        path = [0] * (n + 1)
+        cost_lb = _chunk_cost_bits(1, 1)
+        bounds, cb = [], float(cost_lb)
+        while eps1 == 0 or cb < cost_lb / eps1:
+            bounds.append(cb)
+            if cb >= single:
+                break
+            cb *= 1 + eps2
+        windows = [Window(m, b) for b in bounds]
+        for i in range(n):
+            last_end = i + 1
+            for w in windows:
+                while w.end < last_end:
+                    w.advance_end()
+                while True:
+                    wc = _chunk_cost_bits(
+                        w.max_p - w.min_p + 1, w.end - w.start
+                    )
+                    if min_cost[i] + wc < min_cost[w.end]:
+                        min_cost[w.end] = min_cost[i] + wc
+                        path[w.end] = i
+                    last_end = w.end
+                    if w.end == n:
+                        break
+                    if wc >= w.bound:
+                        break
+                    w.advance_end()
+                w.advance_start()
+        ends, cur = [], n
+        while cur != 0:
+            ends.append(cur)
+            cur = path[cur]
+        return ends[::-1]
+
+    rng = np.random.default_rng(99)
+    for _ in range(40):
+        n = int(rng.integers(1, 300))
+        gaps = np.minimum(rng.zipf(1.25, size=n), 1 << 26).astype(np.uint64)
+        m = (np.cumsum(gaps)
+             + np.arange(1, n + 1, dtype=np.uint64)).tolist()
+        got = optimal_partition_ends(m).tolist()
+        assert got == reference_ends(m), n
+
+
 def test_ef_roundtrip_edges():
     """Elias-Fano round-trip on the reference's edge sizes
     (test/test_block_codecs.cpp:18-57): 1, 16, 127, 128 values,
