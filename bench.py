@@ -360,6 +360,28 @@ def main() -> None:
         print(f"synth section failed: {exc!r}", file=sys.stderr)
         synth = None
 
+    # --- Hot-path codec microbench (the reference's benchmarks/
+    # suite; full registry in scripts/codec_perftest.py). Only the
+    # families a query/build hot path actually touches, at a size
+    # that costs ~2s total, so the driver JSON tracks per-round
+    # decode-throughput regressions in the codec kernels themselves.
+    codec_us = None
+    try:
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "scripts"
+        ))
+        from codec_perftest import bench_codec, synth_gaps
+
+        from pisa_spark.codecs import CODECS
+
+        cgaps = synth_gaps(100_000)
+        codec_us = {
+            name: bench_codec(name, *CODECS[name], cgaps, repeats=2)
+            for name in ("varint", "bitpack", "streamvbyte", "ef")
+        }
+    except Exception as exc:
+        print(f"codec section failed: {exc!r}", file=sys.stderr)
+
     total = round(sum(queries.values()), 4)
     print(
         json.dumps(
@@ -378,6 +400,7 @@ def main() -> None:
                 "n_docs": n_docs,
                 "cores": cpus,
                 **({"synth": synth} if synth else {}),
+                **({"codec_mposts": codec_us} if codec_us else {}),
             }
         )
     )

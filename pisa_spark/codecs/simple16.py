@@ -44,6 +44,12 @@ _SHIFTS = [
     for ws in (S16_TABLE)
 ]
 _MASKS = [((np.uint64(1) << w) - np.uint64(1)) for w in _LANES]
+# Python-int mirrors for the flat encode loop (a word packs <= 28
+# values — numpy slice ops at that size are ~all interpreter
+# overhead; same flattening as pef.optimal_partition_ends).
+_LANES_PY = [list(ws) for ws in S16_TABLE]
+_SHIFTS_PY = [[int(s) for s in sh] for sh in _SHIFTS]
+_LANE_COUNT = np.array([len(ws) for ws in S16_TABLE], dtype=np.int64)
 
 
 def s16_encode(values: np.ndarray) -> bytes:
@@ -59,18 +65,24 @@ def s16_encode(values: np.ndarray) -> bytes:
     # float log2 can undershoot near powers of two: repair exactly
     too_small = (v >> np.minimum(widths, np.uint64(63))) > 0
     widths[too_small] += np.uint64(1)
+    wl = widths.tolist()
+    vl = v.tolist()
     words = []
     i = 0
     while i < n:
         for sel in range(16):
-            lanes = _LANES[sel]
+            lanes = _LANES_PY[sel]
             take = min(len(lanes), n - i)
-            if np.all(widths[i:i + take] <= lanes[:take]):
-                chunk = v[i:i + take]
-                word = np.uint64(sel) << np.uint64(28)
-                word |= np.bitwise_or.reduce(
-                    chunk << _SHIFTS[sel][:take]
-                ) if take else np.uint64(0)
+            ok = True
+            for j in range(take):
+                if wl[i + j] > lanes[j]:
+                    ok = False
+                    break
+            if ok:
+                word = sel << 28
+                sh = _SHIFTS_PY[sel]
+                for j in range(take):
+                    word |= vl[i + j] << sh[j]
                 words.append(word)
                 i += take
                 break
@@ -80,18 +92,29 @@ def s16_encode(values: np.ndarray) -> bytes:
 
 
 def s16_decode(data: bytes, n: int) -> np.ndarray:
+    """Selector-grouped vectorized unpack: every word except possibly
+    the last covers its FULL lane count (the encoder only truncates
+    at the tail), so per-word output offsets are exact from the lane
+    table; each selector class unpacks as one broadcast shift+mask,
+    then the zero-padded tail is trimmed to ``n``."""
     if n == 0:
         return np.empty(0, dtype=np.uint64)
     words = np.frombuffer(data, dtype="<u4").astype(np.uint64)
-    out = np.empty(n, dtype=np.uint64)
-    pos = 0
-    for word in words:
-        if pos >= n:
-            break
-        sel = int(word >> np.uint64(28))
-        take = min(len(_LANES[sel]), n - pos)
-        out[pos:pos + take] = (word >> _SHIFTS[sel][:take]) & _MASKS[sel][:take]
-        pos += take
-    if pos < n:
+    if words.size == 0:
         raise ValueError("simple16 payload shorter than expected")
-    return out
+    sels = (words >> np.uint64(28)).astype(np.int64)
+    takes = _LANE_COUNT[sels]
+    offs = np.concatenate(([0], np.cumsum(takes[:-1])))
+    used = offs < n  # ignore words wholly beyond n (defensive parity)
+    words, sels, takes, offs = words[used], sels[used], takes[used], offs[used]
+    total = int(offs[-1] + takes[-1])
+    if total < n:
+        raise ValueError("simple16 payload shorter than expected")
+    out = np.empty(total, dtype=np.uint64)
+    for sel in np.unique(sels).tolist():
+        idx = np.nonzero(sels == sel)[0]
+        w = words[idx]
+        vals = (w[:, None] >> _SHIFTS[sel][None, :]) & _MASKS[sel][None, :]
+        pos = offs[idx][:, None] + np.arange(len(S16_TABLE[sel]))[None, :]
+        out[pos] = vals
+    return out[:n]

@@ -17,9 +17,11 @@ values); a final word may cover more slots than remain — the surplus
 slots are zero-padded and the decoder trims to ``n``. Values must fit
 60 bits (docID gaps/tfs/doc lens at 10^12-doc scale are < 2^41).
 
-The encode loop is per WORD (>= 1, usually 8-240 values at a time)
-with numpy math inside; decode unpacks each word's lanes with one
-vectorized shift per word.
+Encode is a flat Python-int greedy loop (a word packs 1-240 values;
+numpy slice math at that size is ~all interpreter overhead); decode
+groups words BY SELECTOR and unpacks each class with one broadcast
+shift+mask — per-word offsets are exact because only the last word
+can be partial.
 """
 
 from __future__ import annotations
@@ -48,22 +50,38 @@ def s8b_encode(values: np.ndarray) -> bytes:
     # float log2 can under/overshoot near powers of two: repair exactly
     too_small = (v >> np.minimum(widths, 63).astype(np.uint64)) > 0
     widths[too_small] += 1
+    # Flat Python-int greedy loop (same flattening rationale as
+    # simple16/pef: a word packs 1-240 values and numpy slice ops at
+    # that size are ~all interpreter overhead).
+    wl = widths.tolist()
+    vl = v.tolist()
     words = []
     i = 0
     while i < n:
         for sel, (cnt, w) in enumerate(S8B_TABLE):
             hi = min(i + cnt, n)
             if w == 0:
-                if not v[i:hi].any():
-                    words.append(np.uint64(sel) << np.uint64(60))
+                ok = True
+                for j in range(i, hi):
+                    if vl[j]:
+                        ok = False
+                        break
+                if ok:
+                    words.append(sel << 60)
                     i = hi
                     break
                 continue
-            if int(widths[i:hi].max()) <= w:
-                chunk = v[i:hi]
-                shifts = (np.arange(hi - i, dtype=np.uint64) * np.uint64(w))
-                word = np.uint64(sel) << np.uint64(60)
-                word |= np.bitwise_or.reduce(chunk << shifts) if len(chunk) else np.uint64(0)
+            ok = True
+            for j in range(i, hi):
+                if wl[j] > w:
+                    ok = False
+                    break
+            if ok:
+                word = sel << 60
+                shift = 0
+                for j in range(i, hi):
+                    word |= vl[j] << shift
+                    shift += w
                 words.append(word)
                 i = hi
                 break
@@ -72,25 +90,36 @@ def s8b_encode(values: np.ndarray) -> bytes:
     return np.array(words, dtype="<u8").tobytes()
 
 
+_S8B_COUNTS = np.array([c for c, _ in S8B_TABLE], dtype=np.int64)
+
+
 def s8b_decode(data: bytes, n: int) -> np.ndarray:
+    """Selector-grouped vectorized unpack (same shape as s16_decode):
+    only the LAST word can be partial, so per-word output offsets are
+    exact from the selector table; each selector class unpacks as one
+    broadcast shift+mask and the zero-padded tail trims to ``n``."""
     if n == 0:
         return np.empty(0, dtype=np.uint64)
     words = np.frombuffer(data, dtype="<u8")
-    out = np.empty(n, dtype=np.uint64)
-    pos = 0
-    for word in words:
-        if pos >= n:
-            break
-        sel = int(word >> np.uint64(60))
-        cnt, w = S8B_TABLE[sel]
-        take = min(cnt, n - pos)
-        if w == 0:
-            out[pos:pos + take] = 0
-        else:
-            shifts = (np.arange(take, dtype=np.uint64) * np.uint64(w))
-            mask = np.uint64((1 << w) - 1)
-            out[pos:pos + take] = (word >> shifts) & mask
-        pos += take
-    if pos < n:
+    if words.size == 0:
         raise ValueError("simple8b payload shorter than expected")
-    return out
+    sels = (words >> np.uint64(60)).astype(np.int64)
+    takes = _S8B_COUNTS[sels]
+    offs = np.concatenate(([0], np.cumsum(takes[:-1])))
+    used = offs < n  # ignore words wholly beyond n (defensive parity)
+    words, sels, takes, offs = words[used], sels[used], takes[used], offs[used]
+    total = int(offs[-1] + takes[-1])
+    if total < n:
+        raise ValueError("simple8b payload shorter than expected")
+    out = np.empty(total, dtype=np.uint64)
+    for sel in np.unique(sels).tolist():
+        cnt, w = S8B_TABLE[sel]
+        idx = np.nonzero(sels == sel)[0]
+        pos = offs[idx][:, None] + np.arange(cnt)[None, :]
+        if w == 0:
+            out[pos] = 0
+            continue
+        shifts = (np.arange(cnt, dtype=np.uint64) * np.uint64(w))
+        mask = np.uint64((1 << w) - 1)
+        out[pos] = (words[idx][:, None] >> shifts[None, :]) & mask
+    return out[:n]
