@@ -31,40 +31,52 @@ def _to_strict(values: np.ndarray) -> np.ndarray:
 
 
 class _BitWriter:
-    __slots__ = ("bits",)
+    """MSB-first bitstream accumulated in ONE Python int (the per-bit
+    list/packbits form spent ~all its time in interpreter overhead —
+    same flattening as the Simple family; byte output unchanged,
+    pinned by the codec goldens + roundtrip tests)."""
+
+    __slots__ = ("acc", "nbits")
 
     def __init__(self):
-        self.bits: list[int] = []
+        self.acc = 0
+        self.nbits = 0
 
     def write(self, value: int, width: int):
         if width <= 0:
             return
-        self.bits.extend(
-            (value >> (width - 1 - i)) & 1 for i in range(width)
-        )
+        self.acc = (self.acc << width) | (value & ((1 << width) - 1))
+        self.nbits += width
 
     def payload(self) -> bytes:
-        if not self.bits:
+        if self.nbits == 0:
             return b""
-        arr = np.array(self.bits, dtype=np.uint8)
-        return np.packbits(arr).tobytes()  # MSB-first
+        nbytes = (self.nbits + 7) // 8
+        # trailing pad bits are zero, like np.packbits
+        return (self.acc << (nbytes * 8 - self.nbits)).to_bytes(
+            nbytes, "big"
+        )
 
 
 class _BitReader:
-    __slots__ = ("bits", "pos")
+    """Mirror of _BitWriter: the whole payload as one big int, each
+    read a shift+mask instead of a per-bit numpy scalar loop."""
+
+    __slots__ = ("acc", "total", "pos")
 
     def __init__(self, data: bytes):
-        self.bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8))
+        self.acc = int.from_bytes(data, "big")
+        self.total = len(data) * 8
         self.pos = 0
 
     def read(self, width: int) -> int:
         if width <= 0:
             return 0
-        out = 0
-        for _ in range(width):
-            out = (out << 1) | int(self.bits[self.pos])
-            self.pos += 1
-        return out
+        pos = self.pos
+        self.pos = pos + width
+        return (self.acc >> (self.total - pos - width)) & (
+            (1 << width) - 1
+        )
 
 
 def _width(r: int) -> int:
@@ -76,7 +88,7 @@ def bic_encode(values: np.ndarray) -> bytes:
     n = v.size
     if n == 0:
         return b""
-    m = [int(x) for x in _to_strict(v)]
+    m = _to_strict(v).tolist()  # .tolist() yields Python ints
     out = _BitWriter()
     header = m[-1].to_bytes(8, "little")
     # encode m[0..n-2] within [1, m[-1]-1] (strictness gives the 1)

@@ -59,19 +59,31 @@ def optpfor_encode(values: np.ndarray) -> bytes:
     # high part, estimated as varints) — evaluated for every b at once
     hist = np.bincount(blens, minlength=max_b + 1)
     exc_counts = hist[::-1].cumsum()[::-1]  # how many values need > b bits
+    # Exception HIGH-part bytes for every candidate b in one matrix
+    # op: a value of bit length L > b keeps L-b high bits, i.e.
+    # ceil((L-b)/7) varint bytes — a function of the histogram only.
+    Ls = np.arange(max_b + 1)
+    dmat = Ls[None, :] - Ls[:, None]
+    high_bytes = np.where(dmat > 0, (dmat + 6) // 7, 0) @ hist
     best_b, best_cost = max_b, (n * max_b + 7) // 8
     for b in range(max_b + 1):
         n_exc = int(exc_counts[b + 1]) if b + 1 <= max_b else 0
         if n_exc > 0xFFFF:
             continue
+        packed = (n * b + 7) // 8
+        # exact-cost lower bound (each position gap is >= 1 varint
+        # byte): when it can't beat the running best, the exact cost
+        # can't either — same best_b/tie outcome as the exhaustive
+        # ascending scan, minus the per-candidate exception re-derive
+        if packed + n_exc + int(high_bytes[b]) >= best_cost:
+            continue
         if n_exc:
             exc_idx = np.flatnonzero(blens > b)
             gaps = np.diff(exc_idx, prepend=-1).astype(np.uint64) - 1
-            highs = v[exc_idx] >> np.uint64(b)
-            exc_bytes = int(varint_sizes(gaps).sum() + varint_sizes(highs).sum())
+            exc_bytes = int(varint_sizes(gaps).sum()) + int(high_bytes[b])
         else:
             exc_bytes = 0
-        cost = (n * b + 7) // 8 + exc_bytes
+        cost = packed + exc_bytes
         if cost < best_cost:
             best_b, best_cost = b, cost
     b = best_b

@@ -33,18 +33,6 @@ def _capacity(w: int) -> int:
     return _ZERO_RUN if w == 0 else 128 // w
 
 
-def _pack_word(vals: np.ndarray, w: int) -> bytes:
-    c = 128 // w
-    buf = np.zeros(c, dtype=np.uint64)
-    buf[: len(vals)] = vals
-    shifts = np.arange(w, dtype=np.uint64)
-    bits = ((buf[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.uint8)
-    packed = np.packbits(bits.reshape(-1), bitorder="little")
-    out = np.zeros(16, dtype=np.uint8)
-    out[: len(packed)] = packed
-    return out.tobytes()
-
-
 def qmx_encode(values: np.ndarray) -> bytes:
     v = np.ascontiguousarray(values, dtype=np.uint64)
     n = v.size
@@ -56,6 +44,12 @@ def qmx_encode(values: np.ndarray) -> bytes:
     too_small = (v >> np.minimum(blens, 63).astype(np.uint64)) > 0
     blens[too_small] += 1
 
+    # Flat Python-int loop (same flattening as the Simple family: a
+    # word packs <= 128 values, numpy slice math at that size is
+    # interpreter overhead). Byte output unchanged — codec goldens +
+    # roundtrip tests pin it.
+    wl = blens.tolist()
+    vl = v.tolist()
     sels: list[int] = []  # width index per word
     words: list[bytes] = []
     i = 0
@@ -63,20 +57,35 @@ def qmx_encode(values: np.ndarray) -> bytes:
         # zero selector ONLY for a full 256-zero run or an all-zero
         # tail (decode emits capacity-or-remaining zeros per zero
         # word, so partial interior runs must go through bit packing)
-        if blens[i] == 0:
+        if wl[i] == 0:
             hi = min(i + _ZERO_RUN, n)
-            if not (blens[i:hi] != 0).any() and (hi - i == _ZERO_RUN or hi == n):
+            allz = True
+            for j in range(i, hi):
+                if wl[j]:
+                    allz = False
+                    break
+            if allz and (hi - i == _ZERO_RUN or hi == n):
                 sels.append(0)
                 i = hi
                 continue
-        # smallest width whose capacity-chunk max fits
+        # smallest width whose capacity-chunk max fits (early-abort
+        # scan per candidate; windows shrink as the width grows)
         for wi in range(1, len(_WIDTHS)):
             w = _WIDTHS[wi]
-            c = 128 // w
-            hi = min(i + c, n)
-            if int(blens[i:hi].max()) <= w:
+            hi = min(i + 128 // w, n)
+            ok = True
+            for j in range(i, hi):
+                if wl[j] > w:
+                    ok = False
+                    break
+            if ok:
+                word = 0
+                shift = 0
+                for j in range(i, hi):
+                    word |= vl[j] << shift
+                    shift += w
+                words.append(word.to_bytes(16, "little"))
                 sels.append(wi)
-                words.append(_pack_word(v[i:hi], w))
                 i = hi
                 break
         else:  # pragma: no cover — width 64 always fits
@@ -109,22 +118,27 @@ def qmx_decode(data: bytes, n: int) -> np.ndarray:
         wi = sb >> 4
         run = (sb & 0xF) + 1
         if wi == 0:
-            for _ in range(run):
-                take = min(_ZERO_RUN, n - pos)
-                out[pos: pos + take] = 0
-                pos += take
+            take = min(run * _ZERO_RUN, n - pos)
+            out[pos: pos + take] = 0
+            pos += take
+            if pos >= n:
+                break
             continue
         w = _WIDTHS[wi]
         c = 128 // w
+        # one vectorized unpack per RUN (1-16 words), not per word:
+        # only the final word of the whole payload can be partial, so
+        # each word's c lanes are contiguous in the output
         weights = np.uint64(1) << np.arange(w, dtype=np.uint64)
-        for _ in range(run):
-            raw = payload[word_i * 16: (word_i + 1) * 16]
-            bits = np.unpackbits(raw, bitorder="little", count=c * w)
-            vals = (bits.reshape(c, w).astype(np.uint64) @ weights)
-            take = min(c, n - pos)
-            out[pos: pos + take] = vals[:take]
-            pos += take
-            word_i += 1
+        raw = payload[word_i * 16: (word_i + run) * 16]
+        bits = np.unpackbits(raw, bitorder="little").reshape(run, 128)
+        vals = (
+            bits[:, : c * w].reshape(run * c, w).astype(np.uint64) @ weights
+        )
+        take = min(run * c, n - pos)
+        out[pos: pos + take] = vals[:take]
+        pos += take
+        word_i += run
         if pos >= n:
             break
     if pos < n:
