@@ -31,52 +31,78 @@ def _to_strict(values: np.ndarray) -> np.ndarray:
 
 
 class _BitWriter:
-    """MSB-first bitstream accumulated in ONE Python int (the per-bit
-    list/packbits form spent ~all its time in interpreter overhead —
-    same flattening as the Simple family; byte output unchanged,
-    pinned by the codec goldens + roundtrip tests)."""
+    """MSB-first bitstream accumulated in a small Python int (the
+    per-bit list/packbits form spent ~all its time in interpreter
+    overhead — same flattening as the Simple family; byte output
+    unchanged, pinned by the codec goldens + roundtrip tests). The
+    accumulator FLUSHES its oldest whole bytes into a bytearray once
+    it passes 4K bits, so encode stays O(n) — a single unbounded int
+    would copy itself on every write (quadratic; with
+    block_partition="variable" one block can span a whole salt
+    bucket)."""
 
-    __slots__ = ("acc", "nbits")
+    __slots__ = ("acc", "nbits", "out")
 
     def __init__(self):
         self.acc = 0
         self.nbits = 0
+        self.out = bytearray()
 
     def write(self, value: int, width: int):
         if width <= 0:
             return
         self.acc = (self.acc << width) | (value & ((1 << width) - 1))
-        self.nbits += width
+        nbits = self.nbits + width
+        if nbits >= 4096:
+            keep = nbits & 7
+            outb = nbits - keep
+            self.out += (self.acc >> keep).to_bytes(outb // 8, "big")
+            self.acc &= (1 << keep) - 1
+            nbits = keep
+        self.nbits = nbits
 
     def payload(self) -> bytes:
-        if self.nbits == 0:
-            return b""
-        nbytes = (self.nbits + 7) // 8
-        # trailing pad bits are zero, like np.packbits
-        return (self.acc << (nbytes * 8 - self.nbits)).to_bytes(
-            nbytes, "big"
-        )
+        if self.nbits:
+            nbytes = (self.nbits + 7) // 8
+            # trailing pad bits are zero, like np.packbits
+            self.out += (self.acc << (nbytes * 8 - self.nbits)).to_bytes(
+                nbytes, "big"
+            )
+            self.acc = 0
+            self.nbits = 0
+        return bytes(self.out)
 
 
 class _BitReader:
-    """Mirror of _BitWriter: the whole payload as one big int, each
-    read a shift+mask instead of a per-bit numpy scalar loop."""
+    """Mirror of _BitWriter: a small sliding window refilled bytewise
+    from the payload, each read a shift+mask instead of a per-bit
+    numpy scalar loop (and never a whole-payload int — reads must
+    stay O(n) on the query decode path)."""
 
-    __slots__ = ("acc", "total", "pos")
+    __slots__ = ("data", "byte_pos", "cur", "avail")
 
     def __init__(self, data: bytes):
-        self.acc = int.from_bytes(data, "big")
-        self.total = len(data) * 8
-        self.pos = 0
+        self.data = data
+        self.byte_pos = 0
+        self.cur = 0
+        self.avail = 0
 
     def read(self, width: int) -> int:
         if width <= 0:
             return 0
-        pos = self.pos
-        self.pos = pos + width
-        return (self.acc >> (self.total - pos - width)) & (
-            (1 << width) - 1
-        )
+        cur = self.cur
+        avail = self.avail
+        data = self.data
+        bp = self.byte_pos
+        while avail < width:
+            cur = (cur << 8) | data[bp]
+            bp += 1
+            avail += 8
+        avail -= width
+        self.cur = cur & ((1 << avail) - 1)
+        self.avail = avail
+        self.byte_pos = bp
+        return cur >> avail
 
 
 def _width(r: int) -> int:

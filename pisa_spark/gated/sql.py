@@ -54,12 +54,12 @@ KTH_LOOKUP_BUDGET = 32
 # the 4- and 5-term workload queries exercise skipped triple/quad
 # combs at sf0.01.
 KTH_GRAM = 2
-# Gram cap for the 'combine_did_new' and 'substructure' tags
-# (kth_threshold_combine_did_new.cpp getAllPossibleComb /
-# kth_threshold_existance_substructure_test.cpp): every comb of <=
-# this many terms has a cached top-d prefix (the tools' "all pairs
-# available" idealization of their single/duplet prefix files).
-KTH_NEW_GRAM = 2
+# The 'combine_did_new' and 'substructure' tags run at gram 2 —
+# singles + pairs, HARDWIRED in the ncomb CTE's two union branches
+# (the tools' "all pairs available" idealization of their
+# single/duplet prefix files). The library forms
+# (thresholds.combine_did_new_kth_thresholds / substructure_…)
+# expose gram 1-4.
 # Ranked-list depth for the 'estimated_k_single' quality tag (the
 # simulator tools' reference heap: topk_queue(k * 50) in
 # kth_threshold_sampling_simulator.cpp:317, k * 1000 in the
@@ -931,8 +931,8 @@ SELECT scorer, query_id, rank, doc_id, score FROM (
     # drained did, k-th best; -2 under k candidates, -1 over 16
     # terms (MaxQueryLen).
     # 'combine_did_new' tag (kth_threshold_combine_did_new.cpp:
-    # 211-232,340-432): every <= KTH_NEW_GRAM comb of the query's
-    # terms (ncomb: singles + pairs at gram 2) caches the top-d dids
+    # 211-232,340-432): every <= gram-2 comb of the query's
+    # terms (ncomb: singles + pairs) caches the top-d dids
     # of its disjunctive sub-query; per did, cached comb scores
     # combine by MAX (not the original combine-did's per-term SUM);
     # k-th best, -2 under k cached dids.

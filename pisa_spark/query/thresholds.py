@@ -947,9 +947,28 @@ def real_kth_thresholds(index: InvertedIndex, parsed: DataFrame,
     )
 
 
+def quality_ranked(index: InvertedIndex, parsed: DataFrame,
+                   depth: int) -> DataFrame:
+    """(query_id, ms, rn): each query's true ranked disjunctive
+    scores down to ``depth`` — the simulator tools' reference heap,
+    shared by estimator_quality so a multi-family report computes
+    this ONE truth job instead of one per family."""
+    pm = _workload_micro_postings(index, parsed)
+    full = pm.groupBy("query_id", "doc_id").agg(
+        F.sum("m").cast("long").alias("ms")
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("ms").desc(), F.col("doc_id").asc()
+    )
+    return full.withColumn("rn", F.row_number().over(wq)).filter(
+        F.col("rn") <= depth
+    )
+
+
 def estimator_quality(index: InvertedIndex, parsed: DataFrame,
                       estimates: DataFrame, k: int = 10,
-                      depth: int = 500) -> DataFrame:
+                      depth: int = 500,
+                      ranked: DataFrame | None = None) -> DataFrame:
     """(query_id, real_micro, est_micro, estimated_k, overshoot): the
     fork simulators' shared evaluation protocol
     (kth_threshold_origional_real_world.cpp:330-343,
@@ -967,24 +986,23 @@ def estimator_quality(index: InvertedIndex, parsed: DataFrame,
 
     ``depth`` models the reference heap the tools rank against
     (topk_queue(k * 50) in the sampling simulator, k * 1000 in the
-    combine/real-world tools). ``estimates`` is any estimator
+    combine/real-world tools); it is clamped to >= k (a shallower
+    heap could not even hold the true k-th, and every query would
+    degenerate to the -1 sentinel). ``estimates`` is any estimator
     family's (query_id, threshold_micro) output; negative sentinel
     estimates compare as-is (they land past every positive score and
-    never overshoot).
+    never overshoot). Every query in ``parsed`` gets exactly one
+    output row — zero-match queries report the -1 sentinel, queries
+    missing from ``estimates`` report NULLs. ``ranked`` may pass a
+    precomputed quality_ranked() frame so several families evaluate
+    against ONE truth job (scripts/estimator_report.py).
 
     Scale shape: one disjunctive sum per (query, did), one window
     per query, one broadcast join of the workload-sized estimate
     table — never a full-index pass."""
-    pm = _workload_micro_postings(index, parsed)
-    full = pm.groupBy("query_id", "doc_id").agg(
-        F.sum("m").cast("long").alias("ms")
-    )
-    wq = Window.partitionBy("query_id").orderBy(
-        F.col("ms").desc(), F.col("doc_id").asc()
-    )
-    ranked = full.withColumn("rn", F.row_number().over(wq)).filter(
-        F.col("rn") <= depth
-    )
+    depth = max(depth, k)
+    if ranked is None:
+        ranked = quality_ranked(index, parsed, depth)
     est = estimates.select(
         "query_id", F.col("threshold_micro").alias("est_micro")
     )
@@ -995,6 +1013,12 @@ def estimator_quality(index: InvertedIndex, parsed: DataFrame,
             F.when(F.col("ms") > F.col("est_micro"), 1).otherwise(0)
         ).cast("long").alias("above"),
         F.count("*").cast("long").alias("nranked"),
+    )
+    qids = parsed.select("query_id").distinct().join(
+        F.broadcast(est), "query_id", "left"
+    )
+    agg = qids.join(
+        F.broadcast(agg.drop("est_micro")), "query_id", "left"
     )
     return agg.select(
         "query_id",

@@ -65,10 +65,12 @@ def family_estimates(index, parsed, k: int):
     }
 
 
-def evaluate(index, parsed, estimates, k: int) -> dict:
+def evaluate(index, parsed, estimates, k: int, ranked=None) -> dict:
     from pisa_spark.query.thresholds import estimator_quality
 
-    pdf = estimator_quality(index, parsed, estimates, k=k).toPandas()
+    pdf = estimator_quality(
+        index, parsed, estimates, k=k, ranked=ranked
+    ).toPandas()
     usable = pdf[(pdf["est_micro"].notna()) & (pdf["est_micro"] >= 0)
                  & (pdf["real_micro"].notna())]
     n = len(usable)
@@ -101,16 +103,29 @@ def main() -> None:
     from pisa_spark.query.parser import parse_queries
     from pisa_spark.session import get_spark
 
+    from pyspark.sql import functions as F
+
+    from pisa_spark.query.thresholds import quality_ranked
+
     spark = get_spark(cores=args.cores)
     cfg = EngineConfig(analyzer=AnalyzerConfig(tokenizer="whitespace"))
     index = build_index(spark, pages_from_documents(spark, args.sf_dir), cfg)
     parsed = parse_queries(
         _queries_df(spark), index.lexicon, pre_tokenized=True
-    ).persist()
+    )
+    # the gate workload pins k=10 per query; re-key it to the
+    # requested k so the per-k-guarded estimator families see a
+    # consistent workload instead of filtering it to empty
+    parsed = parsed.withColumn("k", F.lit(args.k)).persist()
     n_queries = parsed.select("query_id").distinct().count()
 
+    # ONE truth job (true ranked lists) shared by every family
+    ranked = quality_ranked(
+        index, parsed, depth=max(500, args.k)
+    ).localCheckpoint()
+
     families = {
-        name: evaluate(index, parsed, est, args.k)
+        name: evaluate(index, parsed, est, args.k, ranked=ranked)
         for name, est in family_estimates(index, parsed, args.k).items()
     }
     print(json.dumps({

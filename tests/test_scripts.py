@@ -5,15 +5,20 @@ the slow full runs."""
 
 from __future__ import annotations
 
+import os
+import sys
+
 import numpy as np
 import pytest
+
+sys.path.insert(0, os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts"
+))
 
 
 def test_codec_perftest_helpers_roundtrip():
     """synth_gaps is deterministic and bench_codec's hard roundtrip
     assert passes for a fast and a partitioned codec at tiny n."""
-    import sys
-    sys.path.insert(0, "scripts")
     from codec_perftest import bench_codec, synth_gaps
 
     from pisa_spark.codecs import CODECS
@@ -33,8 +38,6 @@ def test_estimator_report_families(spark):
     """family_estimates covers every implemented estimator family and
     evaluate() produces the report fields with a sound overshoot rate
     of 0 for the single-cache family."""
-    import sys
-    sys.path.insert(0, "scripts")
     from estimator_report import evaluate, family_estimates
 
     from pisa_spark.config import EngineConfig, IndexConfig
