@@ -272,6 +272,75 @@ WHERE CAST(FLOOR(CAST(i.i AS DOUBLE) * {dlit(1e6)} / (ca.n + cb.n - i.i)
                  + {dlit(0.5)}) AS BIGINT) >= {TAU_MICRO}"""
 
 
+# ------------------------------------------------------- decontamination
+
+# Benchmark-overlap decontamination (the GPT-3/Gopher rule, public
+# papers: flag a training document that shares any k-gram with an
+# evaluation benchmark). The benchmark here is a named deterministic
+# subset of the corpus (doc_id % DECON_MOD == DECON_REM) so the gate
+# needs no external data; a real pipeline passes its own benchmark
+# table — the operator takes any (doc_id, text) frame.
+DECON_K = 5
+DECON_MOD = 11
+DECON_REM = 3
+
+
+def decontaminate(docs: DataFrame, bench: DataFrame | None = None,
+                  k: int = DECON_K) -> DataFrame:
+    """(doc_id, n_bench_shared, contaminated) over the TRAINING side.
+
+    ``bench`` defaults to the deterministic in-corpus subset; pass an
+    external benchmark frame (doc_id, text) to decontaminate against
+    real eval sets. A train doc is contaminated when it shares >= 1
+    distinct k-gram shingle with the benchmark.
+
+    Scale: benchmark shingle sets are eval-suite sized (millions of
+    shingles at most), so the distinct benchmark side is BROADCAST
+    into the training scan — the train side never shuffles; the only
+    exchange is the per-doc hit count, keyed on doc_id."""
+    is_bench = (F.col("doc_id") % DECON_MOD) == DECON_REM
+    if bench is None:
+        bench_sh = shingles_df(docs.filter(is_bench), k)
+        train = docs.filter(~is_bench)
+    else:
+        bench_sh = shingles_df(bench, k)
+        train = docs
+    bench_set = bench_sh.select("sh").distinct()
+    train_sh = shingles_df(train, k)
+    hits = (
+        train_sh.join(F.broadcast(bench_set), "sh")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_bench_shared"))
+    )
+    return (
+        train.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bench_shared", F.lit(0)).cast("long").alias(
+                "n_bench_shared"),
+            F.when(F.col("n_bench_shared").isNotNull(), 1)
+            .otherwise(0).cast("long").alias("contaminated"),
+        )
+    )
+
+
+def decontaminate_oracle(k: int = DECON_K) -> str:
+    return f"""WITH {shingle_cte(k)},
+bench AS (SELECT DISTINCT sh FROM shd WHERE doc_id % {DECON_MOD} = {DECON_REM}),
+train AS (SELECT * FROM shd WHERE doc_id % {DECON_MOD} <> {DECON_REM}),
+hits AS (
+  SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bench_shared
+  FROM train t JOIN bench b ON t.sh = b.sh GROUP BY t.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(h.n_bench_shared, 0) AS n_bench_shared,
+       CAST(CASE WHEN h.doc_id IS NULL THEN 0 ELSE 1 END AS BIGINT)
+         AS contaminated
+FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+WHERE d.doc_id % {DECON_MOD} <> {DECON_REM}"""
+
+
 # -------------------------------------------------------------- MinHash LSH
 
 NUM_PERM = 32

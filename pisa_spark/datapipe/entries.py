@@ -118,6 +118,36 @@ def _exact_dedup_union(s: SparkSession, d: str) -> DataFrame:
     )
 
 
+_SIGNAL_COLS = [
+    "n_tokens", "n_types", "ttr_micro", "stop_ratio_micro",
+    "mean_tok_len_micro", "quality_micro",
+    "top_bigram_frac_micro", "dup_trigram_frac_micro",
+    "max_term_frac_micro", "ws_tokens", "bpe_ish_tokens", "n_chars",
+]
+
+
+def _doc_signals(s: SparkSession, d: str) -> DataFrame:
+    """The per-doc filter-signals table a training pipeline consumes:
+    lexical quality + Gopher-style repetition + token counts, one wide
+    row per doc (every side aggregates on doc_id, so the joins are
+    co-partitioned — no extra exchange beyond the doc-hash shuffle)."""
+    docs = _docs(s, d)
+    return (
+        textstats.quality_score(docs)
+        .join(textstats.repetition_stats(docs), "doc_id")
+        .join(textstats.token_counts(docs), "doc_id")
+        .select("doc_id", *_SIGNAL_COLS)
+    )
+
+
+def _doc_signals_oracle() -> str:
+    cols = ", ".join(_SIGNAL_COLS)
+    return f"""SELECT doc_id, {cols}
+FROM ({textstats.quality_score_oracle()}) q
+JOIN ({textstats.repetition_stats_oracle()}) r USING (doc_id)
+JOIN ({textstats.token_counts_oracle()}) t USING (doc_id)"""
+
+
 def datapipe_queries():
     return {
         "dedup_exact": _exact_dedup_union,
@@ -128,8 +158,8 @@ def datapipe_queries():
         "dedup_embedding_cosine": _embedding_cosine_union,
         "ann_topk": _ann_union,
         "lang_id": lambda s, d: textstats.lang_id(_docs(s, d)),
-        "quality_score": lambda s, d: textstats.quality_score(_docs(s, d)),
-        "token_counts": lambda s, d: textstats.token_counts(_docs(s, d)),
+        "quality_score": _doc_signals,
+        "decontaminate": lambda s, d: dedup.decontaminate(_docs(s, d)),
         "doc_fingerprints": lambda s, d: textstats.doc_fingerprints(_docs(s, d)),
         "mm_blob_meta": lambda s, d: multimodal.blob_meta(_pages(s, d)),
         "mm_frame_sample": lambda s, d: multimodal.frame_sample(_pages(s, d)),
@@ -159,8 +189,8 @@ def datapipe_oracle_sql():
             + ") lsh_q"
         ),
         "lang_id": textstats.lang_id_oracle(),
-        "quality_score": textstats.quality_score_oracle(),
-        "token_counts": textstats.token_counts_oracle(),
+        "quality_score": _doc_signals_oracle(),
+        "decontaminate": dedup.decontaminate_oracle(),
         "doc_fingerprints": textstats.doc_fingerprints_oracle(),
         "mm_blob_meta": multimodal.blob_meta_oracle(),
         "mm_frame_sample": multimodal.frame_sample_oracle(),

@@ -161,6 +161,133 @@ SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
 FROM agg"""
 
 
+# ----------------------------------------------------------- repetition
+#
+# Token-level Gopher-style repetition signals (Rae+ '21 §A1.1, public
+# paper): the fraction of the document covered by its most frequent
+# bigram / unigram, and the fraction of token positions sitting inside
+# a duplicated trigram. The paper's rules are character-level over
+# lines; this corpus is a whitespace word stream, so the signals are
+# token-level — same filtering intent (boilerplate and degenerate
+# repetition score high), same thresholds shape.
+
+REP_TOP_NGRAM = 2  # "most frequent n-gram" signal size
+REP_DUP_NGRAM = 3  # "duplicated n-gram" signal size
+
+
+def _grams(docs: DataFrame, n: int) -> DataFrame:
+    """(doc_id, gram) — every n-token gram occurrence (NOT distinct)."""
+    tok = tokens_df(docs)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("term")] + [F.lead("term", i).over(w) for i in range(1, n)]
+    return (
+        tok.select(
+            "doc_id", F.concat_ws(" ", *parts).alias("gram"),
+            F.lead("term", n - 1).over(w).alias("_tail"),
+        )
+        .filter(F.col("_tail").isNotNull())
+        .select("doc_id", "gram")
+    )
+
+
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """(doc_id, top_bigram_frac_micro, dup_trigram_frac_micro,
+    max_term_frac_micro).
+
+    - top_bigram_frac: tokens covered by the most frequent bigram =
+      2 * max(bigram count) / n_tokens, capped at 1 (overlaps can
+      push the product past the token count on degenerate runs).
+    - dup_trigram_frac: trigram occurrences whose trigram appears
+      >= 2 times, scaled by 3/n_tokens, capped at 1.
+    - max_term_frac: most frequent single token / n_tokens.
+
+    Scale: the gram tables key on (doc_id, gram) so every aggregation
+    partitions by doc hash — one scan per gram size, no cross-doc
+    join, pipeline-parallel at any corpus size."""
+    tok = tokens_df(docs)
+    ntok = tok.groupBy("doc_id").agg(F.count("*").alias("n_tokens"))
+    top1 = (
+        tok.groupBy("doc_id", "term").agg(F.count("*").alias("c"))
+        .groupBy("doc_id").agg(F.max("c").alias("max1"))
+    )
+    top2 = (
+        _grams(docs, REP_TOP_NGRAM)
+        .groupBy("doc_id", "gram").agg(F.count("*").alias("c"))
+        .groupBy("doc_id").agg(F.max("c").alias("max2"))
+    )
+    dup3 = (
+        _grams(docs, REP_DUP_NGRAM)
+        .groupBy("doc_id", "gram").agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= 2)
+        .groupBy("doc_id").agg(F.sum("c").alias("dup3"))
+    )
+    j = (
+        ntok.join(top1, "doc_id")
+        .join(top2, "doc_id", "left")
+        .join(dup3, "doc_id", "left")
+        .select(
+            "doc_id", "n_tokens", "max1",
+            F.coalesce("max2", F.lit(0)).alias("max2"),
+            F.coalesce("dup3", F.lit(0)).alias("dup3"),
+        )
+    )
+
+    def micro_capped(num: str) -> str:
+        frac = f"LEAST({dlit(1.0)}, CAST({num} AS DOUBLE) / n_tokens)"
+        return f"CAST(FLOOR(({frac}) * {dlit(1e6)} + {dlit(0.5)}) AS BIGINT)"
+
+    return j.select(
+        "doc_id",
+        F.expr(micro_capped(f"{REP_TOP_NGRAM} * max2")).alias(
+            "top_bigram_frac_micro"),
+        F.expr(micro_capped(f"{REP_DUP_NGRAM} * dup3")).alias(
+            "dup_trigram_frac_micro"),
+        F.expr(micro_capped("max1")).alias("max_term_frac_micro"),
+    )
+
+
+def repetition_stats_oracle() -> str:
+    def gram_cte(name: str, n: int) -> str:
+        parts = ["term"] + [f"LEAD(term, {i}) OVER w" for i in range(1, n)]
+        concat = " || ' ' || ".join(parts)
+        return f"""{name} AS (
+  SELECT doc_id, gram FROM (
+    SELECT doc_id, {concat} AS gram, LEAD(term, {n - 1}) OVER w AS tail_tok
+    FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+  ) WHERE tail_tok IS NOT NULL
+)"""
+
+    def micro_capped(num: str) -> str:
+        frac = f"LEAST({dlit(1.0)}, CAST({num} AS DOUBLE) / n_tokens)"
+        return f"CAST(FLOOR(({frac}) * {dlit(1e6)} + {dlit(0.5)}) AS BIGINT)"
+
+    return f"""WITH {TOK_CTE},
+{gram_cte('g2', REP_TOP_NGRAM)},
+{gram_cte('g3', REP_DUP_NGRAM)},
+ntok AS (SELECT doc_id, COUNT(*) AS n_tokens FROM tok GROUP BY doc_id),
+top1 AS (SELECT doc_id, MAX(c) AS max1 FROM (
+  SELECT doc_id, term, COUNT(*) AS c FROM tok GROUP BY doc_id, term
+) GROUP BY doc_id),
+top2 AS (SELECT doc_id, MAX(c) AS max2 FROM (
+  SELECT doc_id, gram, COUNT(*) AS c FROM g2 GROUP BY doc_id, gram
+) GROUP BY doc_id),
+dup3 AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS dup3 FROM (
+  SELECT doc_id, gram, COUNT(*) AS c FROM g3 GROUP BY doc_id, gram
+) WHERE c >= 2 GROUP BY doc_id),
+j AS (
+  SELECT n.doc_id, n.n_tokens, t1.max1,
+         COALESCE(t2.max2, 0) AS max2, COALESCE(d3.dup3, 0) AS dup3
+  FROM ntok n JOIN top1 t1 ON n.doc_id = t1.doc_id
+  LEFT JOIN top2 t2 ON n.doc_id = t2.doc_id
+  LEFT JOIN dup3 d3 ON n.doc_id = d3.doc_id
+)
+SELECT doc_id,
+       {micro_capped(f'{REP_TOP_NGRAM} * max2')} AS top_bigram_frac_micro,
+       {micro_capped(f'{REP_DUP_NGRAM} * dup3')} AS dup_trigram_frac_micro,
+       {micro_capped('max1')} AS max_term_frac_micro
+FROM j"""
+
+
 # -------------------------------------------------------------- token count
 
 def token_counts(docs: DataFrame) -> DataFrame:

@@ -583,6 +583,69 @@ def test_quality_and_token_counts(spark):
     assert t["n_chars"] == len("The quick fox. The fox!")
 
 
+def test_repetition_stats_flags_degenerate_docs(spark):
+    from pisa_spark.datapipe.textstats import repetition_stats
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    "spam " * 20,                       # pure repetition
+                    "one two three four five six",       # all-unique
+                    # one repeated trigram ("x y z" twice) in 16 tokens
+                    "x y z x y z one two three four five six seven "
+                    "eight nine ten",
+                ],
+            }
+        )
+    )
+    out = repetition_stats(df).toPandas().set_index("doc_id")
+    # degenerate doc saturates every capped signal
+    assert out.loc[1, "max_term_frac_micro"] == 1_000_000
+    assert out.loc[1, "top_bigram_frac_micro"] == 1_000_000
+    assert out.loc[1, "dup_trigram_frac_micro"] == 1_000_000
+    # all-unique doc: no repeated grams at all
+    assert out.loc[2, "top_bigram_frac_micro"] == round(2 / 6 * 1e6)
+    assert out.loc[2, "dup_trigram_frac_micro"] == 0
+    assert out.loc[2, "max_term_frac_micro"] == round(1 / 6 * 1e6)
+    # partial repetition lands strictly between
+    assert 0 < out.loc[3, "dup_trigram_frac_micro"] < 1_000_000
+
+
+def test_decontaminate_flags_planted_overlap(spark):
+    from pisa_spark.datapipe.dedup import DECON_MOD, DECON_REM, decontaminate
+
+    bench_id = DECON_REM  # doc_id % DECON_MOD == DECON_REM
+    assert bench_id % DECON_MOD == DECON_REM
+    leaked = "alpha beta gamma delta epsilon"  # one 5-gram, verbatim
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [bench_id, 1, 2],
+                "text": [
+                    f"benchmark prompt {leaked} answer key",
+                    f"scraped page containing {leaked} plus chatter",
+                    "clean document with entirely novel phrasing",
+                ],
+            }
+        )
+    )
+    out = decontaminate(df).toPandas().set_index("doc_id")
+    assert bench_id not in out.index  # benchmark rows are not scored
+    assert out.loc[1, "contaminated"] == 1 and out.loc[1, "n_bench_shared"] >= 1
+    assert out.loc[2, "contaminated"] == 0 and out.loc[2, "n_bench_shared"] == 0
+
+    # external benchmark frame: every input doc is scored
+    bench = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [99], "text": [f"eval set {leaked} item"]})
+    )
+    ext = decontaminate(df, bench=bench).toPandas().set_index("doc_id")
+    assert set(ext.index) == {bench_id, 1, 2}
+    assert ext.loc[1, "contaminated"] == 1
+    assert ext.loc[2, "contaminated"] == 0
+
+
 def test_fingerprints_detect_shared_passages(spark):
     from pisa_spark.datapipe.textstats import doc_fingerprints
 
