@@ -286,7 +286,8 @@ DECON_REM = 3
 
 
 def decontaminate(docs: DataFrame, bench: DataFrame | None = None,
-                  k: int = DECON_K) -> DataFrame:
+                  k: int = DECON_K,
+                  broadcast_threshold: int = 10_000_000) -> DataFrame:
     """(doc_id, n_bench_shared, contaminated) over the TRAINING side.
 
     ``bench`` defaults to the deterministic in-corpus subset; pass an
@@ -295,9 +296,15 @@ def decontaminate(docs: DataFrame, bench: DataFrame | None = None,
     distinct k-gram shingle with the benchmark.
 
     Scale: benchmark shingle sets are eval-suite sized (millions of
-    shingles at most), so the distinct benchmark side is BROADCAST
+    shingles at most), so the distinct benchmark side is broadcast
     into the training scan — the train side never shuffles; the only
-    exchange is the per-doc hit count, keyed on doc_id."""
+    exchange is the per-doc hit count, keyed on doc_id. The hint is
+    GATED on a counted size (invert.maybe_broadcast discipline): a
+    caller passing a corpus-sized "benchmark" falls back to an
+    unhinted join AQE plans from runtime stats instead of OOMing
+    every executor on a hard broadcast hint."""
+    from pisa_spark.build.invert import maybe_broadcast
+
     is_bench = (F.col("doc_id") % DECON_MOD) == DECON_REM
     if bench is None:
         bench_sh = shingles_df(docs.filter(is_bench), k)
@@ -305,10 +312,18 @@ def decontaminate(docs: DataFrame, bench: DataFrame | None = None,
     else:
         bench_sh = shingles_df(bench, k)
         train = docs
-    bench_set = bench_sh.select("sh").distinct()
+    # eager localCheckpoint: the size gate needs a count, and pinning
+    # the distinct set means the join reuses it instead of recomputing
+    # the benchmark tokenize+shingle scan (repo rule: localCheckpoint,
+    # not persist, for intra-job reuse)
+    bench_set = bench_sh.select("sh").distinct().localCheckpoint(eager=True)
+    bench_set = maybe_broadcast(
+        bench_set, known_rows=bench_set.count(),
+        broadcast_threshold=broadcast_threshold,
+    )
     train_sh = shingles_df(train, k)
     hits = (
-        train_sh.join(F.broadcast(bench_set), "sh")
+        train_sh.join(bench_set, "sh")
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_bench_shared"))
     )

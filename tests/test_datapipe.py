@@ -646,6 +646,98 @@ def test_decontaminate_flags_planted_overlap(spark):
     assert ext.loc[2, "contaminated"] == 0
 
 
+def test_redact_pii_rules_and_cross_engine(spark):
+    import duckdb
+
+    from pisa_spark.datapipe.curation import redact_pii, redact_pii_sql, \
+        pii_count_sql
+
+    texts = [
+        "contact Bob.Smith+spam@Example.ORG or admin@sub.host.io today",
+        "server 10.0.255.7 and 192.168.1.1 rebooted",
+        "card 1234567890123456 ssn 987654321 short 12345678",
+        "mixed a.b@c.de at 8.8.8.8 ref 123456789",
+        "nothing sensitive here at all",
+    ]
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    out = redact_pii(
+        spark.createDataFrame(pdf, schema="doc_id long, text string")
+    ).toPandas().sort_values("doc_id").reset_index(drop=True)
+
+    assert out.loc[0, "text_redacted"] == "contact <EMAIL> or <EMAIL> today"
+    assert out.loc[0, "n_email"] == 2
+    assert out.loc[1, "text_redacted"] == "server <IP> and <IP> rebooted"
+    assert out.loc[1, "n_ip"] == 2
+    assert out.loc[2, "text_redacted"] == "card <ID> ssn <ID> short 12345678"
+    assert out.loc[2, "n_idnum"] == 2
+    # an email's digits never double-count as an id number
+    assert out.loc[3, "n_email"] == 1 and out.loc[3, "n_ip"] == 1
+    assert out.loc[3, "n_idnum"] == 1
+    assert out.loc[4, "text_redacted"] == texts[4]
+    assert out.loc[4, ["n_email", "n_ip", "n_idnum"]].sum() == 0
+
+    con = duckdb.connect()
+    con.register("t", pdf)
+    duck = con.sql(
+        f"""SELECT doc_id, {redact_pii_sql('text', 'duckdb')} AS text_redacted,
+               {pii_count_sql('text', 'email', 'duckdb')} AS n_email,
+               {pii_count_sql('text', 'ip', 'duckdb')} AS n_ip,
+               {pii_count_sql('text', 'idnum', 'duckdb')} AS n_idnum
+        FROM t ORDER BY doc_id"""
+    ).df()
+    assert duck.equals(out[duck.columns])
+
+
+def test_stratified_sample_deterministic_and_cross_engine(spark):
+    import duckdb
+
+    from pisa_spark.datapipe.curation import (
+        sample_keep_sql,
+        stratified_sample,
+        stratified_sample_report,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    mix = {"en": 0.5, "fr": 0.25, "de": 0.0}
+    kept = stratified_sample(docs, "lang", mix, seed=7)
+    ids = sorted(r.doc_id for r in kept.select("doc_id").collect())
+    # deterministic: a rerun selects the EXACT same rows
+    again = sorted(
+        r.doc_id
+        for r in stratified_sample(docs, "lang", mix, seed=7)
+        .select("doc_id").collect()
+    )
+    assert ids == again
+    # an explicit mix spec drops unmentioned strata and 0-rate strata
+    langs = {r.lang for r in kept.select("lang").distinct().collect()}
+    assert langs <= {"en", "fr"}
+
+    # cross-engine: DuckDB's keep-decision selects the same rows
+    con = duckdb.connect()
+    con.sql("CREATE VIEW documents AS SELECT * FROM "
+            "read_parquet('/root/testdata/sf0.001/documents.parquet')")
+    duck_ids = []
+    for stratum, frac in mix.items():
+        cond = sample_keep_sql("lang", int(round(frac * 1e6)), 7, "duckdb")
+        duck_ids += [
+            r[0] for r in con.sql(
+                f"SELECT doc_id FROM documents WHERE lang = '{stratum}' "
+                f"AND {cond}"
+            ).fetchall()
+        ]
+    assert sorted(duck_ids) == ids
+
+    # report: kept counts consistent, rates near spec
+    rep = stratified_sample_report(docs, "lang", mix, seed=7).toPandas() \
+        .set_index("stratum")
+    assert rep.loc["en", "n_kept"] + rep.loc["fr", "n_kept"] == len(ids)
+    assert rep.loc["de", "n_kept"] == 0
+    assert abs(rep.loc["en", "kept_micro"] - 500_000) < 150_000
+    # scalar-rate form keeps every stratum at the same rate
+    flat = stratified_sample_report(docs, "lang", 0.3, seed=11).toPandas()
+    assert (flat["n_kept"] > 0).all()
+
+
 def test_fingerprints_detect_shared_passages(spark):
     from pisa_spark.datapipe.textstats import doc_fingerprints
 
