@@ -129,13 +129,10 @@ _SIGNAL_COLS = [
 def _doc_signals(s: SparkSession, d: str) -> DataFrame:
     """The per-doc filter-signals table a training pipeline consumes:
     lexical quality + Gopher-style repetition + token counts, one wide
-    row per doc (every side aggregates on doc_id, so the joins are
-    co-partitioned — no extra exchange beyond the doc-hash shuffle)."""
-    docs = _docs(s, d)
+    row per doc — quality and repetition fused over a single tokenize
+    scan (textstats.doc_signals), token_counts joined on doc_id."""
     return (
-        textstats.quality_score(docs)
-        .join(textstats.repetition_stats(docs), "doc_id")
-        .join(textstats.token_counts(docs), "doc_id")
+        textstats.doc_signals(_docs(s, d))
         .select("doc_id", *_SIGNAL_COLS)
     )
 
