@@ -311,9 +311,7 @@ def repetition_stats_oracle() -> str:
   ) WHERE tail_tok IS NOT NULL
 )"""
 
-    def micro_capped(num: str) -> str:
-        frac = f"LEAST({dlit(1.0)}, CAST({num} AS DOUBLE) / n_tokens)"
-        return f"CAST(FLOOR(({frac}) * {dlit(1e6)} + {dlit(0.5)}) AS BIGINT)"
+    micro_capped = _micro_capped  # dialect-neutral (dlit literals only)
 
     return f"""WITH {TOK_CTE},
 {gram_cte('g2', REP_TOP_NGRAM)},

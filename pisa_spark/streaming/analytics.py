@@ -37,7 +37,9 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-VALUE_MICRO = "CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT)"
+from pisa_spark.functions.scoring import micro_sql
+
+VALUE_MICRO = micro_sql("value")  # shared dlit-literal quantizer
 
 
 def windowed_event_volume(events: DataFrame, window: str = "10 minutes",
@@ -103,11 +105,15 @@ def _topk_update(k: int):
         else:
             topk, n_seen = [], 0
         for pdf in pdfs:
-            vals = pdf["value_micro"].tolist()
+            # NULL event values never enter the sketch or the count —
+            # the same skip-null semantics as the windowed SUM
+            vals = [int(v) for v in pdf["value_micro"].dropna()]
             n_seen += len(vals)
             topk = sorted(topk + vals, reverse=True)[:k]
         state.update((topk, n_seen))
-        kth = topk[k - 1] if len(topk) >= k else -1  # below-k sentinel
+        # below k observations -> NULL (not a sentinel: any integer,
+        # including -1, is a legitimate threshold for negative values)
+        kth = topk[k - 1] if len(topk) >= k else None
         yield pd.DataFrame(
             {"key": [key[0]], "kth_micro": [kth], "n_seen": [n_seen]}
         )
@@ -119,7 +125,8 @@ def running_topk_thresholds(events: DataFrame, k: int = 10,
                             key_col: str = "event_type") -> DataFrame:
     """Per-key running k-th-best value over a stream — emits one row
     per key per micro-batch with the threshold AFTER that batch
-    (``kth_micro = -1`` until k values have been seen).
+    (``kth_micro`` is NULL until k non-null values have been seen;
+    NULL event values are skipped, matching aggregate-SUM semantics).
 
     State per key is exactly k longs + a counter; update cost per
     batch is a sort of (k + batch rows per key). Output mode must be

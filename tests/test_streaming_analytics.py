@@ -19,6 +19,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from pisa_spark.streaming.analytics import (
+    VALUE_MICRO,
     running_topk_thresholds,
     user_sessions,
     windowed_event_volume,
@@ -72,8 +73,7 @@ def test_windowed_volume_stream_equals_batch_and_duckdb(spark, tmp_path):
                time_bucket(INTERVAL '10 minutes', ts)
                  + INTERVAL '10 minutes' AS w_end,
                event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
-               CAST(SUM(CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT))
-                    AS BIGINT) AS value_micro_sum
+               CAST(SUM({VALUE_MICRO}) AS BIGINT) AS value_micro_sum
         FROM read_parquet('{SF_DIR}/events.parquet')
         GROUP BY 1, 2, 3
         """
@@ -168,9 +168,8 @@ def test_running_topk_threshold_converges_to_batch(spark, tmp_path):
 
     # exact batch k-th per type (micro units)
     batch = (
-        events.select("event_type", F.expr(
-            "CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT)"
-        ).alias("vm")).toPandas()
+        events.select("event_type", F.expr(VALUE_MICRO).alias("vm"))
+        .toPandas()
         .groupby("event_type")["vm"]
         .apply(lambda s: sorted(s, reverse=True)[k - 1] if len(s) >= k else -1)
         .to_dict()
@@ -215,6 +214,8 @@ def test_running_topk_below_k_sentinel(spark, tmp_path, n_small):
     land.mkdir()
     base = pd.Timestamp("2024-06-01 08:00:00")
     rows = [(i, base, 1, "rare", float(i), "{}") for i in range(n_small)]
+    # a NULL value must be skipped: not counted, never in the sketch
+    rows.append((n_small, base, 1, "rare", None, "{}"))
     pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id",
                                       "event_type", "value", "props"])
     spark.createDataFrame(pdf, schema=EVENTS_DDL).coalesce(1) \
@@ -232,4 +233,7 @@ def test_running_topk_below_k_sentinel(spark, tmp_path, n_small):
     q.awaitTermination(120)
     out = spark.table("topk_small").toPandas()
     q.stop()
-    assert list(out["kth_micro"]) == [-1] and list(out["n_seen"]) == [n_small]
+    # below k -> NULL threshold (no integer sentinel: -1 is a valid
+    # threshold for negative value streams); the NULL row is ignored
+    assert out["kth_micro"].isna().all()
+    assert list(out["n_seen"]) == [n_small]
