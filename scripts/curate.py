@@ -1,0 +1,139 @@
+#!/usr/bin/env python
+"""spark-submit entry point: end-to-end corpus curation.
+
+Chains the datapipe operators in the order a training-data pipeline
+runs them, over any ``documents``-shaped parquet table:
+
+    1. per-doc filter signals (lexical quality + Gopher repetition)
+    2. rule-based quality filter (min tokens, repetition caps)
+    3. PII redaction on the survivors
+    4. exact + MinHash-LSH dedup -> connected components -> keep one
+       representative per duplicate cluster
+    5. benchmark decontamination (drop docs sharing a 5-gram with the
+       benchmark subset / an external benchmark table)
+    6. deterministic stratified sample to the target language mix
+
+Prints ONE JSON line: per-stage survivor counts (the lineage a
+pipeline alerts on) + wall seconds, and writes the curated corpus as
+parquet. Every stage is a Catalyst plan over the previous stage's
+doc_id set; nothing collects to the driver.
+
+    python scripts/curate.py --in /root/testdata/sf0.01/documents.parquet \
+        --out /tmp/curated
+    spark-submit --py-files pisa_spark.zip scripts/curate.py \
+        --in s3://bucket/docs --out s3://bucket/curated --local-none
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+try:  # spark-submit --py-files pisa_spark.zip provides the package
+    import pisa_spark  # noqa: F401
+except ImportError:
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+# Default quality gates (token-level analogues of the public
+# Gopher/C4 rules — see datapipe.textstats).
+MIN_TOKENS = 10
+MAX_TOP_BIGRAM_MICRO = 500_000   # most frequent bigram covers > 50%
+MAX_DUP_TRIGRAM_MICRO = 500_000  # duplicated trigrams cover > 50%
+MIN_QUALITY_MICRO = 150_000
+
+
+def curate(spark, docs, mix=None, bench=None,
+           min_tokens: int = MIN_TOKENS,
+           max_top_bigram: int = MAX_TOP_BIGRAM_MICRO,
+           max_dup_trigram: int = MAX_DUP_TRIGRAM_MICRO,
+           min_quality: int = MIN_QUALITY_MICRO,
+           seed: int = 7):
+    """documents -> (curated DataFrame, lineage dict)."""
+    from pyspark.sql import functions as F
+
+    from pisa_spark.datapipe import curation, dedup, textstats
+
+    lineage: dict[str, int] = {"input": docs.count()}
+
+    # 1-2. signals + quality filter
+    sig = textstats.doc_signals(docs)
+    keep_ids = sig.filter(
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("top_bigram_frac_micro") <= max_top_bigram)
+        & (F.col("dup_trigram_frac_micro") <= max_dup_trigram)
+        & (F.col("quality_micro") >= min_quality)
+    ).select("doc_id")
+    filtered = docs.join(keep_ids, "doc_id")
+    lineage["quality_filtered"] = filtered.count()
+
+    # 3. PII redaction (text column replaced by its redacted form)
+    red = curation.redact_pii(filtered)
+    filtered = (
+        filtered.drop("text")
+        .join(red.select("doc_id",
+                         F.col("text_redacted").alias("text")), "doc_id")
+    )
+
+    # 4. dedup: exact + near-dup clusters, keep the representative
+    clusters = dedup.dedup_clusters(filtered)
+    dupes = clusters.filter(F.col("doc_id") != F.col("rep_doc_id")) \
+        .select("doc_id")
+    deduped = filtered.join(dupes, "doc_id", "left_anti")
+    lineage["after_dedup"] = deduped.count()
+
+    # 5. decontamination: drop contaminated training docs
+    decon = dedup.decontaminate(deduped, bench=bench)
+    dirty = decon.filter(F.col("contaminated") == 1).select("doc_id")
+    clean = deduped.join(dirty, "doc_id", "left_anti")
+    if bench is None:  # the in-corpus benchmark subset is not output
+        clean = clean.filter(
+            (F.col("doc_id") % dedup.DECON_MOD) != dedup.DECON_REM
+        )
+    lineage["after_decontamination"] = clean.count()
+
+    # 6. stratified sample to the target mix
+    if mix is not None:
+        clean = curation.stratified_sample(clean, "lang", mix, seed=seed)
+        lineage["after_sampling"] = clean.count()
+    lineage["output"] = lineage.get("after_sampling",
+                                    lineage["after_decontamination"])
+    return clean, lineage
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--in", dest="inp", required=True,
+                    help="documents-shaped parquet (doc_id, text, lang, ...)")
+    ap.add_argument("--out", required=True, help="curated parquet dir")
+    ap.add_argument("--local", type=int, default=8)
+    ap.add_argument("--mix", default=None,
+                    help='JSON per-lang fractions, e.g. {"en":0.5,"fr":0.25}')
+    ap.add_argument("--seed", type=int, default=7)
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.appName("pisa-spark-curate")
+        .master(f"local[{args.local}]")
+        .config("spark.sql.shuffle.partitions", str(max(args.local * 2, 8)))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    t0 = time.time()
+    docs = spark.read.parquet(args.inp)
+    mix = json.loads(args.mix) if args.mix else None
+    curated, lineage = curate(spark, docs, mix=mix, seed=args.seed)
+    curated.write.mode("overwrite").parquet(args.out)
+    print(json.dumps({"lineage": lineage,
+                      "wall_s": round(time.time() - t0, 2),
+                      "out": args.out}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,76 @@
+"""End-to-end curation pipeline (scripts/curate.py) over sf0.001.
+
+Pins the composition contract: each stage only ever REMOVES docs, the
+planted failure modes are removed at the right stage, and the output
+is reproducible (deterministic sampling)."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import pandas as pd
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+
+from curate import curate  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_curate_lineage_and_planted_failures(spark, tmp_path):
+    from pisa_spark.datapipe.dedup import DECON_MOD, DECON_REM
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(200)
+    base = docs.toPandas()
+    next_id = int(base.doc_id.max()) + 1
+    donor = base.iloc[0]["text"]
+    planted = pd.DataFrame(
+        {
+            "doc_id": [next_id, next_id + 1, next_id + 2],
+            "text": [
+                "spam " * 40,          # degenerate repetition -> quality
+                donor,                  # exact dup of doc 0 -> dedup
+                "tiny doc",             # under min_tokens -> quality
+            ],
+            "lang": ["en", "en", "en"],
+            "source": ["synthetic"] * 3,
+            "n_chars": [200, len(donor), 8],
+        }
+    )
+    full = docs.unionByName(
+        spark.createDataFrame(
+            planted, schema="doc_id long, text string, lang string, "
+                            "source string, n_chars long"
+        )
+    )
+
+    curated, lineage = curate(spark, full)
+    out = curated.toPandas()
+
+    # monotone shrink through the stages
+    assert (lineage["input"] >= lineage["quality_filtered"]
+            >= lineage["after_dedup"]
+            >= lineage["after_decontamination"] == lineage["output"])
+    assert lineage["input"] == 203
+
+    got = set(out.doc_id)
+    assert next_id not in got          # repetition-filtered
+    assert next_id + 2 not in got      # too short
+    # the exact-dup pair keeps exactly one representative
+    assert not {0, next_id + 1} <= got
+    # no benchmark docs in the curated output
+    assert all(d % DECON_MOD != DECON_REM for d in got)
+    # text is the redacted form (column still present, same schema)
+    assert set(out.columns) == {"doc_id", "lang", "source", "n_chars", "text"}
+
+    # deterministic sampling: same mix + seed -> identical output set
+    mix = {"en": 0.6, "fr": 0.4}
+    c1, l1 = curate(spark, full, mix=mix, seed=11)
+    c2, l2 = curate(spark, full, mix=mix, seed=11)
+    ids1 = sorted(r.doc_id for r in c1.select("doc_id").collect())
+    ids2 = sorted(r.doc_id for r in c2.select("doc_id").collect())
+    assert ids1 == ids2
+    assert l1["after_sampling"] <= l1["after_decontamination"]
+    assert {r.lang for r in c1.select("lang").distinct().collect()} \
+        <= {"en", "fr"}
