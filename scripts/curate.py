@@ -21,7 +21,8 @@ doc_id set; nothing collects to the driver.
     python scripts/curate.py --in /root/testdata/sf0.01/documents.parquet \
         --out /tmp/curated
     spark-submit --py-files pisa_spark.zip scripts/curate.py \
-        --in s3://bucket/docs --out s3://bucket/curated --local-none
+        --in s3://bucket/docs --out s3://bucket/curated \
+        --bench s3://bucket/eval_suite
 """
 
 from __future__ import annotations
@@ -111,6 +112,10 @@ def main() -> None:
     ap.add_argument("--local", type=int, default=8)
     ap.add_argument("--mix", default=None,
                     help='JSON per-lang fractions, e.g. {"en":0.5,"fr":0.25}')
+    ap.add_argument("--bench", default=None,
+                    help="external benchmark parquet (doc_id, text) to "
+                         "decontaminate against instead of the in-corpus "
+                         "subset")
     ap.add_argument("--seed", type=int, default=7)
     args = ap.parse_args()
 
@@ -127,7 +132,9 @@ def main() -> None:
     t0 = time.time()
     docs = spark.read.parquet(args.inp)
     mix = json.loads(args.mix) if args.mix else None
-    curated, lineage = curate(spark, docs, mix=mix, seed=args.seed)
+    bench = spark.read.parquet(args.bench) if args.bench else None
+    curated, lineage = curate(spark, docs, mix=mix, bench=bench,
+                              seed=args.seed)
     curated.write.mode("overwrite").parquet(args.out)
     print(json.dumps({"lineage": lineage,
                       "wall_s": round(time.time() - t0, 2),

@@ -64,6 +64,15 @@ def test_curate_lineage_and_planted_failures(spark, tmp_path):
     # text is the redacted form (column still present, same schema)
     assert set(out.columns) == {"doc_id", "lang", "source", "n_chars", "text"}
 
+    # external benchmark table: docs sharing a 5-gram with it are
+    # dropped — including the benchmark docs themselves when they sit
+    # in the training corpus (the classic self-contamination case)
+    bench = docs.filter("doc_id in (1, 2, 5)").select("doc_id", "text")
+    cb, lb = curate(spark, full, bench=bench)
+    got_b = set(r.doc_id for r in cb.select("doc_id").collect())
+    assert not {1, 2, 5} & got_b
+    assert lb["after_decontamination"] < lb["after_dedup"]
+
     # deterministic sampling: same mix + seed -> identical output set
     mix = {"en": 0.6, "fr": 0.4}
     c1, l1 = curate(spark, full, mix=mix, seed=11)
