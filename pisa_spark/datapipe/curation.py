@@ -113,6 +113,40 @@ def stratified_sample(docs: DataFrame, strata_col: str = "lang",
     return docs.filter(keep)
 
 
+def mix_to_rates(docs: DataFrame, strata_col: str,
+                 mix: dict[str, float]) -> dict[str, float]:
+    """Convert target output PROPORTIONS into per-stratum keep RATES.
+
+    ``stratified_sample`` thins each stratum independently, so passing
+    proportions straight through does NOT change the corpus mix (a
+    90/10 corpus sampled at {0.5, 0.5} stays 90/10). This computes the
+    rates that make the expected output match ``mix`` while keeping as
+    many rows as possible: with per-stratum counts ``n_s``, the
+    largest feasible output has ``C = min_s(n_s / mix_s)`` docs per
+    unit proportion, and ``rate_s = C * mix_s / n_s`` (the binding
+    stratum keeps everything). Strata absent from ``mix`` get rate 0,
+    matching the explicit-mix contract.
+
+    Driver work is one collected aggregate of |strata| rows (language
+    counts — dozens at web scale, never corpus-proportional)."""
+    counts = {
+        r["stratum"]: r["n"]
+        for r in docs.groupBy(F.col(strata_col).alias("stratum"))
+        .agg(F.count("*").alias("n")).collect()
+    }
+    feasible = {
+        s: counts[s] / p for s, p in mix.items()
+        if p > 0 and counts.get(s, 0) > 0
+    }
+    if not feasible:
+        return {s: 0.0 for s in mix}
+    c = min(feasible.values())
+    return {
+        s: (c * p / counts[s] if s in feasible else 0.0)
+        for s, p in mix.items()
+    }
+
+
 def stratified_sample_report(docs: DataFrame, strata_col: str = "lang",
                              fractions: dict[str, float] | float = 0.25,
                              seed: int = 7) -> DataFrame:

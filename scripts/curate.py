@@ -6,12 +6,16 @@ runs them, over any ``documents``-shaped parquet table:
 
     1. per-doc filter signals (lexical quality + Gopher repetition)
     2. rule-based quality filter (min tokens, repetition caps)
-    3. PII redaction on the survivors
-    4. exact + MinHash-LSH dedup -> connected components -> keep one
+    3. exact + MinHash-LSH dedup -> connected components -> keep one
        representative per duplicate cluster
-    5. benchmark decontamination (drop docs sharing a 5-gram with the
-       benchmark subset / an external benchmark table)
+    4. benchmark decontamination (drop docs sharing a 5-gram with the
+       benchmark subset / an external benchmark table) — on the RAW
+       text, so a benchmark 5-gram spanning PII still matches
+    5. PII redaction on the survivors (redaction last: it must never
+       mask a contamination or duplicate match)
     6. deterministic stratified sample to the target language mix
+       (proportions converted to per-stratum keep rates via
+       curation.mix_to_rates, so the OUTPUT matches the mix)
 
 Prints ONE JSON line: per-stage survivor counts (the lineage a
 pipeline alerts on) + wall seconds, and writes the curated corpus as
@@ -19,7 +23,7 @@ parquet. Every stage is a Catalyst plan over the previous stage's
 doc_id set; nothing collects to the driver.
 
     python scripts/curate.py --in /root/testdata/sf0.01/documents.parquet \
-        --out /tmp/curated
+        --out /tmp/curated --local 8
     spark-submit --py-files pisa_spark.zip scripts/curate.py \
         --in s3://bucket/docs --out s3://bucket/curated \
         --bench s3://bucket/eval_suite
@@ -59,6 +63,12 @@ def curate(spark, docs, mix=None, bench=None,
 
     lineage: dict[str, int] = {"input": docs.count()}
 
+    # Each surviving stage is pinned with an EAGER localCheckpoint
+    # (repo rule: localCheckpoint, not persist, for intra-job reuse)
+    # so the lineage count, the next stage, and the final write all
+    # reuse materialized partitions instead of re-running the
+    # tokenize/signal scans from the raw corpus.
+
     # 1-2. signals + quality filter
     sig = textstats.doc_signals(docs)
     keep_ids = sig.filter(
@@ -67,25 +77,20 @@ def curate(spark, docs, mix=None, bench=None,
         & (F.col("dup_trigram_frac_micro") <= max_dup_trigram)
         & (F.col("quality_micro") >= min_quality)
     ).select("doc_id")
-    filtered = docs.join(keep_ids, "doc_id")
+    filtered = docs.join(keep_ids, "doc_id").localCheckpoint(eager=True)
     lineage["quality_filtered"] = filtered.count()
 
-    # 3. PII redaction (text column replaced by its redacted form)
-    red = curation.redact_pii(filtered)
-    filtered = (
-        filtered.drop("text")
-        .join(red.select("doc_id",
-                         F.col("text_redacted").alias("text")), "doc_id")
-    )
-
-    # 4. dedup: exact + near-dup clusters, keep the representative
+    # 3. dedup: exact + near-dup clusters, keep the representative
     clusters = dedup.dedup_clusters(filtered)
     dupes = clusters.filter(F.col("doc_id") != F.col("rep_doc_id")) \
         .select("doc_id")
-    deduped = filtered.join(dupes, "doc_id", "left_anti")
+    deduped = filtered.join(dupes, "doc_id", "left_anti") \
+        .localCheckpoint(eager=True)
     lineage["after_dedup"] = deduped.count()
 
-    # 5. decontamination: drop contaminated training docs
+    # 4. decontamination: drop contaminated training docs (raw text
+    # on both sides — redaction happens after, so it can never mask
+    # a benchmark overlap)
     decon = dedup.decontaminate(deduped, bench=bench)
     dirty = decon.filter(F.col("contaminated") == 1).select("doc_id")
     clean = deduped.join(dirty, "doc_id", "left_anti")
@@ -93,11 +98,23 @@ def curate(spark, docs, mix=None, bench=None,
         clean = clean.filter(
             (F.col("doc_id") % dedup.DECON_MOD) != dedup.DECON_REM
         )
+
+    # 5. PII redaction: a pure per-row projection (zero shuffles),
+    # with length metadata recomputed so the output stays consistent
+    clean = clean.withColumn(
+        "text", F.expr(curation.redact_pii_sql("text")))
+    if "n_chars" in clean.columns:
+        clean = clean.withColumn(
+            "n_chars", F.length("text").cast("long"))
+    clean = clean.localCheckpoint(eager=True)
     lineage["after_decontamination"] = clean.count()
 
-    # 6. stratified sample to the target mix
+    # 6. stratified sample to the target OUTPUT mix (proportions ->
+    # per-stratum keep rates; one |strata|-row collect)
     if mix is not None:
-        clean = curation.stratified_sample(clean, "lang", mix, seed=seed)
+        rates = curation.mix_to_rates(clean, "lang", mix)
+        clean = curation.stratified_sample(clean, "lang", rates,
+                                           seed=seed)
         lineage["after_sampling"] = clean.count()
     lineage["output"] = lineage.get("after_sampling",
                                     lineage["after_decontamination"])
@@ -109,7 +126,9 @@ def main() -> None:
     ap.add_argument("--in", dest="inp", required=True,
                     help="documents-shaped parquet (doc_id, text, lang, ...)")
     ap.add_argument("--out", required=True, help="curated parquet dir")
-    ap.add_argument("--local", type=int, default=8)
+    ap.add_argument("--local", type=int, default=None,
+                    help="run on local[N] (omit under spark-submit — "
+                         "the cluster master must win)")
     ap.add_argument("--mix", default=None,
                     help='JSON per-lang fractions, e.g. {"en":0.5,"fr":0.25}')
     ap.add_argument("--bench", default=None,
@@ -121,11 +140,12 @@ def main() -> None:
 
     from pyspark.sql import SparkSession
 
+    b = SparkSession.builder.appName("pisa-spark-curate")
+    if args.local:
+        b = b.master(f"local[{args.local}]").config(
+            "spark.sql.shuffle.partitions", str(max(args.local * 2, 8)))
     spark = (
-        SparkSession.builder.appName("pisa-spark-curate")
-        .master(f"local[{args.local}]")
-        .config("spark.sql.shuffle.partitions", str(max(args.local * 2, 8)))
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        b.config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )

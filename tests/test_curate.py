@@ -57,12 +57,14 @@ def test_curate_lineage_and_planted_failures(spark, tmp_path):
     got = set(out.doc_id)
     assert next_id not in got          # repetition-filtered
     assert next_id + 2 not in got      # too short
-    # the exact-dup pair keeps exactly one representative
-    assert not {0, next_id + 1} <= got
+    # the exact-dup pair keeps EXACTLY the representative (min id)
+    assert 0 in got and next_id + 1 not in got
     # no benchmark docs in the curated output
     assert all(d % DECON_MOD != DECON_REM for d in got)
     # text is the redacted form (column still present, same schema)
     assert set(out.columns) == {"doc_id", "lang", "source", "n_chars", "text"}
+    # n_chars describes the POST-redaction text, not stale metadata
+    assert (out.n_chars == out.text.str.len()).all()
 
     # external benchmark table: docs sharing a 5-gram with it are
     # dropped — including the benchmark docs themselves when they sit
@@ -72,6 +74,28 @@ def test_curate_lineage_and_planted_failures(spark, tmp_path):
     got_b = set(r.doc_id for r in cb.select("doc_id").collect())
     assert not {1, 2, 5} & got_b
     assert lb["after_decontamination"] < lb["after_dedup"]
+
+    # decontamination must run on RAW text: the benchmark's ONLY
+    # 5-gram spans an email token (5 tokens, email in the middle), so
+    # it can match the training doc only if decon sees pre-redaction
+    # text — redact-then-decon would rewrite the train-side token to
+    # <EMAIL> and silently miss the contamination
+    leak = "contact agent.k@example.org hidden answer key"
+    train_text = ("many varied ordinary sentences discuss weather "
+                  "travel music history science " + leak +
+                  " and then continue about cooking gardens rivers")
+    pii_doc = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [next_id + 9], "text": [train_text],
+                      "lang": ["en"], "source": ["synthetic"],
+                      "n_chars": [len(train_text)]}),
+        schema="doc_id long, text string, lang string, source string, "
+               "n_chars long")
+    bench_pii = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0], "text": [leak]}),
+        schema="doc_id long, text string")
+    cp, _ = curate(spark, docs.unionByName(pii_doc), bench=bench_pii)
+    assert next_id + 9 not in set(r.doc_id for r in
+                                  cp.select("doc_id").collect())
 
     # deterministic sampling: same mix + seed -> identical output set
     mix = {"en": 0.6, "fr": 0.4}
@@ -83,3 +107,22 @@ def test_curate_lineage_and_planted_failures(spark, tmp_path):
     assert l1["after_sampling"] <= l1["after_decontamination"]
     assert {r.lang for r in c1.select("lang").distinct().collect()} \
         <= {"en", "fr"}
+
+
+def test_mix_to_rates_targets_output_proportions(spark):
+    from pisa_spark.datapipe.curation import mix_to_rates
+
+    # 900 en / 100 fr corpus, target 50/50 output: fr binds (C=200
+    # docs per unit proportion), so en keeps 100/900 and fr keeps all
+    # 100 -> expected output 100/100, exactly the target mix
+    rows = [(i, "en" if i < 900 else "fr") for i in range(1000)]
+    docs = spark.createDataFrame(rows, schema="doc_id long, lang string")
+    rates = mix_to_rates(docs, "lang", {"en": 0.5, "fr": 0.5})
+    assert abs(rates["en"] - 100 / 900) < 1e-9
+    assert abs(rates["fr"] - 1.0) < 1e-9
+    # expected kept counts are proportional to the mix
+    assert abs(rates["en"] * 900 - rates["fr"] * 100) < 1e-6
+
+    # strata missing from the corpus or the mix get rate 0
+    rates2 = mix_to_rates(docs, "lang", {"en": 0.7, "de": 0.3})
+    assert rates2["de"] == 0.0 and 0 < rates2["en"] <= 1.0
