@@ -138,22 +138,10 @@ def build_segments(
 
     fast_varint = cfg.codec == "varint"
 
-    def encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("doc_id")
-        term_id = int(pdf["term_id"].iloc[0])
-        bucket = int(pdf["bucket"].iloc[0])
-        docs = pdf["doc_id"].to_numpy(dtype=np.uint64)
-        tfs = pdf["tf"].to_numpy(dtype=np.uint64)
-        dls = pdf["doc_len"].to_numpy(dtype=np.uint64)
-        scores = bm25_score_np(
-            pdf["tf"].to_numpy(np.float64),
-            pdf["df"].to_numpy(np.float64),
-            pdf["doc_len"].to_numpy(np.float64),
-            float(num_docs),
-            float(avg_len),
-            k1=params.k1,
-            b=params.b,
-        )
+    def encode_one(term_id: int, bucket: int, docs: np.ndarray,
+                   tfs: np.ndarray, dls: np.ndarray, scores: np.ndarray,
+                   acc: dict) -> None:
+        """Encode ONE doc-sorted (term, bucket) group into ``acc``."""
         if cfg.quantize_bits:
             # impact quantization: the tf slot carries q instead of tf
             q = np.ceil(
@@ -203,23 +191,120 @@ def build_segments(
             len_bytes = [encode(dls[s:e] - 1) for s, e in zip(starts, ends)]
 
         base_block_id = bucket * stride
+        nb = len(starts)
+        acc["term_id"].append(np.full(nb, term_id, dtype=np.int64))
+        acc["block_id"].append(
+            base_block_id + np.arange(nb, dtype=np.int64))
+        acc["count"].append((ends - starts).astype(np.int32))
+        acc["max_doc_id"].append(docs[ends - 1].astype(np.int64))
+        acc["max_score"].append(block_max)
+        acc["doc_bytes"].extend(doc_bytes)
+        acc["tf_bytes"].extend(tf_bytes)
+        acc["len_bytes"].extend(len_bytes)
+
+    def _encode_frame(pdf: pd.DataFrame, gstarts: np.ndarray) -> pd.DataFrame:
+        """Encode every group in ``pdf`` (rows sorted by term_id,
+        bucket, doc_id; groups start at ``gstarts``) in one pass:
+        columns convert to numpy ONCE, each group is a zero-copy
+        slice — no per-group pandas frames."""
+        t = pdf["term_id"].to_numpy(np.int64)
+        b = pdf["bucket"].to_numpy(np.int64)
+        docs_a = pdf["doc_id"].to_numpy(np.uint64)
+        tfs_a = pdf["tf"].to_numpy(np.uint64)
+        dls_a = pdf["doc_len"].to_numpy(np.uint64)
+        scores_a = bm25_score_np(
+            pdf["tf"].to_numpy(np.float64),
+            pdf["df"].to_numpy(np.float64),
+            pdf["doc_len"].to_numpy(np.float64),
+            float(num_docs),
+            float(avg_len),
+            k1=params.k1,
+            b=params.b,
+        )
+        acc: dict = {
+            "term_id": [], "block_id": [], "count": [],
+            "max_doc_id": [], "max_score": [],
+            "doc_bytes": [], "tf_bytes": [], "len_bytes": [],
+        }
+        bounds = np.concatenate((gstarts, [len(t)]))
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            encode_one(int(t[s]), int(b[s]), docs_a[s:e], tfs_a[s:e],
+                       dls_a[s:e], scores_a[s:e], acc)
         return pd.DataFrame(
             {
-                "term_id": np.full(len(starts), term_id, dtype=np.int64),
-                "block_id": base_block_id + np.arange(len(starts), dtype=np.int64),
-                "count": (ends - starts).astype(np.int32),
-                "max_doc_id": docs[ends - 1].astype(np.int64),
-                "max_score": block_max,
-                "doc_bytes": doc_bytes,
-                "tf_bytes": tf_bytes,
-                "len_bytes": len_bytes,
+                "term_id": np.concatenate(acc["term_id"]),
+                "block_id": np.concatenate(acc["block_id"]),
+                "count": np.concatenate(acc["count"]),
+                "max_doc_id": np.concatenate(acc["max_doc_id"]),
+                "max_score": np.concatenate(acc["max_score"]),
+                "doc_bytes": acc["doc_bytes"],
+                "tf_bytes": acc["tf_bytes"],
+                "len_bytes": acc["len_bytes"],
             }
         )
+
+    def kernel(batches):
+        """Stream the partition's Arrow batches, cutting complete
+        (term, bucket) groups at key-change boundaries and carrying
+        the trailing (possibly batch-spanning) group forward. One
+        Python call per BATCH instead of per group: profiling showed
+        per-group applyInPandas machinery costing more than the
+        encode math itself at web-scale vocabularies (~20k+ groups).
+        The carry is a LIST of batch tails concatenated only when its
+        group completes (no quadratic recopying for head-term groups
+        spanning many batches); peak memory stays bounded by one salt
+        bucket — the same bound the groupBy path had."""
+        carry: list[pd.DataFrame] = []  # tail frames of ONE group
+        carry_key: tuple[int, int] | None = None
+
+        def flush_carry() -> pd.DataFrame:
+            g = (carry[0] if len(carry) == 1
+                 else pd.concat(carry, ignore_index=True))
+            return _encode_frame(g.reset_index(drop=True),
+                                 np.array([0], dtype=np.int64))
+
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            t = pdf["term_id"].to_numpy(np.int64)
+            b = pdf["bucket"].to_numpy(np.int64)
+            if carry and (int(t[0]), int(b[0])) != carry_key:
+                yield flush_carry()
+                carry, carry_key = [], None
+            chg = np.flatnonzero(
+                (t[1:] != t[:-1]) | (b[1:] != b[:-1])) + 1
+            if len(chg) == 0:
+                # whole batch continues (or starts) one group
+                carry.append(pdf)
+                carry_key = (int(t[0]), int(b[0]))
+                continue
+            first, last = int(chg[0]), int(chg[-1])
+            if carry:
+                carry.append(pdf.iloc[:first])
+                yield flush_carry()
+                carry, carry_key = [], None
+            else:
+                first = 0
+            # complete inner groups: [first, last)
+            if last > first:
+                gstarts = np.concatenate(
+                    ([first], chg[(chg > first) & (chg < last)], ))
+                yield _encode_frame(
+                    pdf.iloc[first:last].reset_index(drop=True),
+                    gstarts - first)
+            carry = [pdf.iloc[last:]]
+            carry_key = (int(t[last]), int(b[last]))
+        if carry:
+            yield flush_carry()
 
     salted = scored.withColumn(
         "bucket", (F.col("doc_id") / F.lit(bucket_docs)).cast("long")
     )
-    return salted.groupBy("term_id", "bucket").applyInPandas(encode_group, out_schema)
+    parted = salted.repartition("term_id", "bucket").sortWithinPartitions(
+        "term_id", "bucket", "doc_id"
+    )
+    return parted.mapInPandas(kernel, out_schema)
 
 
 def compress_block_maxes(segments: DataFrame, term_meta: DataFrame) -> DataFrame:

@@ -77,6 +77,12 @@ def _subtree_lines(plan: str, marker: str):
         for nxt in lines[i + 1:]:
             if not nxt.strip():
                 break
+            # AQE section markers ("+- == Initial Plan ==") start a
+            # SIBLING printout of an AdaptiveSparkPlan's pre-adaptive
+            # plan, not a tree child — and depth() mis-ranks them
+            # because '=' is not alphanumeric. Never cross one.
+            if "== Initial Plan ==" in nxt or "== Final Plan ==" in nxt:
+                break
             if depth(nxt) <= d:
                 break
             sub.append(nxt)
