@@ -175,6 +175,9 @@ def main() -> None:
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # 2 task waves per scan on small inputs (straggler smoothing;
+        # see pisa_spark.session) — maxPartitionBytes governs at scale.
+        .config("spark.sql.files.minPartitionNum", str(2 * cpus))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .getOrCreate()

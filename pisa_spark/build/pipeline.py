@@ -21,8 +21,11 @@ stages downstream of it.
 
 Stage DAG (each arrow is a shuffle boundary, SURVEY §3.1):
 
-    pages -> docs -> lexicon -> postings -> segments
-                  \\-> doc_sizes -> stats      \\-> term_meta
+    pages -> docs -> term_ids -> postings -> lexicon -> segments
+                  \\-> stats                     \\-> term_meta
+
+(doc_sizes / docmap are column-pruned projections of the docs
+checkpoint, not separate stages)
 """
 
 from __future__ import annotations
@@ -157,8 +160,6 @@ class BuildPipeline:
         """Build (or resume) the full index; returns InvertedIndex
         backed by the checkpoint parquet (every artifact re-readable
         without recompute)."""
-        from pyspark.sql import functions as F
-
         from pisa_spark.build import (
             build_doc_sizes, build_postings, build_term_ids,
             lexicon_with_df,
@@ -167,32 +168,44 @@ class BuildPipeline:
         from pisa_spark.build.segments import scored_postings
         from pisa_spark.index import InvertedIndex
 
-        # Tokenize ONCE into a checkpoint, then assign docIDs over the
-        # checkpointed parquet: the range-partitioner's sampling pass
-        # then reads only the (column-pruned) url column from parquet
-        # instead of recomputing the whole tokenize kernel — without
-        # this split the docs stage tokenizes the corpus twice.
+        # ONE corpus-sized checkpoint: docIDs are a function of url
+        # alone, so they are assigned over the column-pruned url
+        # projection of the INPUT (tiny: one row per doc, no terms
+        # arrays) and joined back into the tokenize scan — the join is
+        # broadcast when the counted doc count is known small, else a
+        # plain join for AQE. The previous shape (tokenize checkpoint,
+        # then range-shuffle + localCheckpoint + window over the full
+        # terms arrays just to number rows) wrote the corpus to disk
+        # twice and moved it through a shuffle once more; at 100 TB
+        # that is corpus-scale I/O spent on an id column.
         has_ids = "doc_id" in pages.columns
-        tokens = self._stage(
-            "tokens", [],
-            lambda: tokenize_pages(
-                pages, self.config.analyzer, assign_doc_ids=False
-            ),
-        )
-        if has_ids:
-            docs = self._stage(
-                "docs", ["tokens"],
-                lambda: tokens.select("doc_id", "url", "terms", "doc_len"),
-            )
-        else:
-            from pisa_spark.build.ids import assign_global_ids
 
-            docs = self._stage(
-                "docs", ["tokens"],
-                lambda: assign_global_ids(tokens, "url", "doc_id").select(
-                    "doc_id", "url", "terms", "doc_len"
-                ),
+        def _compute_docs() -> DataFrame:
+            toks = tokenize_pages(
+                pages, self.config.analyzer, assign_doc_ids=False
             )
+            if has_ids:
+                return toks.select("doc_id", "url", "terms", "doc_len")
+            from pisa_spark.build.ids import assign_global_ids
+            from pisa_spark.build.invert import maybe_broadcast
+
+            cnt: dict = {}
+            ids = assign_global_ids(
+                pages.select("url"), "url", "doc_id", count_out=cnt
+            )
+            # (url, doc_id) has one row per DOCUMENT — small for any
+            # sandbox corpus but corpus-row-sized in general, so the
+            # broadcast is gated on the counted size like the lexicon.
+            ids_side = maybe_broadcast(
+                ids, cnt.get("n_rows"),
+                min(self.config.index.lexicon_broadcast_threshold,
+                    5_000_000),
+            )
+            return toks.join(ids_side, "url").select(
+                "doc_id", "url", "terms", "doc_len"
+            )
+
+        docs = self._stage("docs", [], _compute_docs)
         # Ids-first invert (invert.build_lexicon docstring): the
         # term_ids stage shuffles only distinct terms (map-side partial
         # dedup -> per-task local vocabularies), build_postings is the
@@ -204,11 +217,13 @@ class BuildPipeline:
         term_ids = self._stage(
             "term_ids", ["docs"], lambda: build_term_ids(docs)
         )
-        doc_sizes = self._stage(
-            "doc_sizes", ["docs"], lambda: build_doc_sizes(docs)
-        )
+        # doc_sizes / docmap are pure projections of the docs
+        # checkpoint: parquet column pruning makes reading them off
+        # docs exactly as cheap as a dedicated copy, without the extra
+        # stage write (two fewer corpus-keyed write jobs per build).
+        doc_sizes = build_doc_sizes(docs)
         stats_df = self._stage(
-            "stats", ["doc_sizes"], lambda: collection_stats(doc_sizes)
+            "stats", ["docs"], lambda: collection_stats(doc_sizes)
         )
         stats = stats_df.collect()[0]
         num_docs = int(stats["num_docs"])
@@ -243,12 +258,12 @@ class BuildPipeline:
         # bounds — same routing as build_index (via quantized_rescale),
         # with the raw metadata checkpointed so resume works.
         index_max_score = None
-        seg_parents = ["postings", "doc_sizes", "stats"]
+        seg_parents = ["postings", "lexicon", "stats"]
         if self.config.index.quantize_bits:
             from pisa_spark.index import quantized_rescale
 
             term_meta_raw = self._stage(
-                "term_meta_raw", ["postings", "doc_sizes", "stats"],
+                "term_meta_raw", ["postings", "lexicon", "stats"],
                 lambda: build_term_meta(
                     scored, num_docs, avg_len, self.config.bm25
                 ),
@@ -262,7 +277,7 @@ class BuildPipeline:
             seg_parents = seg_parents + ["term_meta_raw"]
         else:
             term_meta = self._stage(
-                "term_meta", ["postings", "doc_sizes", "stats"],
+                "term_meta", ["postings", "lexicon", "stats"],
                 lambda: build_term_meta(
                     scored, num_docs, avg_len, self.config.bm25
                 ),
@@ -286,9 +301,7 @@ class BuildPipeline:
         if self.config.index.compress_blockmax:
             seg_parents = seg_parents + ["term_meta"]
         segments = self._stage("segments", seg_parents, _compute_segments)
-        docmap = self._stage(
-            "docmap", ["docs"], lambda: docs.select("doc_id", "url")
-        )
+        docmap = docs.select("doc_id", "url")
         return InvertedIndex(
             lexicon=lexicon,
             docmap=docmap,

@@ -53,6 +53,10 @@ def main() -> None:
     b = SparkSession.builder.appName("pisa-spark-pipeline")
     if args.local:
         b = b.master(f"local[{args.local}]")
+        # 2 task waves per scan on small local inputs (straggler
+        # smoothing; see pisa_spark.session). Under spark-submit the
+        # executor-count default is left in charge.
+        b = b.config("spark.sql.files.minPartitionNum", str(2 * args.local))
     spark = (
         b.config("spark.sql.shuffle.partitions", str(args.partitions))
         .config("spark.sql.adaptive.enabled", "false")  # fixed plan for scaling runs

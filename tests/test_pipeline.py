@@ -36,13 +36,13 @@ def test_build_checkpoint_resume_and_metrics(spark, pages, tmp_path):
     idx1 = pipe1.run(pages)
     n_seg = idx1.segments.count()
     assert n_seg > 0
-    all_stages = {"tokens", "docs", "term_ids", "lexicon", "doc_sizes",
-                  "stats", "postings", "segments", "term_meta", "docmap"}
+    all_stages = {"docs", "term_ids", "lexicon", "stats",
+                  "postings", "segments", "term_meta"}
     assert set(pipe1.executed) == all_stages
 
     # Manifests carry lineage + per-partition rows/bytes.
     man = json.loads((tmp_path / "index" / "segments" / MANIFEST).read_text())
-    assert man["parents"].keys() == {"postings", "doc_sizes", "stats"}
+    assert man["parents"].keys() == {"postings", "lexicon", "stats"}
     assert man["n_rows"] == n_seg
     assert man["n_partitions"] >= 1
     for p in man["partitions"]:
