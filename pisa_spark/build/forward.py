@@ -114,15 +114,17 @@ def tokenize_pages(
     column it is kept verbatim (the driver's ``documents`` table path).
 
     ``stats_out``: when THIS call assigns doc ids, the dict receives
-    ``{"n_rows": num_docs, "sum": collection_len}`` for free from the
-    id assignment's offset collect (assign_global_ids sum_col) — one
-    fewer corpus pass for the caller's collection stats. Left empty on
-    the pre-assigned-doc_id and assign_doc_ids=False paths (the caller
-    must aggregate itself).
+    ``{"n_rows": num_docs}`` for free from the id assignment's offset
+    collect. Left empty on the pre-assigned-doc_id and
+    assign_doc_ids=False paths (the caller must aggregate itself).
     """
     cfg = cfg or AnalyzerConfig()
     if lang_filter:
         pages = pages.filter(F.col("lang") == lang_filter)
+    # url (and lang) pass through text extraction unchanged, so the
+    # docID side below projects from the PRE-extract frame — a pruned
+    # scan that never runs the html kernel.
+    base = pages
     pages = extract_text(pages, cfg)
 
     has_doc_id = "doc_id" in pages.columns
@@ -139,9 +141,7 @@ def tokenize_pages(
             return docs.select("doc_id", "url", "terms", "doc_len")
         if not assign_doc_ids:
             return docs.select("url", "terms", "doc_len")
-        docs = assign_global_ids(
-            docs, "url", "doc_id", count_out=stats_out, sum_col="doc_len"
-        )
+        docs = _with_assigned_ids(base, docs, stats_out)
         return docs.select("doc_id", "url", "terms", "doc_len")
 
     cols = "url string, terms array<string>, doc_len int" + (
@@ -173,7 +173,28 @@ def tokenize_pages(
         return docs.select("doc_id", "url", "terms", "doc_len")
     if not assign_doc_ids:
         return docs.select("url", "terms", "doc_len")
-    docs = assign_global_ids(
-        docs, "url", "doc_id", count_out=stats_out, sum_col="doc_len"
-    )
+    docs = _with_assigned_ids(base, docs, stats_out)
     return docs.select("doc_id", "url", "terms", "doc_len")
+
+
+def _with_assigned_ids(
+    base: DataFrame, docs: DataFrame, stats_out: dict | None
+) -> DataFrame:
+    """Join docIDs into the tokenize scan instead of numbering it.
+
+    docIDs are a function of url alone, so they are assigned over the
+    column-pruned url projection of the raw input — the range shuffle
+    and pinning localCheckpoint inside assign_global_ids then carry
+    one small column per document instead of the full terms arrays
+    (at 100 TB the old in-place numbering moved the whole corpus
+    through a shuffle and materialized it a second time just to add an
+    id column). The (url, doc_id) side is corpus-ROW-sized: broadcast
+    below a counted gate, else a plain join for AQE."""
+    from pisa_spark.build.invert import maybe_broadcast
+
+    cnt: dict = {}
+    ids = assign_global_ids(base.select("url"), "url", "doc_id",
+                            count_out=cnt)
+    if stats_out is not None:
+        stats_out["n_rows"] = cnt["n_rows"]
+    return docs.join(maybe_broadcast(ids, cnt["n_rows"], 5_000_000), "url")

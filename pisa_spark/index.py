@@ -96,11 +96,7 @@ def build_index(
       3. segments (salted groupBy + Arrow-batched numpy block encode)
     """
     config = config or EngineConfig()
-    corpus_stats: dict = {}
-    docs = tokenize_pages(
-        pages, config.analyzer, lang_filter=lang_filter,
-        stats_out=corpus_stats,
-    )
+    docs = tokenize_pages(pages, config.analyzer, lang_filter=lang_filter)
     if cache:
         docs = docs.persist()
 
@@ -152,19 +148,15 @@ def build_index(
             carry_doc_len=True,
         )
 
-    if "n_rows" in corpus_stats:
-        # Collection stats rode the doc-id assignment's offset collect
-        # (assign_global_ids sum_col) — no separate corpus-wide
-        # aggregate job. Only the pre-assigned-doc_id input path still
-        # needs one.
-        num_docs = int(corpus_stats["n_rows"])
-        collection_len = int(corpus_stats["sum"])
-        avg_len = (collection_len / num_docs) if num_docs else 0.0
-    else:
-        stats = collection_stats(doc_sizes).collect()[0]
-        num_docs = int(stats["num_docs"])
-        avg_len = float(stats["avg_len"] or 0.0)
-        collection_len = int(stats["collection_len"] or 0)
+    # One corpus-column aggregate over the (persisted) docs. The docID
+    # assignment no longer range-shuffles the tokenized corpus
+    # (url-projection + join in tokenize_pages), so the old ride-along
+    # sum over its offsets is gone — this single agg job is the trade
+    # for removing a full-corpus shuffle + localCheckpoint per build.
+    stats = collection_stats(doc_sizes).collect()[0]
+    num_docs = int(stats["num_docs"])
+    avg_len = float(stats["avg_len"] or 0.0)
+    collection_len = int(stats["collection_len"] or 0)
 
     scored = scored_postings(
         postings, doc_sizes, lexicon, num_docs, avg_len,
