@@ -189,7 +189,11 @@ def _with_assigned_ids(
     (at 100 TB the old in-place numbering moved the whole corpus
     through a shuffle and materialized it a second time just to add an
     id column). The (url, doc_id) side is corpus-ROW-sized: broadcast
-    below a counted gate, else a plain join for AQE."""
+    below a counted gate, else a plain join for AQE. url must be
+    UNIQUE (the corpus key — input_hint contract, already required by
+    assign_global_ids' order column): a duplicate url would multiply
+    through this join, where the old in-place numbering silently gave
+    duplicates arbitrary distinct ids."""
     from pisa_spark.build.invert import maybe_broadcast
 
     cnt: dict = {}
