@@ -44,6 +44,12 @@ def main() -> None:
     ap.add_argument("--local", type=int, default=None,
                     help="run on local[N] (omit under spark-submit)")
     ap.add_argument("--algorithm", default="maxscore")
+    ap.add_argument("--strategy", default="query",
+                    choices=["query", "batched"],
+                    help="query-major (one task per query, the latency "
+                         "shape) or batch-major (cogrouped batches with a "
+                         "shared block cache — the amortized throughput "
+                         "shape, executor.topk_search_batch)")
     ap.add_argument("--warmup", type=int, default=1,
                     help="run an untimed small warmup build first")
     args = ap.parse_args()
@@ -73,8 +79,19 @@ def main() -> None:
     from pisa_spark.build.pipeline import BuildPipeline
     from pisa_spark.config import EngineConfig
     from pisa_spark.corpus import synth_pages, synth_queries
-    from pisa_spark.query.executor import topk_search
+    from pisa_spark.query.executor import topk_search, topk_search_batch
     from pisa_spark.query.parser import parse_queries
+
+    def search(index, parsed, **kw):
+        if args.strategy == "batched":
+            # batches pinned to the fixed partition count so the job
+            # is IDENTICAL at every parallelism level (the batch
+            # count otherwise defaults to 2x cluster parallelism,
+            # which would change the measured work between N and 4N)
+            return topk_search_batch(
+                index, parsed, batches=args.partitions, **kw
+            )
+        return topk_search(index, parsed, **kw)
 
     # Untimed warmup build on a small slice (JIT, codegen, Python
     # worker pool, shuffle paths) — the reference bench protocol also
@@ -120,9 +137,9 @@ def main() -> None:
 
     # one untimed pass (python-worker pool at this parallelism, plan
     # compilation) — the reference protocol warms up before timing
-    topk_search(index, parsed, algorithm=args.algorithm, k=10).count()
+    search(index, parsed, algorithm=args.algorithm, k=10).count()
     t1 = time.perf_counter()
-    n_rows = topk_search(index, parsed, algorithm=args.algorithm, k=10).count()
+    n_rows = search(index, parsed, algorithm=args.algorithm, k=10).count()
     query_wall = time.perf_counter() - t1
 
     print(
@@ -135,6 +152,7 @@ def main() -> None:
                 "build_wall_s": round(build_wall, 3),
                 "build_docs_per_sec": round(args.n_docs / build_wall, 2),
                 "n_queries": args.n_queries,
+                "strategy": args.strategy,
                 "query_wall_s": round(query_wall, 3),
                 "queries_per_sec": round(args.n_queries / query_wall, 2),
                 "result_rows": n_rows,

@@ -27,12 +27,14 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 
 
-def run_once(cores: int, n_docs: int, n_queries: int, out: str) -> dict:
+def run_once(cores: int, n_docs: int, n_queries: int, out: str,
+             strategy: str = "query") -> dict:
     shutil.rmtree(out, ignore_errors=True)
     cmd = [
         sys.executable, str(REPO / "scripts" / "run_pipeline.py"),
         "--local", str(cores), "--n-docs", str(n_docs),
         "--n-queries", str(n_queries), "--out", out,
+        "--strategy", strategy,
     ]
     t0 = time.time()
     proc = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
@@ -55,13 +57,18 @@ def main() -> None:
     ap.add_argument("--repeats", type=int, default=2,
                     help="repeats per level; best throughput wins "
                          "(the sandbox VM sees neighbor CPU steal)")
+    ap.add_argument("--strategy", default="query",
+                    choices=["query", "batched"],
+                    help="query execution strategy passed through to "
+                         "run_pipeline (batched = amortized throughput "
+                         "shape with a fixed batch count)")
     args = ap.parse_args()
     n, n4 = args.n, args.n * 4
 
     def best_of(cores: int) -> dict:
         runs = [
             run_once(cores, args.n_docs, args.queries,
-                     f"{args.out_dir}/idx{cores}_{i}")
+                     f"{args.out_dir}/idx{cores}_{i}", args.strategy)
             for i in range(args.repeats)
         ]
         best = max(runs, key=lambda r: r["build_docs_per_sec"])
@@ -77,6 +84,7 @@ def main() -> None:
     result = {
         "n_docs": args.n_docs,
         "n_queries": args.queries,
+        "strategy": args.strategy,
         "low": {"cores": n, "build_docs_per_sec": lo["build_docs_per_sec"],
                 "queries_per_sec": lo["queries_per_sec"],
                 "build_wall_s": lo["build_wall_s"],
