@@ -253,3 +253,23 @@ def test_estimator_plans_have_no_sort_merge_join(index, parsed):
             if "SortMergeJoin" in line:
                 assert "query_id" not in line and "comb" not in line, line
                 assert "term_id" in line, line  # the permitted lexicon join
+
+
+def test_docid_assignment_never_moves_the_corpus(spark):
+    """docIDs join in from the url projection (forward.
+    _with_assigned_ids): the docs plan must contain no range
+    exchange at all (the one range shuffle ran over urls only,
+    inside assign_global_ids' eager localCheckpoint) and no Exchange
+    subtree may carry the terms arrays — the corpus never shuffles
+    or re-materializes for an id column."""
+    from pisa_spark.build.forward import tokenize_pages
+    from pisa_spark.corpus import synth_pages
+
+    docs = tokenize_pages(synth_pages(spark, 300), CFG.analyzer)
+    plan = _plan_str(docs)
+    assert "rangepartitioning" not in plan.lower(), plan
+    for sub in _subtree_lines(plan, "Exchange"):
+        assert "terms#" not in sub, sub
+    # ids actually joined: dense 0..n-1 over sorted urls
+    pdf = docs.select("doc_id", "url").toPandas().sort_values("url")
+    assert list(pdf["doc_id"]) == list(range(len(pdf)))
