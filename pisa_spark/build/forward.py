@@ -104,6 +104,7 @@ def tokenize_pages(
     lang_filter: str | None = None,
     assign_doc_ids: bool = True,
     stats_out: dict | None = None,
+    id_broadcast_rows: int | None = None,
 ) -> DataFrame:
     """pages -> docs(doc_id long, url string, terms array<string>,
     doc_len int).
@@ -141,7 +142,11 @@ def tokenize_pages(
             return docs.select("doc_id", "url", "terms", "doc_len")
         if not assign_doc_ids:
             return docs.select("url", "terms", "doc_len")
-        docs = _with_assigned_ids(base, docs, stats_out)
+        docs = _with_assigned_ids(
+            base, docs, stats_out,
+            id_broadcast_rows if id_broadcast_rows is not None
+            else ID_BROADCAST_ROWS,
+        )
         return docs.select("doc_id", "url", "terms", "doc_len")
 
     cols = "url string, terms array<string>, doc_len int" + (
@@ -173,12 +178,29 @@ def tokenize_pages(
         return docs.select("doc_id", "url", "terms", "doc_len")
     if not assign_doc_ids:
         return docs.select("url", "terms", "doc_len")
-    docs = _with_assigned_ids(base, docs, stats_out)
+    docs = _with_assigned_ids(
+        base, docs, stats_out,
+        id_broadcast_rows if id_broadcast_rows is not None
+        else ID_BROADCAST_ROWS,
+    )
     return docs.select("doc_id", "url", "terms", "doc_len")
 
 
+# (url, doc_id) broadcast gate, in ROWS. Conservative by bytes: at
+# ~100-150 B/url, 400k rows is a ~40-60 MB hash table — under the
+# session's 64 MB autoBroadcastJoinThreshold. Above the gate the id
+# join is a plain hash join (AQE decides): the corpus then moves
+# through ONE hash shuffle on url — the same single movement the old
+# in-place numbering's range shuffle made — but still without the
+# second materialization (localCheckpoint) or the window sort.
+ID_BROADCAST_ROWS = 400_000
+
+
 def _with_assigned_ids(
-    base: DataFrame, docs: DataFrame, stats_out: dict | None
+    base: DataFrame,
+    docs: DataFrame,
+    stats_out: dict | None,
+    broadcast_rows: int = ID_BROADCAST_ROWS,
 ) -> DataFrame:
     """Join docIDs into the tokenize scan instead of numbering it.
 
@@ -186,14 +208,19 @@ def _with_assigned_ids(
     column-pruned url projection of the raw input — the range shuffle
     and pinning localCheckpoint inside assign_global_ids then carry
     one small column per document instead of the full terms arrays
-    (at 100 TB the old in-place numbering moved the whole corpus
-    through a shuffle and materialized it a second time just to add an
-    id column). The (url, doc_id) side is corpus-ROW-sized: broadcast
-    below a counted gate, else a plain join for AQE. url must be
-    UNIQUE (the corpus key — input_hint contract, already required by
-    assign_global_ids' order column): a duplicate url would multiply
-    through this join, where the old in-place numbering silently gave
-    duplicates arbitrary distinct ids."""
+    (at 100 TB the old in-place numbering range-shuffled the whole
+    corpus AND materialized it a second time just to add an id
+    column; this shape shuffles the corpus at most once — not at all
+    below the broadcast gate — and never re-materializes it). The
+    (url, doc_id) side is corpus-ROW-sized, so the broadcast is gated
+    on the counted size (``broadcast_rows``, see ID_BROADCAST_ROWS).
+    url must be UNIQUE (the corpus key — input_hint contract, already
+    required by assign_global_ids' order column): a duplicate url
+    would multiply through this join, where the old in-place
+    numbering silently gave duplicates arbitrary distinct ids.
+    Callers that can count the joined result cheaply should compare
+    it against ``stats_out['n_rows']`` (build_index and BuildPipeline
+    both do) — any fan-out is a duplicate-url input error."""
     from pisa_spark.build.invert import maybe_broadcast
 
     cnt: dict = {}
@@ -201,4 +228,5 @@ def _with_assigned_ids(
                             count_out=cnt)
     if stats_out is not None:
         stats_out["n_rows"] = cnt["n_rows"]
-    return docs.join(maybe_broadcast(ids, cnt["n_rows"], 5_000_000), "url")
+    return docs.join(maybe_broadcast(ids, cnt["n_rows"], broadcast_rows),
+                     "url")

@@ -40,7 +40,9 @@ def assign_global_ids(
     ``sum_col``: additionally receive ``{"sum": SUM(sum_col)}`` from
     the SAME collect — one aggregate column on a partition-count-sized
     result, so e.g. collection length (sum of doc lengths) costs no
-    extra corpus pass (build_index / IncrementalIndexer use this)."""
+    extra pass over the frame (IncrementalIndexer's per-batch delta
+    numbering uses this; the batch builds assign ids over a bare url
+    projection and aggregate stats separately)."""
     # Default to the input's partition count (parallelism-independent:
     # the same input produces the same layout at any core count);
     # defaultParallelism only as a floor for degenerate 1-part inputs.

@@ -178,34 +178,32 @@ class BuildPipeline:
         # terms arrays just to number rows) wrote the corpus to disk
         # twice and moved it through a shuffle once more; at 100 TB
         # that is corpus-scale I/O spent on an id column.
-        has_ids = "doc_id" in pages.columns
+        from pisa_spark.build.forward import ID_BROADCAST_ROWS
 
-        def _compute_docs() -> DataFrame:
-            toks = tokenize_pages(
-                pages, self.config.analyzer, assign_doc_ids=False
-            )
-            if has_ids:
-                return toks.select("doc_id", "url", "terms", "doc_len")
-            from pisa_spark.build.ids import assign_global_ids
-            from pisa_spark.build.invert import maybe_broadcast
-
-            cnt: dict = {}
-            ids = assign_global_ids(
-                pages.select("url"), "url", "doc_id", count_out=cnt
-            )
-            # (url, doc_id) has one row per DOCUMENT — small for any
-            # sandbox corpus but corpus-row-sized in general, so the
-            # broadcast is gated on the counted size like the lexicon.
-            ids_side = maybe_broadcast(
-                ids, cnt.get("n_rows"),
-                min(self.config.index.lexicon_broadcast_threshold,
-                    5_000_000),
-            )
-            return toks.join(ids_side, "url").select(
-                "doc_id", "url", "terms", "doc_len"
-            )
-
-        docs = self._stage("docs", [], _compute_docs)
+        cnt: dict = {}
+        docs = self._stage(
+            "docs", [],
+            lambda: tokenize_pages(
+                pages, self.config.analyzer, stats_out=cnt,
+                id_broadcast_rows=min(
+                    self.config.index.lexicon_broadcast_threshold,
+                    ID_BROADCAST_ROWS,
+                ),
+            ),
+        )
+        # Duplicate-url guard (free: the docs manifest already counts
+        # rows): the id join fans out on duplicate urls — a corrupted
+        # index (doubled tf, inflated stats) must fail the build, not
+        # ship. ``cnt`` is only filled when the stage actually
+        # computed (a resumed stage was guarded when it was built).
+        if cnt:
+            docs_rows = (self._load_manifest("docs") or {}).get("n_rows")
+            if docs_rows is not None and docs_rows != cnt["n_rows"]:
+                raise ValueError(
+                    f"duplicate urls in input: {cnt['n_rows']} distinct-"
+                    f"numbered urls joined into {docs_rows} doc rows "
+                    "(url is the corpus key and must be unique)"
+                )
         # Ids-first invert (invert.build_lexicon docstring): the
         # term_ids stage shuffles only distinct terms (map-side partial
         # dedup -> per-task local vocabularies), build_postings is the

@@ -88,15 +88,24 @@ def build_index(
     """pages(url, warc_ts, html, text, lang[, doc_id]) -> InvertedIndex.
 
     Stage layout (each boundary is a shuffle, not a serial merge):
-      1. tokenize (mapInPandas) + docID assignment (distributed sort)
+      1. tokenize (mapInPandas) + docID assignment (url-projection
+         sort + gated join — the corpus itself never moves for ids)
       2. term ids (distinct terms + sort — tiny shuffle after map-side
          dedup), postings (explode + broadcast join + hash agg with
          map-side combine: the ONE corpus-pair shuffle), lexicon df
          counted off the postings (vocabulary-sized)
       3. segments (salted groupBy + Arrow-batched numpy block encode)
+
+    ``cache=False`` keeps every artifact recomputable from ``pages``
+    — which now means the tokenize kernel re-runs per downstream
+    action (the docs frame is a lazy join; nothing materializes it).
+    Use the default for any multi-action workflow.
     """
     config = config or EngineConfig()
-    docs = tokenize_pages(pages, config.analyzer, lang_filter=lang_filter)
+    id_stats: dict = {}
+    docs = tokenize_pages(
+        pages, config.analyzer, lang_filter=lang_filter, stats_out=id_stats
+    )
     if cache:
         docs = docs.persist()
 
@@ -157,6 +166,15 @@ def build_index(
     num_docs = int(stats["num_docs"])
     avg_len = float(stats["avg_len"] or 0.0)
     collection_len = int(stats["collection_len"] or 0)
+    if id_stats and num_docs != id_stats["n_rows"]:
+        # duplicate-url guard (forward._with_assigned_ids contract):
+        # the id join fans out on duplicate urls — fail the build
+        # instead of shipping doubled postings/inflated stats
+        raise ValueError(
+            f"duplicate urls in input: {id_stats['n_rows']} distinct-"
+            f"numbered urls joined into {num_docs} doc rows "
+            "(url is the corpus key and must be unique)"
+        )
 
     scored = scored_postings(
         postings, doc_sizes, lexicon, num_docs, avg_len,

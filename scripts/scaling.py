@@ -118,7 +118,10 @@ partitioning, same {args.queries}-query batch, fresh JVM) at
 | query batch (queries/sec) | {lo['queries_per_sec']} | {hi['queries_per_sec']} | **{q_eff:.3f}** |
 | query batch wall (s) | {lo['query_wall_s']} | {hi['query_wall_s']} | |
 
-Reproduce: `python scripts/scaling.py --n {n} --n-docs {args.n_docs} --queries {args.queries}`
+Reproduce: `python scripts/scaling.py --n {n} --n-docs {args.n_docs} --queries {args.queries} --repeats {args.repeats} --strategy {args.strategy}`
+(best-of-{args.repeats} per level, {args.strategy}-major queries; the
+shared-host VM sees neighbor CPU steal — compare only runs from a
+quiet window, BENCH.md "Measurement discipline")
 
 Raw JSON:
 

@@ -464,3 +464,22 @@ def test_ciff_sharded_import_zero_posting_lists(spark, tmp_path):
     assert [tuple(r) for r in got[
         ["term_id", "term", "doc_id", "tf"]].values] == [
         (0, "ant", 0, 1), (2, "cub", 3, 2), (3, "dew", 5, 4)]
+
+
+def test_duplicate_urls_fail_loudly(spark, tmp_path):
+    """url is the corpus key: a duplicated url must fail the build
+    (the id join would otherwise fan out into a silently doubled
+    index — doubled tf, inflated stats). Both build paths guard it
+    with the free row-count comparison."""
+    from pisa_spark.corpus import synth_pages
+    from pisa_spark.index import build_index
+
+    pages = synth_pages(spark, 40)  # no doc_id column -> assign path
+    dup = pages.limit(1)
+    bad = pages.union(dup)
+
+    with pytest.raises(ValueError, match="duplicate urls"):
+        build_index(spark, bad, CFG)
+
+    with pytest.raises(ValueError, match="duplicate urls"):
+        BuildPipeline(spark, str(tmp_path / "dup_idx"), CFG).run(bad)

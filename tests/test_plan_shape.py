@@ -261,7 +261,11 @@ def test_docid_assignment_never_moves_the_corpus(spark):
     exchange at all (the one range shuffle ran over urls only,
     inside assign_global_ids' eager localCheckpoint) and no Exchange
     subtree may carry the terms arrays — the corpus never shuffles
-    or re-materializes for an id column."""
+    or re-materializes for an id column. This pins the BROADCAST
+    regime (doc count under ID_BROADCAST_ROWS); above the gate the
+    join is a plain hash join where the corpus moves once — the same
+    single movement the old range shuffle made, still without the
+    second materialization (SCALE.md docID row)."""
     from pisa_spark.build.forward import tokenize_pages
     from pisa_spark.corpus import synth_pages
 
