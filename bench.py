@@ -178,6 +178,8 @@ def main() -> None:
         # 2 task waves per scan on small inputs (straggler smoothing;
         # see pisa_spark.session) — maxPartitionBytes governs at scale.
         .config("spark.sql.files.minPartitionNum", str(2 * cpus))
+        # zstd shuffle compression (see pisa_spark.session)
+        .config("spark.io.compression.codec", "zstd")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .getOrCreate()

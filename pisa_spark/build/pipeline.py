@@ -44,6 +44,13 @@ from pisa_spark.config import EngineConfig
 
 MANIFEST = "_MANIFEST.json"
 
+# Checkpoint parquet codec: zstd compresses the corpus-sized stage
+# checkpoints ~2x tighter than snappy at a small CPU cost — fewer
+# bytes through the page cache / disk on every write AND every
+# downstream re-read (parquet is self-describing, so resuming across
+# a codec change is safe).
+CHECKPOINT_CODEC = "zstd"
+
 
 def _fingerprint(payload: dict) -> str:
     return hashlib.sha256(
@@ -132,7 +139,9 @@ class BuildPipeline:
 
         t0 = time.perf_counter()
         df = compute()
-        writer = df.write.mode("overwrite")
+        writer = df.write.mode("overwrite").option(
+            "compression", CHECKPOINT_CODEC
+        )
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(str(stage_dir))

@@ -52,6 +52,10 @@ def main() -> None:
                          "shape, executor.topk_search_batch)")
     ap.add_argument("--warmup", type=int, default=1,
                     help="run an untimed small warmup build first")
+    ap.add_argument("--conf", action="append", default=[],
+                    metavar="K=V",
+                    help="extra spark conf (repeatable), e.g. "
+                         "--conf spark.io.compression.codec=zstd")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -63,6 +67,12 @@ def main() -> None:
         # smoothing; see pisa_spark.session). Under spark-submit the
         # executor-count default is left in charge.
         b = b.config("spark.sql.files.minPartitionNum", str(2 * args.local))
+    # zstd shuffle compression (see pisa_spark.session): halves the
+    # corpus-pair shuffle's bytes; overridable via --conf.
+    b = b.config("spark.io.compression.codec", "zstd")
+    for kv in args.conf:
+        k, _, v = kv.partition("=")
+        b = b.config(k, v)
     spark = (
         b.config("spark.sql.shuffle.partitions", str(args.partitions))
         .config("spark.sql.adaptive.enabled", "false")  # fixed plan for scaling runs
