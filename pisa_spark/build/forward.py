@@ -225,7 +225,7 @@ def _with_assigned_ids(
 
     cnt: dict = {}
     ids = assign_global_ids(base.select("url"), "url", "doc_id",
-                            count_out=cnt)
+                            count_out=cnt, forbid_null=True)
     if stats_out is not None:
         stats_out["n_rows"] = cnt["n_rows"]
     return docs.join(maybe_broadcast(ids, cnt["n_rows"], broadcast_rows),

@@ -29,6 +29,7 @@ def assign_global_ids(
     num_partitions: int | None = None,
     count_out: dict | None = None,
     sum_col: str | None = None,
+    forbid_null: bool = False,
 ) -> DataFrame:
     """Add ``id_col`` = 0-based dense rank of ``order_col`` (must be
     unique) without a single-partition window.
@@ -42,7 +43,13 @@ def assign_global_ids(
     result, so e.g. collection length (sum of doc lengths) costs no
     extra pass over the frame (IncrementalIndexer's per-batch delta
     numbering uses this; the batch builds assign ids over a bare url
-    projection and aggregate stats separately)."""
+    projection and aggregate stats separately).
+
+    ``forbid_null=True`` raises if any ``order_col`` value is NULL
+    (checked from the same offset collect, no extra job). A NULL key
+    violates the uniqueness contract and — for callers that JOIN the
+    ids back on the key (forward._with_assigned_ids) — would silently
+    drop the row in the inner join instead of failing."""
     # Default to the input's partition count (parallelism-independent:
     # the same input produces the same layout at any core count);
     # defaultParallelism only as a floor for degenerate 1-part inputs.
@@ -66,7 +73,19 @@ def assign_global_ids(
     aggs = [F.count("*").alias("__n")]
     if sum_col is not None:
         aggs.append(F.sum(sum_col).alias("__s"))
+    if forbid_null:
+        # count(col) skips NULLs, count(*) does not — the difference
+        # is the null-key count, from the same partition-sized result
+        aggs.append(F.count(F.col(order_col)).alias("__nn"))
     rows = ranged.groupBy("__pid").agg(*aggs).collect()  # tiny
+    if forbid_null:
+        nulls = sum(int(r["__n"]) - int(r["__nn"]) for r in rows)
+        if nulls:
+            raise ValueError(
+                f"{nulls} NULL {order_col!r} value(s) in id-assignment "
+                f"input: {order_col} is the unique key and must be "
+                "non-null"
+            )
     counts = {r["__pid"]: r["__n"] for r in rows}
     offsets, acc = [], 0
     for pid in sorted(counts):

@@ -203,15 +203,22 @@ class BuildPipeline:
         # Duplicate-url guard (free: the docs manifest already counts
         # rows): the id join fans out on duplicate urls — a corrupted
         # index (doubled tf, inflated stats) must fail the build, not
-        # ship. ``cnt`` is only filled when the stage actually
-        # computed (a resumed stage was guarded when it was built).
+        # ship. The corrupt checkpoint is DELETED before raising:
+        # otherwise a rerun would resume it with ``cnt`` empty and the
+        # guard skipped, shipping exactly the corruption this blocks.
+        # (NULL urls are caught earlier, inside the id assignment's
+        # offset collect — forward._with_assigned_ids forbid_null.)
         if cnt:
             docs_rows = (self._load_manifest("docs") or {}).get("n_rows")
             if docs_rows is not None and docs_rows != cnt["n_rows"]:
+                import shutil
+
+                shutil.rmtree(self.out / "docs", ignore_errors=True)
                 raise ValueError(
                     f"duplicate urls in input: {cnt['n_rows']} distinct-"
                     f"numbered urls joined into {docs_rows} doc rows "
-                    "(url is the corpus key and must be unique)"
+                    "(url is the corpus key and must be unique); the "
+                    "docs checkpoint was removed"
                 )
         # Ids-first invert (invert.build_lexicon docstring): the
         # term_ids stage shuffles only distinct terms (map-side partial

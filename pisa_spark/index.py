@@ -103,8 +103,16 @@ def build_index(
     """
     config = config or EngineConfig()
     id_stats: dict = {}
+    from pisa_spark.build.forward import ID_BROADCAST_ROWS
+
     docs = tokenize_pages(
-        pages, config.analyzer, lang_filter=lang_filter, stats_out=id_stats
+        pages, config.analyzer, lang_filter=lang_filter,
+        stats_out=id_stats,
+        # same gate policy as BuildPipeline: the configured broadcast
+        # threshold caps the id-side hint too (threshold 0 disables)
+        id_broadcast_rows=min(
+            config.index.lexicon_broadcast_threshold, ID_BROADCAST_ROWS
+        ),
     )
     if cache:
         docs = docs.persist()
@@ -169,7 +177,15 @@ def build_index(
     if id_stats and num_docs != id_stats["n_rows"]:
         # duplicate-url guard (forward._with_assigned_ids contract):
         # the id join fans out on duplicate urls — fail the build
-        # instead of shipping doubled postings/inflated stats
+        # instead of shipping doubled postings/inflated stats. NULL
+        # urls were already rejected inside the id assignment. Drop
+        # this build's cache entries on the error path: CacheManager
+        # entries survive driver GC (CLAUDE.md), so a long-lived
+        # session retrying bad inputs must not accumulate corpus
+        # copies.
+        if cache:
+            postings.unpersist()
+            docs.unpersist()
         raise ValueError(
             f"duplicate urls in input: {id_stats['n_rows']} distinct-"
             f"numbered urls joined into {num_docs} doc rows "

@@ -70,18 +70,19 @@ def main() -> None:
     # zstd shuffle compression (see pisa_spark.session): halves the
     # corpus-pair shuffle's bytes; overridable via --conf.
     b = b.config("spark.io.compression.codec", "zstd")
-    for kv in args.conf:
-        k, _, v = kv.partition("=")
-        b = b.config(k, v)
-    spark = (
+    b = (
         b.config("spark.sql.shuffle.partitions", str(args.partitions))
         .config("spark.sql.adaptive.enabled", "false")  # fixed plan for scaling runs
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory",
                 os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
-        .getOrCreate()
     )
+    # user --conf LAST so it overrides every default above
+    for kv in args.conf:
+        k, _, v = kv.partition("=")
+        b = b.config(k, v)
+    spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     import pandas as pd

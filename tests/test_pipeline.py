@@ -483,3 +483,28 @@ def test_duplicate_urls_fail_loudly(spark, tmp_path):
 
     with pytest.raises(ValueError, match="duplicate urls"):
         BuildPipeline(spark, str(tmp_path / "dup_idx"), CFG).run(bad)
+
+    # the corrupt docs checkpoint must NOT survive the failure: a
+    # rerun on the same dir re-raises instead of resuming it
+    with pytest.raises(ValueError, match="duplicate urls"):
+        BuildPipeline(spark, str(tmp_path / "dup_idx"), CFG).run(bad)
+
+
+def test_null_urls_fail_loudly(spark, tmp_path):
+    """A NULL url would silently vanish in the id join (inner-join
+    null semantics) — the id assignment rejects it from its own
+    offset collect instead."""
+    from pyspark.sql import functions as F
+
+    from pisa_spark.corpus import synth_pages
+    from pisa_spark.index import build_index
+
+    pages = synth_pages(spark, 30)
+    one_null = pages.limit(1).withColumn("url", F.lit(None).cast("string"))
+    bad = pages.union(one_null)
+
+    with pytest.raises(ValueError, match="NULL 'url'"):
+        build_index(spark, bad, CFG)
+
+    with pytest.raises(ValueError, match="NULL 'url'"):
+        BuildPipeline(spark, str(tmp_path / "null_idx"), CFG).run(bad)
