@@ -152,6 +152,12 @@ def recursive_graph_bisection(
             .drop("rn", "n_node")
         )
         d = _swap_rounds(d, iterations)
+        if iterations <= 0:
+            # _swap_rounds checkpoints per round; with zero rounds the
+            # level loop would stack a self-join + window per level
+            # unchecked (CLAUDE.md: iterative loops MUST checkpoint
+            # every iteration) — flatten here instead
+            d = d.localCheckpoint(eager=True)
         d = d.withColumn(
             "label", F.col("label") * 2 + F.col("side")
         ).drop("side")

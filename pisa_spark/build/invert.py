@@ -97,7 +97,7 @@ def build_postings(
     docs: DataFrame,
     lexicon: DataFrame,
     lexicon_size: int | None = None,
-    broadcast_threshold: int = 10_000_000,
+    broadcast_threshold: int = 1_000_000,
     carry_doc_len: bool = False,
 ) -> DataFrame:
     """docs ⨝ lexicon -> postings(term_id, doc_id, tf[, doc_len]).

@@ -74,7 +74,7 @@ def scored_postings(
     num_docs: int,
     avg_len: float,
     lexicon_size: int | None = None,
-    broadcast_threshold: int = 10_000_000,
+    broadcast_threshold: int = 1_000_000,
 ) -> DataFrame:
     """postings + the per-posting columns BM25 needs (df, doc_len).
 

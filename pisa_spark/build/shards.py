@@ -112,14 +112,27 @@ def shard_term_stats(
         k1=k1, b=b,
     )
     m = micro_sql(bm25)
+    # Accumulator widths: micro <= ~5.3e7 for any unweighted BM25
+    # (idf <= ln(1e12)*1.9 ~ 52 score units), so the PER-ELEMENT
+    # micro*micro product (<= ~2.8e15) always fits int64 — but the
+    # SUMS do not: SUM(micro^2) wraps int64 at only ~25k postings of
+    # a strong term, and SUM(micro) at ~1.7e11 df. Both accumulate in
+    # exact DECIMAL(38,0) (Spark and DuckDB sum decimals exactly; the
+    # identical SQL text runs in both dialects) and emit DOUBLE — one
+    # deterministic rounding of the same exact integer in every
+    # engine, so cross-engine value equality is preserved while the
+    # moments stay correct at any df. Taily consumes them as floats
+    # anyway (E/Var in query/taily.py).
     return (
         scored.withColumn("shard_id", (F.col("doc_id") % n_shards).cast("int"))
         .withColumn("micro", F.expr(m))
         .groupBy("shard_id", "term_id")
         .agg(
             F.count("*").cast("long").alias("df"),
-            F.sum("micro").cast("long").alias("sum_micro"),
-            F.sum(F.expr("micro * micro")).cast("long").alias("sum_micro_sq"),
+            F.sum(F.expr("CAST(micro AS DECIMAL(38,0))"))
+            .cast("double").alias("sum_micro"),
+            F.sum(F.expr("CAST(micro * micro AS DECIMAL(38,0))"))
+            .cast("double").alias("sum_micro_sq"),
         )
     )
 
@@ -135,8 +148,8 @@ def shard_taily_expr(num_docs: str, avg_len: str, n_shards: int = 4) -> str:
     return f"""SELECT CAST(p.doc_id % {n_shards} AS INT) AS shard_id,
        p.term_id,
        CAST(COUNT(*) AS BIGINT) AS df,
-       CAST(SUM({m}) AS BIGINT) AS sum_micro,
-       CAST(SUM({m} * {m}) AS BIGINT) AS sum_micro_sq
+       CAST(SUM(CAST({m} AS DECIMAL(38,0))) AS DOUBLE) AS sum_micro,
+       CAST(SUM(CAST({m} * {m} AS DECIMAL(38,0))) AS DOUBLE) AS sum_micro_sq
 FROM postings p
 JOIN sizes s ON s.doc_id = p.doc_id
 JOIN lex l ON l.term_id = p.term_id

@@ -63,8 +63,12 @@ class IndexConfig:
     # Broadcast the lexicon into build-path joins only when its counted
     # size is under this; 0 disables broadcasting entirely (plain join,
     # AQE picks the strategy). Web-scale vocabularies must NOT be
-    # force-broadcast.
-    lexicon_broadcast_threshold: int = 10_000_000
+    # force-broadcast. Default sized in BYTES like the url-side gate
+    # (forward.ID_BROADCAST_ROWS): at ~60-100 B per (term, id, df)
+    # hash-relation row, 1M rows is a ~60-100 MB broadcast — the hint
+    # stays near the session's 64 MB autoBroadcastJoinThreshold
+    # instead of force-shipping a multi-GB relation at 10M rows.
+    lexicon_broadcast_threshold: int = 1_000_000
 
 
 @dataclass(frozen=True)

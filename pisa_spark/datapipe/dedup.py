@@ -287,7 +287,7 @@ DECON_REM = 3
 
 def decontaminate(docs: DataFrame, bench: DataFrame | None = None,
                   k: int = DECON_K,
-                  broadcast_threshold: int = 10_000_000) -> DataFrame:
+                  broadcast_threshold: int = 2_000_000) -> DataFrame:
     """(doc_id, n_bench_shared, contaminated) over the TRAINING side.
 
     ``bench`` defaults to the deterministic in-corpus subset; pass an

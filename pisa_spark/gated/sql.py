@@ -741,13 +741,20 @@ UNION ALL SELECT query_id, ta, tb, tc, length, max_score_micro FROM s2
 UNION ALL SELECT query_id, ta, tb, tc, length, max_score_micro FROM s3
 ORDER BY query_id, ta, tb, tc"""
 
-    # Taily-style per-term score moments (taily_stats.hpp:24-169) as
-    # exact integer sums (expectation/variance derivable).
+    # Taily-style per-term score moments (taily_stats.hpp:24-169).
+    # Sums accumulate in exact DECIMAL(38,0) then emit DOUBLE (one
+    # deterministic rounding of the same exact integer in both
+    # engines): SUM(micro^2) wraps a BIGINT accumulator at only ~25k
+    # postings of a strong term (micro ~ 2e7 -> micro^2 ~ 4e14), and
+    # DuckDB would raise where Spark wraps silently — see
+    # build/shards.shard_term_stats for the width analysis.
     e["taily_stats"] = f"""{base}
 SELECT p.term_id,
        CAST(MAX(l.df) AS BIGINT) AS df,
-       CAST(SUM({micro_sql(bm25_tm)}) AS BIGINT) AS sum_micro,
-       CAST(SUM({micro_sql(bm25_tm)} * {micro_sql(bm25_tm)}) AS BIGINT)
+       CAST(SUM(CAST({micro_sql(bm25_tm)} AS DECIMAL(38,0))) AS DOUBLE)
+         AS sum_micro,
+       CAST(SUM(CAST({micro_sql(bm25_tm)} * {micro_sql(bm25_tm)}
+                     AS DECIMAL(38,0))) AS DOUBLE)
          AS sum_micro_sq
 FROM postings p
 JOIN sizes s ON s.doc_id = p.doc_id
@@ -777,8 +784,10 @@ SELECT shard_id, CAST(COUNT(*) AS BIGINT) AS vocab_size FROM (
 SELECT CAST(p.doc_id % 4 AS INT) AS shard_id,
        p.term_id,
        CAST(COUNT(*) AS BIGINT) AS df,
-       CAST(SUM({micro_sql(bm25_tm)}) AS BIGINT) AS sum_micro,
-       CAST(SUM({micro_sql(bm25_tm)} * {micro_sql(bm25_tm)}) AS BIGINT)
+       CAST(SUM(CAST({micro_sql(bm25_tm)} AS DECIMAL(38,0))) AS DOUBLE)
+         AS sum_micro,
+       CAST(SUM(CAST({micro_sql(bm25_tm)} * {micro_sql(bm25_tm)}
+                     AS DECIMAL(38,0))) AS DOUBLE)
          AS sum_micro_sq
 FROM postings p
 JOIN sizes s ON s.doc_id = p.doc_id

@@ -98,6 +98,18 @@ from pisa_spark.index import InvertedIndex
 
 _STATS_RE = re.compile(r"stats_g(\d+)")
 
+# Schemas for generation-partitioned tables that can legitimately be
+# EMPTY (an all-stopword batch indexes zero terms): a zero-row
+# partitioned write leaves no part-files, so reads go through
+# _read_or_empty with these DDLs instead of schema inference.
+_LEX_IDS_DDL = "term string, term_id bigint, generation int"
+_POSTINGS_DDL = "term_id bigint, doc_id bigint, tf int, generation int"
+_SEGMENTS_DDL = (
+    "term_id long, block_id long, count int, max_doc_id long, "
+    "max_score float, doc_bytes binary, tf_bytes binary, "
+    "len_bytes binary, segment_gen int"
+)
+
 # Ownership marker: touched (atomically) before generation 0's first
 # table write, so _begin can tell "our generation-0 build crashed
 # before committing" (safe to roll back and retry — the Structured
@@ -175,6 +187,19 @@ class IncrementalIndexer:
     def _read(self, name: str) -> DataFrame:
         return self.spark.read.parquet(self._path(name))
 
+    def _read_or_empty(self, name: str, ddl: str) -> DataFrame:
+        """Read a generation-partitioned table that may legitimately
+        hold ZERO rows: a partitioned write of an empty frame leaves
+        no part-files (only _SUCCESS), and a later read of the dir
+        would crash with 'unable to infer schema'. Returns an empty
+        frame with the declared schema instead — the all-stopword /
+        empty-vocabulary generation must degrade to empty postings,
+        not wedge the stream on every replay."""
+        p = self.out / name
+        if p.exists() and any(p.rglob("*.parquet")):
+            return self._read(name)
+        return self.spark.createDataFrame([], ddl)
+
     def _committed_gen(self) -> int | None:
         """The last COMMITTED generation, or None for a virgin dir.
 
@@ -200,20 +225,24 @@ class IncrementalIndexer:
         return self._read(f"stats_g{gen}").collect()[0].asDict()
 
     def _commit(self, gen: int, num_docs: int, collection_len: int,
-                next_doc_id: int, next_term_id: int) -> None:
+                next_doc_id: int, next_term_id: int,
+                epoch_id: int | None = None) -> None:
         """COMMIT the generation: write its stats pointer (fresh dir,
         committed by the atomic _SUCCESS marker), then drop superseded
         pointers and snapshots — cleanup failures after the marker
         cannot lose the commit. ``snapshot_grace`` generations below
         the committed one are retained for readers holding handles
-        opened at a previous generation."""
+        opened at a previous generation. ``epoch_id`` records the
+        Structured Streaming epoch this generation indexed (None for
+        direct batch calls) — the replay guard in add_generation."""
         self.spark.createDataFrame(
             [(gen, num_docs, collection_len, next_doc_id, next_term_id,
-              WIRE_VERSION, self._analyzer_fp, self._build_fp)],
+              WIRE_VERSION, self._analyzer_fp, self._build_fp,
+              epoch_id)],
             schema="gen int, num_docs long, collection_len long, "
                    "next_doc_id long, next_term_id long, "
                    "wire_version int, analyzer_fp string, "
-                   "build_fp string",
+                   "build_fp string, epoch_id long",
         ).write.mode("overwrite").parquet(self._path(f"stats_g{gen}"))
         if not (self.out / f"stats_g{gen}" / "_SUCCESS").exists():
             raise RuntimeError(
@@ -323,7 +352,9 @@ class IncrementalIndexer:
 
     # ------------------------------------------------------------- update
 
-    def add_generation(self, pages: DataFrame) -> int:
+    def add_generation(self, pages: DataFrame,
+                       epoch_id: int | None = None,
+                       check_recrawls: bool = True) -> int:
         """Index a new batch of pages; returns the generation number.
 
         Per-generation write volume: O(|batch|) postings/docs/sizes +
@@ -333,7 +364,28 @@ class IncrementalIndexer:
         An empty batch is a committed no-op: it returns the current
         generation unchanged (a zero-row partitioned write leaves no
         parquet files, so 'indexing' it would crash the read-back);
-        on a virgin dir it raises instead of guessing id bases."""
+        on a virgin dir it raises instead of guessing id bases.
+
+        ``epoch_id``: the Structured Streaming epoch delivering this
+        batch. foreachBatch is AT-LEAST-ONCE — if the driver dies
+        after this generation's commit marker lands but before the
+        stream checkpoint records the batch, restart REPLAYS the
+        identical batch; without the guard it would re-index as a new
+        generation, silently duplicating every document. The commit
+        records the epoch, and a replayed epoch <= the stored one is
+        a committed no-op. Scoped to ONE stream checkpoint per index
+        dir (epochs restart at 0 under a fresh checkpoint — don't
+        point a new stream at an old index dir without compacting the
+        guard expectation); direct batch calls pass None and skip it.
+
+        url is the corpus key (the batch-build contract): NULL urls
+        and within-batch duplicates are rejected loudly.
+        ``check_recrawls=True`` also rejects urls already indexed by
+        a PREVIOUS generation — that costs one column-pruned scan of
+        the stored docs urls per batch (broadcast semi-join of the
+        delta, corpus-proportional READ, delta-proportional
+        everything else); pipelines that guarantee url-uniqueness
+        upstream can disable it to keep batches corpus-independent."""
         if pages.isEmpty():
             prev = self._committed_gen()
             if prev is None:
@@ -353,6 +405,13 @@ class IncrementalIndexer:
             n_old, len_old, avg_old = 0, 0, 0.0
         else:
             st = self._stats_row()
+            if epoch_id is not None:
+                last_epoch = st.get("epoch_id")
+                if last_epoch is not None and epoch_id <= int(last_epoch):
+                    # at-least-once replay of an already-committed
+                    # epoch (crash between index commit and stream
+                    # checkpoint): committed no-op
+                    return prev
             gen = prev + 1
             doc_base = int(st["next_doc_id"])
             term_base = int(st["next_term_id"])
@@ -360,10 +419,42 @@ class IncrementalIndexer:
             len_old = int(st["collection_len"])
             avg_old = (len_old / n_old) if n_old else 0.0
 
+        # url-key guards on the RAW input's url projection (same url
+        # set as the tokenized frame, no tokenize kernel run;
+        # delta-sized jobs — the batch builds guard the same two ways,
+        # forward._with_assigned_ids / pipeline.run): a duplicate url
+        # inside the batch would get two doc_ids nondeterministically;
+        # NULL urls are rejected inside the id assignment below.
+        dup = (
+            pages.groupBy("url").agg(F.count("*").alias("n"))
+            .filter(F.col("n") > 1).limit(1).collect()
+        )
+        if dup:
+            raise ValueError(
+                f"duplicate url in batch (e.g. {dup[0]['url']!r}): url "
+                "is the corpus key and must be unique per batch"
+            )
+        if not first and check_recrawls:
+            # recrawled url = a second doc_id for the same key. One
+            # column-pruned stored-urls scan per batch (see docstring).
+            seen = (
+                self._read("docs").select("url")
+                .join(F.broadcast(pages.select("url").distinct()), "url")
+                .limit(1).collect()
+            )
+            if seen:
+                raise ValueError(
+                    f"url {seen[0]['url']!r} was already indexed by a "
+                    "previous generation: url is the corpus key "
+                    "(dedup recrawls upstream, or pass "
+                    "check_recrawls=False if uniqueness is guaranteed "
+                    "there)"
+                )
         toks = tokenize_pages(pages, self.config.analyzer, assign_doc_ids=False)
         doc_stats: dict = {}
         new_docs = assign_global_ids(
-            toks, "url", "doc_id", count_out=doc_stats, sum_col="doc_len"
+            toks, "url", "doc_id", count_out=doc_stats, sum_col="doc_len",
+            forbid_null=True,
         ).withColumn(
             "doc_id", F.col("doc_id") + F.lit(doc_base)
         ).withColumn("generation", F.lit(gen))
@@ -376,7 +467,9 @@ class IncrementalIndexer:
         new_terms = gen_docs.select(F.explode("terms").alias("term")).distinct()
         if not first:
             new_terms = new_terms.join(
-                self._read("lexicon_ids").select("term"), "term", "left_anti"
+                self._read_or_empty("lexicon_ids", _LEX_IDS_DDL)
+                .select("term"),
+                "term", "left_anti",
             )
         lex_count: dict = {}
         appended_lex = assign_global_ids(
@@ -393,16 +486,15 @@ class IncrementalIndexer:
 
         # Postings for the new generation only (df joins come later —
         # postings are (term_id, doc_id, tf), df-free by design).
-        lex_ids = self._read("lexicon_ids")
-        exploded = gen_docs.select("doc_id", F.explode("terms").alias("term"))
-        # No broadcast hint: lex_ids is the FULL vocabulary (grows with
-        # the crawl); AQE picks broadcast vs sort-merge from the
-        # parquet size statistics.
-        new_postings = (
-            exploded.join(lex_ids, "term")
-            .groupBy("term_id", "doc_id")
-            .agg(F.count("*").cast("int").alias("tf"))
-            .withColumn("generation", F.lit(gen))
+        # Same explode ⨝ lexicon ⨝ tf-agg as the batch builds — the
+        # SHARED invert.build_postings, with no lexicon_size: lex_ids
+        # is the FULL vocabulary (grows with the crawl), so no
+        # broadcast hint — AQE picks the strategy from parquet stats.
+        from pisa_spark.build.invert import build_postings
+
+        lex_ids = self._read_or_empty("lexicon_ids", _LEX_IDS_DDL)
+        new_postings = build_postings(gen_docs, lex_ids).withColumn(
+            "generation", F.lit(gen)
         )
         new_postings.write.mode("append").partitionBy("generation").parquet(
             self._path("postings")
@@ -426,7 +518,7 @@ class IncrementalIndexer:
         # COMMIT: stats pointer last — everything above is invisible
         # (and gets rolled back) until its _SUCCESS marker lands.
         self._commit(gen, n_new, len_new, doc_base + n_delta,
-                     term_base + n_new_terms)
+                     term_base + n_new_terms, epoch_id=epoch_id)
         return gen
 
     def _drop_snapshots(self, before: int) -> None:
@@ -448,7 +540,7 @@ class IncrementalIndexer:
         segment append for generation ``gen``. ``prev`` is the last
         committed generation (None for the first)."""
         first = prev is None
-        postings = self._read("postings")
+        postings = self._read_or_empty("postings", _POSTINGS_DDL)
         gen_postings = postings.filter(F.col("generation") == gen)
 
         # df/occurrence deltas from THIS generation only (docID
@@ -461,7 +553,7 @@ class IncrementalIndexer:
 
         # Lexicon: term ids are stable; df adds; seg_gen tracks each
         # term's CURRENT segment generation (affected terms -> gen).
-        lex_ids = self._read("lexicon_ids")
+        lex_ids = self._read_or_empty("lexicon_ids", _LEX_IDS_DDL)
         if first:
             lexicon = lex_ids.join(delta_meta, "term_id", "left").select(
                 "term", "term_id",
@@ -494,10 +586,16 @@ class IncrementalIndexer:
         # the new generation's partition — prior partitions untouched.
         affected = delta_meta.select("term_id")
         doc_sizes = self._read("doc_sizes").drop("generation")
+        # Eager localCheckpoint (the compact() pattern, CLAUDE.md):
+        # `scored` feeds the segment write AND the term_meta snapshot
+        # (and the compressed-blockmax join) — pin the affected-term
+        # score join once instead of recomputing it per consumer
+        # every micro-batch (a touched head term re-scores its full
+        # list each time otherwise).
         scored = scored_postings(
             postings.join(affected, "term_id").select("term_id", "doc_id", "tf"),
             doc_sizes, self._read(f"lexicon_g{gen}"), n_new, avg_new,
-        )
+        ).localCheckpoint(eager=True)
         # term_meta: affected terms exactly from `scored` (already
         # needed for the re-encode); untouched terms keep their stored
         # values and accumulate the sound query-side bound inflation.
@@ -581,7 +679,8 @@ class IncrementalIndexer:
         # term_meta — pin the rows once instead of recomputing the
         # corpus-sized score job per consumer.
         scored = scored_postings(
-            self._read("postings").select("term_id", "doc_id", "tf"),
+            self._read_or_empty("postings", _POSTINGS_DDL)
+            .select("term_id", "doc_id", "tf"),
             self._read("doc_sizes").drop("generation"),
             self._read(f"lexicon_g{prev}"), n, avg,
         ).localCheckpoint(eager=True)
@@ -606,9 +705,12 @@ class IncrementalIndexer:
         term_meta.write.mode("overwrite").parquet(
             self._path(f"term_meta_g{gen}")
         )
-        # COMMIT: same id bases and corpus counts, new generation.
+        # COMMIT: same id bases and corpus counts, new generation —
+        # the stored stream epoch carries forward so the replay guard
+        # survives a compact between micro-batches.
         self._commit(gen, n, ln, int(st["next_doc_id"]),
-                     int(st["next_term_id"]))
+                     int(st["next_term_id"]),
+                     epoch_id=st.get("epoch_id"))
         # Reclaim: every segment partition below the committed one is
         # now superseded (all seg_gen point at `gen`); idempotent —
         # and safe to ignore failures (docstring: dead partitions are
@@ -629,7 +731,7 @@ class IncrementalIndexer:
         (each re-encode covers the term's FULL list). The committed
         lexicon only ever points at committed generations, so
         uncommitted crash leftovers can never join in."""
-        seg = self._read("segments")
+        seg = self._read_or_empty("segments", _SEGMENTS_DDL)
         cur = self._read(f"lexicon_g{committed}").select("term_id", "seg_gen")
         return seg.join(cur, "term_id").filter(
             F.col("segment_gen") == F.col("seg_gen")
@@ -670,8 +772,8 @@ class IncrementalIndexer:
             lexicon=self._read(f"lexicon_g{committed}"),
             docmap=docs.select("doc_id", "url"),
             doc_sizes=self._read("doc_sizes").filter(live).drop("generation"),
-            postings=self._read("postings").filter(live)
-            .select("term_id", "doc_id", "tf"),
+            postings=self._read_or_empty("postings", _POSTINGS_DDL)
+            .filter(live).select("term_id", "doc_id", "tf"),
             segments=self._segments_current(committed),
             term_meta=self._read(f"term_meta_g{committed}"),
             num_docs=n,
@@ -717,7 +819,9 @@ def run_stream_indexing(
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        indexer.add_generation(batch_df)
+        # epoch_id makes an at-least-once replay of an already-
+        # committed batch a no-op (add_generation's replay guard)
+        indexer.add_generation(batch_df, epoch_id=epoch_id)
 
     writer = (
         stream_pages(spark, input_dir)

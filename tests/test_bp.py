@@ -202,3 +202,18 @@ def test_bp_node_config_rejects_overlapping_ranges(spark, clustered_docs):
     ]
     with pytest.raises(ValueError, match="overlapping"):
         recursive_graph_bisection_from_config(clustered_docs, nodes)
+
+
+def test_bp_zero_iterations_is_flat_and_valid(spark, clustered_docs):
+    """iterations=0 skips every swap round — the level loop must still
+    checkpoint per level (CLAUDE.md iterative-loop rule; _swap_rounds
+    normally provides the per-round flatten) and emit a valid
+    permutation (pure median splits in docID order)."""
+    from pisa_spark.build.bp import recursive_graph_bisection
+
+    mapping = recursive_graph_bisection(
+        clustered_docs, depth=3, iterations=0
+    ).toPandas()
+    n = len(mapping)
+    assert sorted(mapping["new_doc_id"]) == list(range(n))
+    assert mapping["doc_id"].nunique() == n

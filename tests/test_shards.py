@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
@@ -269,3 +270,50 @@ def test_taily_thresholds_distributed_matches_local(spark, docs):
     )
     for qid in queries:
         assert got25[qid] <= got[qid] + 1e-12
+
+
+def test_taily_moment_sums_survive_int64_overflow(spark):
+    """SUM(micro^2) wraps an int64 accumulator at only ~25k postings
+    of a strong term (micro ~ 3e7 -> micro^2 ~ 1e15): the moments must
+    accumulate exactly (DECIMAL) and emit the one deterministically
+    rounded DOUBLE both engines agree on — Spark used to wrap silently
+    where DuckDB raises, exactly at the scale the sf fixtures never
+    reach."""
+    import duckdb
+
+    from pisa_spark.functions.scoring import bm25_score_np, micro_sql
+
+    n_rows, num_docs, avg_len = 50_000, 1e9, 100.0
+    scored = (
+        spark.range(n_rows)
+        .select(
+            F.lit(0).cast("long").alias("term_id"),
+            F.col("id").alias("doc_id"),
+            F.lit(100).cast("int").alias("tf"),
+            F.lit(100).cast("int").alias("doc_len"),
+            F.lit(10).cast("long").alias("df"),
+        )
+    )
+    got = shard_term_stats(
+        scored, int(num_docs), avg_len, n_shards=1
+    ).toPandas().iloc[0]
+
+    s = bm25_score_np(
+        np.array([100.0]), np.array([10.0]), np.array([100.0]),
+        num_docs, avg_len,
+    )[0]
+    micro = int(np.floor(s * 1e6 + 0.5))
+    exact_sq = n_rows * micro * micro
+    assert exact_sq > 2**63  # the old BIGINT accumulator wrapped here
+    assert got["df"] == n_rows
+    assert got["sum_micro"] == float(n_rows * micro)
+    assert got["sum_micro_sq"] == float(exact_sq)  # same rounding rule
+
+    # DuckDB runs the identical accumulation text (the gated taily
+    # entries' formula) and must land on the same double
+    dd = duckdb.sql(
+        f"SELECT CAST(SUM(CAST(m * m AS DECIMAL(38,0))) AS DOUBLE) AS x "
+        f"FROM (SELECT CAST({micro} AS BIGINT) AS m "
+        f"      FROM range({n_rows}))"
+    ).fetchone()[0]
+    assert dd == got["sum_micro_sq"]

@@ -22,6 +22,18 @@ def _pages(spark):
     return pages_from_documents(spark, SF).limit(120).drop("doc_id")
 
 
+def _pages_slice(spark, lo, hi):
+    """Pages with doc_id in [lo, hi) — url-DISJOINT from _pages()
+    when lo >= 120, for tests appending extra generations (url is the
+    corpus key; add_generation rejects recrawled urls)."""
+    from pisa_spark.corpus import pages_from_documents
+
+    p = pages_from_documents(spark, SF)
+    return p.filter(
+        (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+    ).drop("doc_id")
+
+
 def _query(spark, index, terms_pool, n=8):
     from pisa_spark.query.executor import topk_search
     from pisa_spark.query.parser import parse_queries
@@ -503,7 +515,7 @@ def test_config_mismatch_refused_mixed_generations(spark, tmp_path):
     # legal there — and afterwards appends under the new config work.
     g = inc_bm.compact()
     assert (out / f"stats_g{g}" / "_SUCCESS").exists()
-    inc_bm.add_generation(_pages(spark).limit(10))
+    inc_bm.add_generation(_pages_slice(spark, 400, 410))
     assert inc_bm.index().num_docs > 20
 
 
@@ -564,6 +576,101 @@ def test_snapshot_grace_keeps_previous_generation(spark, tmp_path):
     assert len(res) > 0
 
     # and they are reclaimed once generation 2 commits
-    inc.add_generation(pages.limit(15))
+    inc.add_generation(_pages_slice(spark, 400, 415))
     assert not (out / "lexicon_g0").exists()
     assert (out / "lexicon_g1").exists()
+
+
+def test_replayed_epoch_is_a_committed_noop(spark, tmp_path):
+    """foreachBatch is at-least-once: a crash between the index commit
+    and the stream checkpoint replays the SAME epoch — the replay
+    guard must make it a no-op instead of re-indexing the batch as a
+    duplicate generation (doubled docs/df/stats)."""
+    from pisa_spark.streaming import IncrementalIndexer
+
+    out = tmp_path / "inc_epoch"
+    inc = IncrementalIndexer(spark, str(out), CFG)
+    pages = _pages(spark).persist()
+    gen0 = pages.filter(F.crc32(F.col("url")) % 2 == 0)
+    gen1 = pages.filter(F.crc32(F.col("url")) % 2 == 1)
+
+    assert inc.add_generation(gen0, epoch_id=0) == 0
+    n0 = inc.index().num_docs
+    before = _dir_snapshot(out)
+    # replay of the committed epoch (same batch redelivered)
+    assert inc.add_generation(gen0, epoch_id=0) == 0
+    assert _dir_snapshot(out) == before  # nothing written
+    assert inc.index().num_docs == n0
+    # the NEXT epoch indexes normally
+    assert inc.add_generation(gen1, epoch_id=1) == 1
+    assert inc.index().num_docs > n0
+    # and the guard survives a compact between epochs
+    g = inc.compact()
+    assert inc.add_generation(gen1, epoch_id=1) == g  # still a no-op
+    pages.unpersist()
+
+
+def test_url_key_guards(spark, tmp_path):
+    """url is the corpus key: a duplicate url inside a batch and a
+    recrawled url from a previous generation are both rejected loudly
+    (the batch builds' duplicate-url guard, applied to the stream);
+    check_recrawls=False restores append-at-your-own-risk."""
+    from pisa_spark.streaming import IncrementalIndexer
+
+    out = tmp_path / "inc_urls"
+    inc = IncrementalIndexer(spark, str(out), CFG)
+    pages = _pages(spark).limit(20).persist()
+
+    with pytest.raises(ValueError, match="duplicate url"):
+        inc.add_generation(pages.unionByName(pages.limit(3)))
+    # the failed guard left no committed generation
+    inc.add_generation(pages)
+    with pytest.raises(ValueError, match="already indexed"):
+        inc.add_generation(pages.limit(5))
+    # uniqueness guaranteed upstream -> opt out
+    g = inc.add_generation(_pages_slice(spark, 400, 405),
+                           check_recrawls=False)
+    assert inc.index().num_docs == 25
+    assert g == 1
+    pages.unpersist()
+
+
+def test_empty_vocabulary_generation_degrades_gracefully(spark, tmp_path):
+    """A first batch whose pages tokenize to ZERO terms (all
+    whitespace) must index as a degenerate-but-committed generation —
+    not crash on the zero-file lexicon/postings read-back and wedge
+    the stream on every replay — and a later real batch must build a
+    queryable index on top of it."""
+    import pandas as pd
+
+    from pisa_spark.streaming import IncrementalIndexer
+
+    out = tmp_path / "inc_novocab"
+    inc = IncrementalIndexer(spark, str(out), CFG)
+    blank = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "url": [f"u{i}" for i in range(4)],
+                "warc_ts": [pd.Timestamp("2024-01-01")] * 4,
+                "html": [b""] * 4,
+                "text": ["   ", "\t", " \n ", ""],
+                "lang": ["en"] * 4,
+            }
+        ),
+        schema="url string, warc_ts timestamp, html binary, "
+               "text string, lang string",
+    )
+    assert inc.add_generation(blank) == 0
+    idx = inc.index()
+    assert idx.num_docs == 4
+    assert idx.postings.count() == 0
+    assert idx.segments.count() == 0
+
+    # a real generation on top becomes queryable
+    inc.add_generation(_pages_slice(spark, 400, 410))
+    idx = inc.index()
+    assert idx.num_docs == 14
+    terms = [r["term"] for r in idx.lexicon.limit(6).collect()]
+    assert terms
+    res = _query(spark, idx, terms, n=2)
+    assert len(res) > 0
