@@ -76,10 +76,15 @@ def whitespace_tokenize_series(texts: pd.Series) -> pd.Series:
 
 def strip_html_series(html: pd.Series) -> pd.Series:
     """Series[str html] -> Series[str text]: drop script/style/comments,
-    strip tags, collapse whitespace to single spaces."""
+    strip tags, collapse whitespace to single spaces.
+
+    Script/style subtrees strip BEFORE comments (the reference's
+    subtree-first order, src/parsing/html.cpp): a '<!--' inside a
+    script body must not start a comment that swallows visible text
+    up to some later real comment's '-->'."""
     s = html.fillna("")
-    s = s.str.replace(_COMMENT_RE, " ", regex=True)
     s = s.str.replace(_SCRIPT_STYLE_RE, " ", regex=True)
+    s = s.str.replace(_COMMENT_RE, " ", regex=True)
     s = s.str.replace(_TAG_RE, " ", regex=True)
     s = s.str.replace(_WS_RE, " ", regex=True).str.strip()
     return s

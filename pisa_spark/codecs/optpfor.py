@@ -49,11 +49,12 @@ def optpfor_encode(values: np.ndarray) -> bytes:
     n = v.size
     if n == 0:
         return b""
-    blens = np.zeros(n, dtype=np.int64)
-    nz = v > 0
-    blens[nz] = np.floor(np.log2(v[nz].astype(np.float64))).astype(np.int64) + 1
-    too_small = (v >> np.minimum(blens, 63).astype(np.uint64)) > 0
-    blens[too_small] += 1
+    # exact widths (codecs.widths): the old float-log2 + undershoot-
+    # only repair produced width 65 for any value >= 2^63 (the >>63
+    # probe fired on a correct 64) and crashed the mask construction
+    from pisa_spark.codecs.widths import bit_widths
+
+    blens = bit_widths(v)
     max_b = int(blens.max())
     # cost(b) = packed low bits + per-exception bytes (position gap +
     # high part, estimated as varints) — evaluated for every b at once

@@ -38,11 +38,11 @@ def qmx_encode(values: np.ndarray) -> bytes:
     n = v.size
     if n == 0:
         return b""
-    blens = np.zeros(n, dtype=np.int64)
-    nz = v > 0
-    blens[nz] = np.floor(np.log2(v[nz].astype(np.float64))).astype(np.int64) + 1
-    too_small = (v >> np.minimum(blens, 63).astype(np.uint64)) > 0
-    blens[too_small] += 1
+    # exact widths (codecs.widths): the old float-log2 + undershoot-
+    # only repair gave width 65 for values >= 2^63 — no QMX lane fits
+    from pisa_spark.codecs.widths import bit_widths
+
+    blens = bit_widths(v)
 
     # Flat Python-int loop (same flattening as the Simple family: a
     # word packs <= 128 values, numpy slice math at that size is

@@ -59,12 +59,9 @@ def s16_encode(values: np.ndarray) -> bytes:
         return b""
     if int(v.max()) >= (1 << 28):
         raise ValueError("simple16 value exceeds 28 bits")
-    widths = np.zeros(n, dtype=np.uint64)
-    nz = v > 0
-    widths[nz] = np.floor(np.log2(v[nz].astype(np.float64))).astype(np.uint64) + 1
-    # float log2 can undershoot near powers of two: repair exactly
-    too_small = (v >> np.minimum(widths, np.uint64(63))) > 0
-    widths[too_small] += np.uint64(1)
+    from pisa_spark.codecs.widths import bit_widths
+
+    widths = bit_widths(v)
     wl = widths.tolist()
     vl = v.tolist()
     words = []

@@ -43,13 +43,12 @@ def s8b_encode(values: np.ndarray) -> bytes:
         return b""
     if int(v.max()) >= (1 << 60):
         raise ValueError("simple8b value exceeds 60 bits")
-    # bit width needed per value (0 for value 0)
-    widths = np.zeros(n, dtype=np.int64)
-    nz = v > 0
-    widths[nz] = np.floor(np.log2(v[nz].astype(np.float64))).astype(np.int64) + 1
-    # float log2 can under/overshoot near powers of two: repair exactly
-    too_small = (v >> np.minimum(widths, 63).astype(np.uint64)) > 0
-    widths[too_small] += 1
+    # bit width needed per value (0 for value 0) — exact for the full
+    # range: the old float-log2 + undershoot-only repair crashed on
+    # values in [2^60-128, 2^60) (overshoot to width 61, no selector)
+    from pisa_spark.codecs.widths import bit_widths
+
+    widths = bit_widths(v)
     # Flat Python-int greedy loop (same flattening rationale as
     # simple16/pef: a word packs 1-240 values and numpy slice ops at
     # that size are ~all interpreter overhead).

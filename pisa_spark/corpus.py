@@ -60,7 +60,15 @@ def _gen_batch(
     total = int(lens.sum())
     doc_of_tok = np.repeat(idx, lens)
     tok_pos = np.concatenate([np.arange(n) for n in lens]) if total else np.empty(0, np.int64)
-    u = _hash_u(seed, 2, doc_of_tok * np.uint64(1 << 20) + tok_pos.astype(np.uint64))
+    # uint64 throughout: a mixed int64*uint64 product goes through
+    # numpy's signed/unsigned promotion (float64 on numpy 1.x — keys
+    # above 2^53 would collapse; wrapping int64 on 2.x) and the
+    # any-scale determinism contract needs exact integer keys
+    u = _hash_u(
+        seed, 2,
+        doc_of_tok.astype(np.uint64) * np.uint64(1 << 20)
+        + tok_pos.astype(np.uint64),
+    )
     uf = (u >> np.uint64(11)).astype(np.float64) / float(1 << 53)
     ranks = np.searchsorted(cdf, uf, side="right")  # 0..V-1, Zipf-skewed
     tok_strs = np.char.add("term", np.char.zfill(ranks.astype("U7"), 6))
@@ -126,7 +134,10 @@ def synth_queries(
     rows = []
     for qi in range(n_queries):
         tpos = np.arange(n_terms[qi], dtype=np.int64)
-        u = _hash_u(seed, 11, np.int64(qi) * np.uint64(1 << 10) + tpos.astype(np.uint64))
+        u = _hash_u(
+            seed, 11,
+            np.uint64(qi) * np.uint64(1 << 10) + tpos.astype(np.uint64),
+        )
         uf = (u >> np.uint64(11)).astype(np.float64) / float(1 << 53)
         ranks = np.searchsorted(cdf, uf, side="right")
         terms = [f"term{r:06d}" for r in ranks]

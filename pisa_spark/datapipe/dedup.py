@@ -107,7 +107,15 @@ URL_TRACKING_PARAMS = "utm_[a-z0-9_]+|fbclid|gclid|msclkid|mc_cid|mc_eid"
 # strip.
 _URL_CANON_RULES = [
     ("#.*$", ""),                               # fragment
-    (f"({URL_TRACKING_PARAMS})=[^&#]*", ""),    # tracking params
+    # Tracking params are anchored on their separator ([?] / [&]):
+    # an unanchored name would also match INSIDE longer param names
+    # (a real 'xfbclid=' or 'shutm_x=' would lose its tail and merge
+    # distinct URLs into one dedup group). Replacements cannot use
+    # backreferences (Java $1 vs RE2 disagree), so the '?' form
+    # re-inserts the literal '?' and the separator tidy-up rules
+    # below absorb any '?&' / '&&' the removals leave behind.
+    (f"[?]({URL_TRACKING_PARAMS})=[^&#]*", "?"),
+    (f"[&]({URL_TRACKING_PARAMS})=[^&#]*", ""),
     ("[?]&+", "?"),                             # '?&rest' -> '?rest'
     ("&&+", "&"),                               # collapse '&' runs
     ("[?&]+$", ""),                             # dangling '?' / '&'
@@ -412,21 +420,39 @@ def _banded(docs: DataFrame, k: int, num_perm: int, band_rows: int,
     ).select("doc_id", F.col("b.band_id"), F.col("b.band_key"))
 
 
+def minhash_bands(docs: DataFrame, k: int = 3, num_perm: int = NUM_PERM,
+                  band_rows: int = BAND_ROWS,
+                  shd: DataFrame | None = None) -> DataFrame:
+    """(doc_id, band_id, band_key): the banded signature table.
+    Public so a pipeline that runs BOTH minhash_lsh_pairs and the
+    ``minhash_dropped_buckets`` audit materializes the dominant
+    tokenize→shingle→signature→banding scan ONCE and passes it to
+    both (the ``assign=`` sharing pattern of the embedding twin) —
+    eager-localCheckpoint the result before sharing it."""
+    return _banded(docs, k, num_perm, band_rows, shd=shd)
+
+
 def minhash_lsh_pairs(docs: DataFrame, k: int = 3, num_perm: int = NUM_PERM,
                       band_rows: int = BAND_ROWS,
-                      max_bucket: int = MAX_BUCKET) -> DataFrame:
+                      max_bucket: int = MAX_BUCKET,
+                      shd: DataFrame | None = None,
+                      bands: DataFrame | None = None) -> DataFrame:
     """Banded-LSH candidates, then exact-Jaccard verification: output
     equals ngram_jaccard_pairs restricted to LSH-recalled pairs
     (minus members of over-cap buckets — see MAX_BUCKET and
-    ``minhash_dropped_buckets``)."""
+    ``minhash_dropped_buckets``). ``shd``/``bands`` optionally supply
+    pre-materialized shingle / banded-signature tables so callers
+    that also run the audit share one scan (minhash_bands)."""
     from pyspark.sql import Window
 
     # Shingles feed BOTH the signature aggregation and the exact
     # verification joins: materialize the tokenize+explode scan once
     # (eager localCheckpoint — executor-local, released when
     # unreferenced) instead of recomputing it per consumer.
-    shd = shingles_df(docs, k).localCheckpoint(eager=True)
-    bands = _banded(docs, k, num_perm, band_rows, shd=shd)
+    if shd is None:
+        shd = shingles_df(docs, k).localCheckpoint(eager=True)
+    if bands is None:
+        bands = _banded(docs, k, num_perm, band_rows, shd=shd)
     w = Window.partitionBy("band_id", "band_key")
     capped = (
         bands.withColumn("bsz", F.count("*").over(w))
@@ -450,12 +476,15 @@ def minhash_lsh_pairs(docs: DataFrame, k: int = 3, num_perm: int = NUM_PERM,
 def minhash_dropped_buckets(docs: DataFrame, k: int = 3,
                             num_perm: int = NUM_PERM,
                             band_rows: int = BAND_ROWS,
-                            max_bucket: int = MAX_BUCKET) -> DataFrame:
+                            max_bucket: int = MAX_BUCKET,
+                            bands: DataFrame | None = None) -> DataFrame:
     """(band_id, band_key, bucket_size) for every bucket the cap
     excluded — the audit trail for minhash_lsh_pairs' coverage (a
     pipeline should alert on rows here rather than silently treating
-    dropped docs as unique)."""
-    bands = _banded(docs, k, num_perm, band_rows)
+    dropped docs as unique). ``bands``: pass minhash_bands(...) to
+    share the signature scan with the pair job."""
+    if bands is None:
+        bands = _banded(docs, k, num_perm, band_rows)
     return (
         bands.groupBy("band_id", "band_key")
         .agg(F.count("*").alias("bucket_size"))

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from pisa_spark.datapipe import dedup, multimodal, similarity, textstats
+from pisa_spark.datapipe import curation, dedup, multimodal, similarity, textstats
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -145,6 +145,109 @@ JOIN ({textstats.repetition_stats_oracle()}) r USING (doc_id)
 JOIN ({textstats.token_counts_oracle()}) t USING (doc_id)"""
 
 
+# Gate sampling mix for the curation entry: en/fr are HIT strata
+# (distinct rates so the per-stratum hashing is exercised), zh/es/de
+# are MISS strata (explicit-mix contract: unmentioned strata keep 0).
+GATE_SAMPLE_FRACTIONS = {"en": 0.5, "fr": 0.25}
+GATE_SAMPLE_SEED = 7
+
+
+def _mm_meta_union(s: SparkSession, d: str) -> DataFrame:
+    """Tagged union of the multimodal metadata plumbing: 'blob' rows
+    (doc_id, n_bytes, sha256) + 'frame' rows (doc_id, frame_id,
+    frame_hash) in one (kind, a, b, key) shape — frees a gate slot
+    for the curation operators without losing either check."""
+    from pyspark.sql import functions as F
+
+    pages = _pages(s, d)
+    blob = multimodal.blob_meta(pages).select(
+        F.lit("blob").alias("kind"),
+        F.col("doc_id").alias("a"),
+        F.col("n_bytes").alias("b"),
+        F.col("sha256").alias("key"),
+    )
+    frame = multimodal.frame_sample(pages).select(
+        F.lit("frame").alias("kind"),
+        F.col("doc_id").alias("a"),
+        F.col("frame_id").alias("b"),
+        F.col("frame_hash").cast("string").alias("key"),
+    )
+    return blob.unionByName(frame)
+
+
+def _mm_meta_oracle() -> str:
+    return f"""SELECT 'blob' AS kind, doc_id AS a, n_bytes AS b,
+       sha256 AS key
+FROM ({multimodal.blob_meta_oracle()}) bm
+UNION ALL
+SELECT 'frame' AS kind, doc_id AS a, frame_id AS b,
+       CAST(frame_hash AS VARCHAR) AS key
+FROM ({multimodal.frame_sample_oracle()}) fs"""
+
+
+def _curation_union(s: SparkSession, d: str) -> DataFrame:
+    """Tagged union of the SQL-expressible curation operators
+    (datapipe/curation.py) in the shared (kind, a, b, key) shape:
+
+    - 'pii': per-doc redaction — a=doc_id, b = packed rule-hit counts
+      (n_email*10000 + n_ip*100 + n_idnum), key = md5 of the REDACTED
+      text, so the exact replacement output is pinned cross-engine;
+    - 'sample': the stratified-sample audit report at the gate mix —
+      a=n_total, b=n_kept per stratum (key), pinning the shared-hash
+      row selection (reproducible-training-mix contract) including
+      keep-0 strata absent from the mix."""
+    from pyspark.sql import functions as F
+
+    docs = _docs(s, d)
+    red = curation.redact_pii(docs)
+    pii = red.select(
+        F.lit("pii").alias("kind"),
+        F.col("doc_id").alias("a"),
+        (F.col("n_email") * 10000 + F.col("n_ip") * 100
+         + F.col("n_idnum")).cast("long").alias("b"),
+        F.md5("text_redacted").alias("key"),
+    )
+    rep = curation.stratified_sample_report(
+        docs, "lang", GATE_SAMPLE_FRACTIONS, seed=GATE_SAMPLE_SEED
+    )
+    samp = rep.select(
+        F.lit("sample").alias("kind"),
+        F.col("n_total").cast("long").alias("a"),
+        F.col("n_kept").cast("long").alias("b"),
+        F.col("stratum").alias("key"),
+    )
+    return pii.unionByName(samp)
+
+
+def _curation_oracle() -> str:
+    red = curation.redact_pii_sql("text", dialect="duckdb")
+    counts = {
+        kind: curation.pii_count_sql("text", kind, dialect="duckdb")
+        for kind, _p, _r in curation.PII_RULES
+    }
+    keep = " OR ".join(
+        f"(lang = '{stratum}' AND "
+        + curation.sample_keep_sql(
+            "lang", int(round(frac * 1e6)), GATE_SAMPLE_SEED, "duckdb"
+        )
+        + ")"
+        for stratum, frac in sorted(GATE_SAMPLE_FRACTIONS.items())
+    )
+    return f"""SELECT 'pii' AS kind, doc_id AS a,
+       CAST({counts['email']} * 10000 + {counts['ip']} * 100
+            + {counts['idnum']} AS BIGINT) AS b,
+       md5({red}) AS key
+FROM documents
+UNION ALL
+SELECT 'sample' AS kind, CAST(n_total AS BIGINT) AS a,
+       CAST(n_kept AS BIGINT) AS b, stratum AS key
+FROM (
+  SELECT lang AS stratum, COUNT(*) AS n_total,
+         SUM(CASE WHEN {keep} THEN 1 ELSE 0 END) AS n_kept
+  FROM documents GROUP BY lang
+) rep"""
+
+
 def datapipe_queries():
     return {
         "dedup_exact": _exact_dedup_union,
@@ -158,8 +261,8 @@ def datapipe_queries():
         "quality_score": _doc_signals,
         "decontaminate": lambda s, d: dedup.decontaminate(_docs(s, d)),
         "doc_fingerprints": lambda s, d: textstats.doc_fingerprints(_docs(s, d)),
-        "mm_blob_meta": lambda s, d: multimodal.blob_meta(_pages(s, d)),
-        "mm_frame_sample": lambda s, d: multimodal.frame_sample(_pages(s, d)),
+        "curation": _curation_union,
+        "mm_meta": _mm_meta_union,
         "mm_decode_stub": lambda s, d: multimodal.decode_blobs(_pages(s, d)),
     }
 
@@ -189,8 +292,8 @@ def datapipe_oracle_sql():
         "quality_score": _doc_signals_oracle(),
         "decontaminate": dedup.decontaminate_oracle(),
         "doc_fingerprints": textstats.doc_fingerprints_oracle(),
-        "mm_blob_meta": multimodal.blob_meta_oracle(),
-        "mm_frame_sample": multimodal.frame_sample_oracle(),
+        "curation": _curation_oracle(),
+        "mm_meta": _mm_meta_oracle(),
         # mm_decode_stub: the FAKE decoder's byte-level reduction IS
         # SQL-expressible (hex-dump byte math) — value-exact oracle
         # pinning the plumbing contract; a real pixel decoder would

@@ -54,10 +54,14 @@ def blob_meta(pages: DataFrame) -> DataFrame:
 
 def blob_meta_oracle() -> str:
     """DuckDB derives the identical html bytes from the documents
-    view (same construction as corpus.pages_from_documents)."""
+    view (same construction as corpus.pages_from_documents).
+    n_bytes counts UTF-8 BYTES via octet_length(encode(...)) — plain
+    length() on the VARCHAR is a CHARACTER count and diverges from
+    Spark's octet_length on any non-ASCII text (decode_stub_oracle
+    already counts bytes the same way)."""
     return """SELECT doc_id,
-       CAST(length('<html><body>' || text || '</body></html>') AS BIGINT)
-         AS n_bytes,
+       CAST(octet_length(encode('<html><body>' || text || '</body></html>'))
+            AS BIGINT) AS n_bytes,
        sha256('<html><body>' || text || '</body></html>') AS sha256
 FROM documents"""
 
@@ -85,7 +89,8 @@ def frame_sample_oracle() -> str:
     fh = hash60_sql("(sha || '#' || CAST(f.frame_id AS VARCHAR))", "duckdb")
     return f"""WITH meta AS (
   SELECT doc_id,
-         length('<html><body>' || text || '</body></html>') AS n_bytes,
+         octet_length(encode('<html><body>' || text || '</body></html>'))
+           AS n_bytes,
          sha256('<html><body>' || text || '</body></html>') AS sha
   FROM documents
 )

@@ -226,7 +226,12 @@ def dph_score_np(
     num_docs: float, avg_len: float, collection_len: float,
     dtype=np.float64,
 ) -> np.ndarray:
-    """Parameter-free DFR DPH (scorer/dph.hpp:20-39)."""
+    """Parameter-free DFR DPH (scorer/dph.hpp:20-39).
+
+    The tf == doc_len edge (a document that is one repeated term) is
+    clamped to 0 like dph_sql_expr: the raw float math there is
+    0 * -inf = NaN, and np.maximum(0, NaN) PROPAGATES the NaN —
+    which to_micro_np would then turn into a garbage int64."""
     tf = np.asarray(tf, dtype=dtype)
     ctf = np.asarray(ctf, dtype=dtype)
     dl = np.asarray(doc_len, dtype=dtype)
@@ -237,4 +242,6 @@ def dph_score_np(
             tf * np.log2(tf * dtype(avg_len) / dl * dtype(num_docs) / ctf)
             + 0.5 * np.log2(2 * np.pi * tf * (dtype(1.0) - f))
         )
-    return np.where(tf > 0, np.maximum(dtype(0), s), dtype(0)).astype(dtype)
+    return np.where(
+        (tf > 0) & (tf < dl), np.maximum(dtype(0), s), dtype(0)
+    ).astype(dtype)

@@ -50,61 +50,20 @@ _GATE_CONFIG_QUANT = EngineConfig(
 _GATE_VARIANTS = {
     "default": _GATE_CONFIG,
     "quantized": _GATE_CONFIG_QUANT,
-    "ef": EngineConfig(
-        analyzer=AnalyzerConfig(tokenizer="whitespace"),
-        index=IndexConfig(salt_bucket_docs=256, codec="ef"),
-    ),
-    "bitpack": EngineConfig(
-        analyzer=AnalyzerConfig(tokenizer="whitespace"),
-        index=IndexConfig(salt_bucket_docs=256, codec="bitpack"),
-    ),
-    "streamvbyte": EngineConfig(
-        analyzer=AnalyzerConfig(tokenizer="whitespace"),
-        index=IndexConfig(salt_bucket_docs=256, codec="streamvbyte"),
-    ),
-    "simple8b": EngineConfig(
-        analyzer=AnalyzerConfig(tokenizer="whitespace"),
-        index=IndexConfig(salt_bucket_docs=256, codec="simple8b"),
-    ),
-    "simple16": EngineConfig(
-        analyzer=AnalyzerConfig(tokenizer="whitespace"),
-        index=IndexConfig(salt_bucket_docs=256, codec="simple16"),
-    ),
-    "hybrid": EngineConfig(
-        analyzer=AnalyzerConfig(tokenizer="whitespace"),
-        index=IndexConfig(salt_bucket_docs=256, codec="hybrid"),
-    ),
-    "varintgb": EngineConfig(
-        analyzer=AnalyzerConfig(tokenizer="whitespace"),
-        index=IndexConfig(salt_bucket_docs=256, codec="varintgb"),
-    ),
-    "interpolative": EngineConfig(
-        analyzer=AnalyzerConfig(tokenizer="whitespace"),
-        index=IndexConfig(salt_bucket_docs=256, codec="interpolative"),
-    ),
-    "optpfor": EngineConfig(
-        analyzer=AnalyzerConfig(tokenizer="whitespace"),
-        index=IndexConfig(salt_bucket_docs=256, codec="optpfor"),
-    ),
-    "g8iu": EngineConfig(
-        analyzer=AnalyzerConfig(tokenizer="whitespace"),
-        index=IndexConfig(salt_bucket_docs=256, codec="g8iu"),
-    ),
-    "qmx": EngineConfig(
-        analyzer=AnalyzerConfig(tokenizer="whitespace"),
-        index=IndexConfig(salt_bucket_docs=256, codec="qmx"),
-    ),
-    "pef": EngineConfig(
-        analyzer=AnalyzerConfig(tokenizer="whitespace"),
-        index=IndexConfig(salt_bucket_docs=256, codec="pef"),
-    ),
-    # compact_ranked_bitvector: dense bitvector + on-wire rank
-    # directory; viable here because block payload universes are
-    # bounded by the salt bucket (universe guard enforces it)
-    "rankedbv": EngineConfig(
-        analyzer=AnalyzerConfig(tokenizer="whitespace"),
-        index=IndexConfig(salt_bucket_docs=256, codec="rankedbv"),
-    ),
+    # One variant per registered block codec (derived from
+    # DECODE_CHECK_CODECS so the variant dict can never drift from
+    # the decode-check tag list; "varint" is the default config).
+    # rankedbv (compact_ranked_bitvector: dense bitvector + on-wire
+    # rank directory) is viable here because block payload universes
+    # are bounded by the salt bucket (universe guard enforces it).
+    **{
+        codec: EngineConfig(
+            analyzer=AnalyzerConfig(tokenizer="whitespace"),
+            index=IndexConfig(salt_bucket_docs=256, codec=codec),
+        )
+        for codec in DECODE_CHECK_CODECS
+        if codec != "varint"
+    },
     # wand_data_compressed: u8 block maxes relative to the term max
     "cwand": EngineConfig(
         analyzer=AnalyzerConfig(tokenizer="whitespace"),
@@ -361,8 +320,9 @@ def _incremental_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pisa_spark.streaming.incremental import IncrementalIndexer
 
     pages = pages_from_documents(spark, sf_dir)
-    n = pages.count()
-    cut = sorted(r["doc_id"] for r in pages.select("doc_id").collect())[n // 2]
+    # exact distributed median (relativeError=0) — never collect the
+    # full ID column to the driver just to pick a split point
+    cut = pages.approxQuantile("doc_id", [0.5], 0.0)[0]
     out = tempfile.mkdtemp(prefix="pisa_incr_gate_")
     indexer = IncrementalIndexer(spark, out, _GATE_CONFIG)
     indexer.add_generation(pages.filter(F.col("doc_id") < cut))

@@ -113,6 +113,12 @@ def parse_query_id_lines(lines: DataFrame, k: int = 10) -> DataFrame:
     )
     # std::stoi failure is fatal in the reference (:64-66); surface
     # the same contract as a hard error instead of a silent null.
+    # Eager localCheckpoint first: the validation count is an action,
+    # and without pinning, the returned plan would re-run the whole
+    # split/explode parse a second time when consumed — the pin makes
+    # validate + aggregate ONE pass over the input (eager
+    # localCheckpoint, not persist, per the repo rule).
+    parsed = parsed.localCheckpoint(eager=True)
     bad = parsed.where(F.col("term_id").isNull()).limit(1).count()
     if bad:
         raise ValueError("non-integer term id in ID-mode query file")

@@ -188,8 +188,27 @@ def rank_shards_distributed(
             }
         )
 
-    return joined.groupBy("query_id").applyInPandas(
+    ranked = joined.groupBy("query_id").applyInPandas(
         run, "query_id string, shard_id long, score double, rank long"
+    )
+    # A query whose terms ALL miss the moments table (e.g. ids from
+    # another index generation) has no applyInPandas group and would
+    # silently vanish — emit every shard at score 0 ranked in shard
+    # order instead, matching rank_shards_for_queries (which scores
+    # such a query 0 everywhere). The missing set is workload-sized.
+    spark = parsed.sparkSession
+    zero_rows = spark.createDataFrame(
+        [(int(s), 0.0, i + 1) for i, s in enumerate(shard_ids)],
+        "shard_id long, score double, rank long",
+    )
+    missing = (
+        parsed.select("query_id").distinct()
+        .join(moments.join(F.broadcast(qterms), "term_id")
+              .select("query_id").distinct(), "query_id", "left_anti")
+    )
+    return ranked.unionByName(
+        missing.crossJoin(F.broadcast(zero_rows))
+        .select("query_id", "shard_id", "score", "rank")
     )
 
 

@@ -59,7 +59,11 @@ def main() -> None:
     index.segments.persist().count()
     index.term_meta.persist().count()
 
-    terms = [r["term"] for r in index.lexicon.limit(400).collect()]
+    # orderBy before limit: a bare limit() takes whatever rows the
+    # plan yields first, so the benchmarked workload would differ
+    # across partition layouts / runs
+    terms = [r["term"]
+             for r in index.lexicon.orderBy("term_id").limit(400).collect()]
     results = {}
     for nq in sizes:
         rows = []

@@ -6,8 +6,12 @@ runs them, over any ``documents``-shaped parquet table:
 
     1. per-doc filter signals (lexical quality + Gopher repetition)
     2. rule-based quality filter (min tokens, repetition caps)
-    3. exact + MinHash-LSH dedup -> connected components -> keep one
-       representative per duplicate cluster
+    3. exact dedup (md5 groupBy — catches identical-copy groups of
+       ANY size, including those MinHash's bucket cap would drop),
+       then MinHash-LSH near-dup pairs on the survivors ->
+       connected components -> keep one representative per cluster;
+       the LSH bucket-cap audit count rides the lineage
+       (minhash_dropped_buckets)
     4. benchmark decontamination (drop docs sharing a 5-gram with the
        benchmark subset / an external benchmark table) — on the RAW
        text, so a benchmark 5-gram spanning PII still matches
@@ -80,13 +84,34 @@ def curate(spark, docs, mix=None, bench=None,
     filtered = docs.join(keep_ids, "doc_id").localCheckpoint(eager=True)
     lineage["quality_filtered"] = filtered.count()
 
-    # 3. dedup: exact + near-dup clusters, keep the representative
-    clusters = dedup.dedup_clusters(filtered)
+    # 3a. EXACT dedup first (one cheap md5 groupBy): identical-copy
+    # groups can exceed MinHash's MAX_BUCKET cap (100 copies of one
+    # boilerplate page share every band bucket, the cap drops them
+    # all, and the LSH pass would emit ZERO pairs for exactly the
+    # most duplicated content) — the exact pass catches any group
+    # size, and shrinks the LSH input.
+    exact_keep = dedup.exact_dedup(filtered).select(
+        F.col("keeper_doc_id").alias("doc_id"))
+    exact_kept = filtered.join(exact_keep, "doc_id") \
+        .localCheckpoint(eager=True)
+    lineage["after_exact_dedup"] = exact_kept.count()
+
+    # 3b. near-dup clusters on the exact survivors; the banded
+    # signature scan is materialized ONCE and shared between the pair
+    # job and the dropped-bucket AUDIT (dedup.py's contract: a
+    # pipeline must surface what the cap excluded, not silently treat
+    # those docs as unique)
+    bands = dedup.minhash_bands(exact_kept).localCheckpoint(eager=True)
+    pairs = dedup.minhash_lsh_pairs(exact_kept, bands=bands)
+    clusters = dedup.dedup_clusters(exact_kept, pairs=pairs)
     dupes = clusters.filter(F.col("doc_id") != F.col("rep_doc_id")) \
         .select("doc_id")
-    deduped = filtered.join(dupes, "doc_id", "left_anti") \
+    deduped = exact_kept.join(dupes, "doc_id", "left_anti") \
         .localCheckpoint(eager=True)
     lineage["after_dedup"] = deduped.count()
+    lineage["minhash_dropped_buckets"] = dedup.minhash_dropped_buckets(
+        exact_kept, bands=bands
+    ).count()
 
     # 4. decontamination: drop contaminated training docs (raw text
     # on both sides — redaction happens after, so it can never mask

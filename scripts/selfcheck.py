@@ -4,9 +4,10 @@
 Runs every ``__spark_entry__.queries()`` entry on Spark and its
 ``oracle_sql()`` on DuckDB over the same parquet, then compares
 row count, column names, and an order-insensitive value hash
-(values normalized: floats rounded to 9 significant-ish decimals,
-rows sorted by their string form — a stand-in for whatever exact
-hash the driver uses; any mismatch here is a real mismatch there).
+(values normalized: floats rounded to 6 decimal places — the micro
+quantum — rows sorted by their string form; a stand-in for whatever
+exact hash the driver uses; any mismatch here is a real mismatch
+there).
 
 Usage: python scripts/selfcheck.py [entry ...] [--sf=DIR] [--out=FILE]
 

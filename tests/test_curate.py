@@ -50,8 +50,11 @@ def test_curate_lineage_and_planted_failures(spark, tmp_path):
 
     # monotone shrink through the stages
     assert (lineage["input"] >= lineage["quality_filtered"]
+            >= lineage["after_exact_dedup"]
             >= lineage["after_dedup"]
             >= lineage["after_decontamination"] == lineage["output"])
+    # the LSH bucket-cap audit count always rides the lineage
+    assert lineage["minhash_dropped_buckets"] >= 0
     assert lineage["input"] == 203
 
     got = set(out.doc_id)
@@ -126,3 +129,43 @@ def test_mix_to_rates_targets_output_proportions(spark):
     # strata missing from the corpus or the mix get rate 0
     rates2 = mix_to_rates(docs, "lang", {"en": 0.7, "de": 0.3})
     assert rates2["de"] == 0.0 and 0 < rates2["en"] <= 1.0
+
+
+def test_curate_catches_over_cap_exact_dup_group(spark):
+    """100 identical copies of one page share EVERY MinHash band
+    bucket, so the bucket cap (MAX_BUCKET=64) drops them from the LSH
+    pass entirely — the exact-dedup stage must still collapse the
+    group to one representative (it used to pass all copies through
+    as 'deduplicated')."""
+    from pisa_spark.datapipe.dedup import MAX_BUCKET
+
+    n_copies = MAX_BUCKET + 36
+    # no internal repetition: the copies must SURVIVE the quality
+    # stage so the dedup stage is what removes them
+    boiler = ("all rights reserved copyright notice terms of service "
+              "privacy policy contact us about frequently asked "
+              "questions sitemap careers press media partners help")
+    base = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(40)
+    start = 10_000
+    planted = pd.DataFrame(
+        {
+            "doc_id": range(start, start + n_copies),
+            "text": [boiler] * n_copies,
+            "lang": ["en"] * n_copies,
+            "source": ["synthetic"] * n_copies,
+            "n_chars": [len(boiler)] * n_copies,
+        }
+    )
+    full = base.unionByName(
+        spark.createDataFrame(
+            planted, schema="doc_id long, text string, lang string, "
+                            "source string, n_chars long"
+        )
+    )
+    curated, lineage = curate(spark, full)
+    out_ids = {r.doc_id for r in curated.select("doc_id").collect()}
+    kept_copies = out_ids & set(range(start, start + n_copies))
+    # exactly ONE representative of the boilerplate group survives
+    assert kept_copies == {start}
+    assert (lineage["after_exact_dedup"]
+            <= lineage["quality_filtered"] - (n_copies - 1))

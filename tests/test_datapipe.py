@@ -68,6 +68,13 @@ def test_url_canonicalization_rules(spark):
         ("https://example.com/a/index.htm", "example.com/a"),
         ("https://example.com///", "example.com"),
         ("https://www.example.com", "example.com"),
+        # separator-anchored tracking rules: a LONGER param name that
+        # merely CONTAINS a tracking name must survive untouched
+        # (unanchored matching used to strip 'fbclid=1' out of
+        # 'xfbclid=1' and merge distinct pages into one group)
+        ("https://example.com/p?xfbclid=1", "example.com/p?xfbclid=1"),
+        ("https://example.com/p?shutm_x=3", "example.com/p?shutm_x=3"),
+        ("https://example.com/p?utm_a=1&utm_b=2", "example.com/p"),
     ]
     df = spark.createDataFrame(
         pd.DataFrame({"url": [c[0] for c in cases]}), schema="url string"
@@ -806,3 +813,39 @@ def test_frame_sample_deterministic(spark):
     b = frame_sample(pages).toPandas().sort_values(["doc_id", "frame_id"])
     pd.testing.assert_frame_equal(a.reset_index(drop=True), b.reset_index(drop=True))
     assert a.groupby("doc_id")["frame_id"].count().between(1, FRAME_MOD).all()
+
+
+def test_blob_meta_oracle_counts_bytes_not_chars(spark):
+    """Non-ASCII text: Spark's octet_length counts UTF-8 BYTES; the
+    DuckDB oracle must too (length() on VARCHAR is a CHARACTER count
+    — it used to diverge on any multibyte char, changing n_bytes AND
+    the frame_sample row count keyed off n_bytes % FRAME_MOD)."""
+    import duckdb
+    import pandas as pd
+
+    from pisa_spark.datapipe.multimodal import (
+        blob_meta, blob_meta_oracle, frame_sample, frame_sample_oracle,
+    )
+
+    pdf = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": ["café au lait", "naïve — résumé", "plain ascii"],
+        "lang": ["fr", "fr", "en"],
+    })
+    pages = spark.createDataFrame(pdf).selectExpr(
+        "doc_id",
+        "encode(concat('<html><body>', text, '</body></html>'), 'utf-8')"
+        " AS html",
+    )
+    got = blob_meta(pages).toPandas().sort_values("doc_id")
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    want = con.sql(blob_meta_oracle()).df().sort_values("doc_id")
+    assert got["n_bytes"].tolist() == want["n_bytes"].tolist()
+    assert got["sha256"].tolist() == want["sha256"].tolist()
+    # the derived frame plan (row count depends on the byte count)
+    gf = frame_sample(pages).toPandas().sort_values(["doc_id", "frame_id"])
+    wf = con.sql(frame_sample_oracle()).df().sort_values(
+        ["doc_id", "frame_id"])
+    assert gf["frame_id"].tolist() == wf["frame_id"].tolist()
+    assert gf["frame_hash"].tolist() == wf["frame_hash"].tolist()

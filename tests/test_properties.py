@@ -391,3 +391,41 @@ def test_intersection_slicings_are_valid_partitions():
             [rebuilt[n][sid][cid] for cid in sorted(rebuilt[n][sid])]
             for sid in sorted(rebuilt[n])
         ] == slicings
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=(1 << 64) - 1),
+                min_size=1, max_size=64))
+def test_bit_widths_exact_everywhere(vals):
+    """codecs.widths.bit_widths == int.bit_length for the FULL uint64
+    range — the float-log2 fast path's ±1 rounding near powers of two
+    must be repaired exactly (the old per-codec copies crashed on
+    2^60-1 under simple8b and on >= 2^63 under optpfor/qmx)."""
+    import numpy as np
+
+    from pisa_spark.codecs.widths import bit_widths
+
+    v = np.array(vals, dtype=np.uint64)
+    got = bit_widths(v)
+    for x, w in zip(vals, got):
+        assert w == int(x).bit_length(), (x, int(w))
+
+
+def test_codec_boundary_values_roundtrip():
+    """The exact width boundary inputs that used to crash encode:
+    simple8b near its 60-bit cap, optpfor/qmx across the 2^63 line."""
+    import numpy as np
+
+    from pisa_spark.codecs.optpfor import optpfor_decode, optpfor_encode
+    from pisa_spark.codecs.qmx import qmx_decode, qmx_encode
+    from pisa_spark.codecs.simple8b import s8b_decode, s8b_encode
+
+    s8 = np.array([(1 << 60) - 1, (1 << 60) - 128, (1 << 59), 0, 7],
+                  dtype=np.uint64)
+    assert (s8b_decode(s8b_encode(s8), len(s8)) == s8).all()
+    big = np.array([1 << 63, (1 << 64) - 1, (1 << 63) - 1, 0, 42],
+                   dtype=np.uint64)
+    assert (optpfor_decode(optpfor_encode(big), len(big)) == big).all()
+    assert (qmx_decode(qmx_encode(big), len(big)) == big).all()
+    allhi = np.full(8, 1 << 63, dtype=np.uint64)
+    assert (optpfor_decode(optpfor_encode(allhi), len(allhi)) == allhi).all()

@@ -100,6 +100,10 @@ def test_rank_shards_distributed_matches_driver(spark, docs):
         "qa": [int(terms[0])],
         "qb": [int(terms[1]), int(terms[2])],
         "qc": [int(t) for t in terms[3:6]],
+        # every term missing from the moments table (a foreign index
+        # generation's ids): BOTH forms must still emit all shards at
+        # score 0 — the distributed form used to drop such queries
+        "qz": [10_000_001, 10_000_002],
     }
     driver = rank_shards_for_queries(queries, moments, shard_docs, n_c=5)
 

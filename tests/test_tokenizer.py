@@ -292,3 +292,11 @@ def test_map_query_lines_order_and_duplicates(spark):
         print_query_id=False,
     ).toPandas().sort_values("line_no")
     assert list(noid["line"]) == ["3,1,3", "2", ""]
+
+
+def test_strip_html_comment_opener_inside_script():
+    """'<!--' inside a script body must not open a comment that
+    swallows visible text up to a later real comment (script/style
+    subtrees strip first, the reference's order)."""
+    html = "<script>if(a<!--b){}</script><p>Hello</p><!-- note -->"
+    assert strip_html_series(pd.Series([html])).iloc[0] == "Hello"
