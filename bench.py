@@ -123,7 +123,11 @@ def _synth_section(spark, synth_docs: int, kernel_algos) -> dict:
     sindex.segments.persist().count()
     sindex.term_meta.persist().count()
     sbuild = time.perf_counter() - t0
-    sterms = [r["term"] for r in sindex.lexicon.limit(400).collect()]
+    # orderBy before limit: a bare limit() takes whatever rows the
+    # plan yields first — the workload must be identical run-to-run
+    # and round-to-round for the recorded numbers to be comparable
+    sterms = [r["term"]
+              for r in sindex.lexicon.orderBy("term_id").limit(400).collect()]
     srows = []
     for qi in range(100):
         n = 1 + qi % 5
@@ -260,7 +264,10 @@ def main() -> None:
 
     # Query terms drawn from the documents vocabulary (Zipf-free small
     # vocab): reuse lexicon terms cyclically for a 100-query batch.
-    terms = [r["term"] for r in index.lexicon.limit(400).collect()]
+    # orderBy pins the workload run-to-run (bare limit() order is a
+    # plan artifact).
+    terms = [r["term"]
+             for r in index.lexicon.orderBy("term_id").limit(400).collect()]
     rows = []
     for qi in range(100):
         n = 1 + qi % 5
