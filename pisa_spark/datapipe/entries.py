@@ -14,7 +14,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from pisa_spark.datapipe import curation, dedup, multimodal, similarity, textstats
+from pisa_spark.datapipe import (
+    curation, dedup, multimodal, packing, similarity, textstats,
+)
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -150,6 +152,11 @@ JOIN ({textstats.token_counts_oracle()}) t USING (doc_id)"""
 # are MISS strata (explicit-mix contract: unmentioned strata keep 0).
 GATE_SAMPLE_FRACTIONS = {"en": 0.5, "fr": 0.25}
 GATE_SAMPLE_SEED = 7
+# Gate sequence length for the packing rows: far below the typical
+# per-doc token count at sf0.01 so most documents SPAN sequence
+# boundaries (the split path does real work on every driver run);
+# production uses packing.SEQ_LEN (2048).
+GATE_SEQ_LEN = 128
 
 
 def _mm_meta_union(s: SparkSession, d: str) -> DataFrame:
@@ -195,7 +202,12 @@ def _curation_union(s: SparkSession, d: str) -> DataFrame:
     - 'sample': the stratified-sample audit report at the gate mix —
       a=n_total, b=n_kept per stratum (key), pinning the shared-hash
       row selection (reproducible-training-mix contract) including
-      keep-0 strata absent from the mix."""
+      keep-0 strata absent from the mix;
+    - 'pack': the sequence-packing plan (packing.pack_sequences at
+      GATE_SEQ_LEN — concat-and-chunk into fixed-length training
+      sequences): a=doc_id, b=seq_id, key = the exact in-doc token
+      range and in-sequence offset, so the distributed prefix-sum
+      form must agree row-for-row with the oracle's window form."""
     from pyspark.sql import functions as F
 
     docs = _docs(s, d)
@@ -216,7 +228,17 @@ def _curation_union(s: SparkSession, d: str) -> DataFrame:
         F.col("n_kept").cast("long").alias("b"),
         F.col("stratum").alias("key"),
     )
-    return pii.unionByName(samp)
+    pack = packing.pack_sequences(docs, seq_len=GATE_SEQ_LEN).select(
+        F.lit("pack").alias("kind"),
+        F.col("doc_id").alias("a"),
+        F.col("seq_id").alias("b"),
+        F.concat_ws(
+            "@",
+            F.concat_ws("-", "doc_tok_start", "doc_tok_end"),
+            F.col("seq_off").cast("string"),
+        ).alias("key"),
+    )
+    return pii.unionByName(samp).unionByName(pack)
 
 
 def _curation_oracle() -> str:
@@ -245,7 +267,13 @@ FROM (
   SELECT lang AS stratum, COUNT(*) AS n_total,
          SUM(CASE WHEN {keep} THEN 1 ELSE 0 END) AS n_kept
   FROM documents GROUP BY lang
-) rep"""
+) rep
+UNION ALL
+SELECT 'pack' AS kind, doc_id AS a, seq_id AS b,
+       CAST(doc_tok_start AS VARCHAR) || '-'
+         || CAST(doc_tok_end AS VARCHAR) || '@'
+         || CAST(seq_off AS VARCHAR) AS key
+FROM ({packing.pack_sequences_oracle(GATE_SEQ_LEN)}) pk"""
 
 
 def datapipe_queries():

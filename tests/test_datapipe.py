@@ -849,3 +849,57 @@ def test_blob_meta_oracle_counts_bytes_not_chars(spark):
         ["doc_id", "frame_id"])
     assert gf["frame_id"].tolist() == wf["frame_id"].tolist()
     assert gf["frame_hash"].tolist() == wf["frame_hash"].tolist()
+
+
+def test_pack_sequences_plan(spark):
+    """Sequence packing (datapipe/packing.py, concat-and-chunk):
+    cross-engine value-exact vs the window-prefix-sum oracle, full
+    coverage (every doc's tokens land exactly once), every sequence
+    filled to seq_len except the stream's last, and the DISTRIBUTED
+    prefix sum is parallelism-independent (same plan at any input
+    partitioning — the assign_global_ids contract)."""
+    import duckdb
+
+    from pisa_spark.datapipe.packing import (
+        doc_token_counts, pack_sequences, pack_sequences_oracle,
+    )
+
+    L = 96
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = pack_sequences(docs, seq_len=L).toPandas().sort_values(
+        ["seq_id", "doc_id"]).reset_index(drop=True)
+
+    con = duckdb.connect()
+    con.sql("CREATE VIEW documents AS SELECT * FROM read_parquet("
+            "'/root/testdata/sf0.001/documents.parquet')")
+    want = con.sql(pack_sequences_oracle(L)).df().sort_values(
+        ["seq_id", "doc_id"]).reset_index(drop=True)
+    assert len(got) == len(want) > 500
+    for c in got.columns:
+        assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+
+    # coverage: per-doc chunk lengths sum to the doc's token count
+    chunk = (got["doc_tok_end"] - got["doc_tok_start"])
+    per_doc = chunk.groupby(got["doc_id"]).sum()
+    cnt = doc_token_counts(docs).toPandas().set_index("doc_id")["n_tokens"]
+    assert all(per_doc[d] == cnt[d] for d in per_doc.index)
+    assert set(per_doc.index) == set(cnt[cnt > 0].index)
+    # fill: every sequence holds exactly L tokens except the last
+    per_seq = chunk.groupby(got["seq_id"]).sum().sort_index()
+    assert (per_seq.iloc[:-1] == L).all()
+    assert 0 < per_seq.iloc[-1] <= L
+    # in-sequence offsets: chunks within a sequence tile [0, fill)
+    starts = got.sort_values(["seq_id", "seq_off"])
+    for sid, g in starts.groupby("seq_id"):
+        offs = g["seq_off"].to_numpy()
+        lens = (g["doc_tok_end"] - g["doc_tok_start"]).to_numpy()
+        assert offs[0] == 0
+        assert ((offs[:-1] + lens[:-1]) == offs[1:]).all()
+
+    # parallelism independence: a skewed repartitioning of the input
+    # must produce the identical plan
+    got7 = pack_sequences(
+        docs.repartition(7), seq_len=L
+    ).toPandas().sort_values(["seq_id", "doc_id"]).reset_index(drop=True)
+    for c in got.columns:
+        assert (got[c].to_numpy() == got7[c].to_numpy()).all(), c
