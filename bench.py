@@ -182,8 +182,8 @@ def main() -> None:
         # 2 task waves per scan on small inputs (straggler smoothing;
         # see pisa_spark.session) — maxPartitionBytes governs at scale.
         .config("spark.sql.files.minPartitionNum", str(2 * cpus))
-        # zstd shuffle compression (see pisa_spark.session)
-        .config("spark.io.compression.codec", "zstd")
+        # shuffle codec: lz4 default — zstd taxed every small query
+        # job ~25% for a flat sf-build (pisa_spark.session comment)
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .getOrCreate()

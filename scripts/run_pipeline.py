@@ -67,9 +67,9 @@ def main() -> None:
         # smoothing; see pisa_spark.session). Under spark-submit the
         # executor-count default is left in charge.
         b = b.config("spark.sql.files.minPartitionNum", str(2 * args.local))
-    # zstd shuffle compression (see pisa_spark.session): halves the
-    # corpus-pair shuffle's bytes; overridable via --conf.
-    b = b.config("spark.io.compression.codec", "zstd")
+    # Shuffle codec: lz4 default (see pisa_spark.session for the
+    # measured trade); build-heavy cluster runs can flip to zstd via
+    # --conf spark.io.compression.codec=zstd (applied below, last).
     b = (
         b.config("spark.sql.shuffle.partitions", str(args.partitions))
         .config("spark.sql.adaptive.enabled", "false")  # fixed plan for scaling runs

@@ -28,7 +28,8 @@ REPO = Path(__file__).resolve().parent.parent
 
 
 def run_once(cores: int, n_docs: int, n_queries: int, out: str,
-             strategy: str = "query") -> dict:
+             strategy: str = "query",
+             conf: list[str] | None = None) -> dict:
     shutil.rmtree(out, ignore_errors=True)
     cmd = [
         sys.executable, str(REPO / "scripts" / "run_pipeline.py"),
@@ -36,6 +37,8 @@ def run_once(cores: int, n_docs: int, n_queries: int, out: str,
         "--n-queries", str(n_queries), "--out", out,
         "--strategy", strategy,
     ]
+    for kv in conf or []:
+        cmd += ["--conf", kv]
     t0 = time.time()
     proc = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
     m = re.findall(r'\{"n_docs".*\}', proc.stdout + proc.stderr)
@@ -62,13 +65,20 @@ def main() -> None:
                     help="query execution strategy passed through to "
                          "run_pipeline (batched = amortized throughput "
                          "shape with a fixed batch count)")
+    ap.add_argument("--conf", action="append", default=[],
+                    metavar="K=V",
+                    help="extra spark conf forwarded to run_pipeline "
+                         "(repeatable) — e.g. the documented "
+                         "build-heavy configuration "
+                         "spark.io.compression.codec=zstd")
     args = ap.parse_args()
     n, n4 = args.n, args.n * 4
 
     def best_of(cores: int) -> dict:
         runs = [
             run_once(cores, args.n_docs, args.queries,
-                     f"{args.out_dir}/idx{cores}_{i}", args.strategy)
+                     f"{args.out_dir}/idx{cores}_{i}", args.strategy,
+                     conf=args.conf)
             for i in range(args.repeats)
         ]
         best = max(runs, key=lambda r: r["build_docs_per_sec"])
@@ -85,6 +95,7 @@ def main() -> None:
         "n_docs": args.n_docs,
         "n_queries": args.queries,
         "strategy": args.strategy,
+        "conf": args.conf,
         "low": {"cores": n, "build_docs_per_sec": lo["build_docs_per_sec"],
                 "queries_per_sec": lo["queries_per_sec"],
                 "build_wall_s": lo["build_wall_s"],
