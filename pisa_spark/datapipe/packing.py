@@ -170,3 +170,51 @@ SELECT CAST(seq_id AS BIGINT) AS seq_id,
        CAST(tok_start + GREATEST(0, seq_id * {seq_len} - tok_start)
             - seq_id * {seq_len} AS BIGINT) AS seq_off
 FROM ex"""
+
+
+def materialize_sequences(docs: DataFrame, plan: DataFrame | None = None,
+                          seq_len: int = SEQ_LEN) -> DataFrame:
+    """(seq_id, n_tokens, tokens array<string>): the actual packed
+    training sequences — the pack plan joined back to per-doc token
+    arrays, chunks sliced and stitched in seq_off order. The shard
+    writer's last step before serialization.
+
+    Scale shape: tokenize is a per-row native expression; the join is
+    plan ⨝ docs on doc_id (co-partitioned hash join); the stitch is
+    one groupBy(seq_id) whose groups are bounded by seq_len tokens —
+    never corpus-proportional state. ``plan`` defaults to
+    pack_sequences(docs, seq_len); pass a precomputed plan to share
+    it with audits."""
+    if plan is None:
+        plan = pack_sequences(docs, seq_len=seq_len)
+    toks = docs.select(
+        "doc_id",
+        F.expr(
+            "filter(split(lower(text), '\\\\s+'), t -> t <> '')"
+        ).alias("toks"),
+    )
+    chunks = (
+        plan.join(toks, "doc_id")
+        .select(
+            "seq_id", "seq_off",
+            # slice() is 1-based; length = end - start
+            F.expr(
+                "slice(toks, CAST(doc_tok_start + 1 AS INT), "
+                "CAST(doc_tok_end - doc_tok_start AS INT))"
+            ).alias("chunk"),
+        )
+    )
+    stitched = (
+        chunks.groupBy("seq_id")
+        .agg(
+            F.flatten(
+                F.expr("transform(array_sort(collect_list("
+                       "struct(seq_off, chunk))), x -> x.chunk)")
+            ).alias("tokens")
+        )
+    )
+    return stitched.select(
+        "seq_id",
+        F.size("tokens").cast("long").alias("n_tokens"),
+        "tokens",
+    )

@@ -903,3 +903,24 @@ def test_pack_sequences_plan(spark):
     ).toPandas().sort_values(["seq_id", "doc_id"]).reset_index(drop=True)
     for c in got.columns:
         assert (got[c].to_numpy() == got7[c].to_numpy()).all(), c
+
+
+def test_materialize_sequences(spark):
+    """The shard writer's stitch: sequences materialize to exactly
+    seq_len tokens (except the last), and the concatenation of all
+    sequences equals the concatenation of all docs' tokens in doc_id
+    order (the pack plan's stream, reassembled)."""
+    from pisa_spark.datapipe.packing import materialize_sequences
+
+    L = 96
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    seqs = materialize_sequences(docs, seq_len=L).toPandas() \
+        .sort_values("seq_id").reset_index(drop=True)
+    assert (seqs["n_tokens"].iloc[:-1] == L).all()
+    assert 0 < seqs["n_tokens"].iloc[-1] <= L
+    assert (seqs["tokens"].str.len() == seqs["n_tokens"]).all()
+    # stream identity
+    stream = [t for toks in seqs["tokens"] for t in toks]
+    pdf = docs.select("doc_id", "text").toPandas().sort_values("doc_id")
+    want = [t for txt in pdf["text"] for t in txt.lower().split()]
+    assert stream == want
