@@ -113,8 +113,13 @@ def pack_sequences(docs: DataFrame, seq_len: int = SEQ_LEN,
     nz = counts.filter(F.col("n_tokens") > 0)
     offs = exclusive_prefix_sum(nz, "doc_id", "n_tokens", "tok_start")
     l = F.lit(int(seq_len)).cast("long")
-    first_seq = (F.col("tok_start") / l).cast("long")
-    last_seq = ((F.col("tok_start") + F.col("n_tokens") - 1) / l).cast("long")
+    # exact integer division (DIV), matching the DuckDB oracle's `//`
+    # for ALL long values — double `/`-then-cast loses exactness once
+    # tok_start passes ~2^52 (real at 100 TB token streams)
+    first_seq = F.expr(f"tok_start DIV CAST({int(seq_len)} AS BIGINT)")
+    last_seq = F.expr(
+        f"(tok_start + n_tokens - 1L) DIV CAST({int(seq_len)} AS BIGINT)"
+    )
     exploded = offs.select(
         "doc_id", "n_tokens", "tok_start",
         F.explode(F.sequence(first_seq, last_seq)).alias("seq_id"),

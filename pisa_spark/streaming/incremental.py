@@ -81,11 +81,12 @@ from __future__ import annotations
 
 import hashlib
 import json
+import logging
 import re
 from dataclasses import asdict
 from pathlib import Path
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from pisa_spark.build import (
     build_doc_sizes, build_segments, build_term_meta, tokenize_pages,
@@ -97,6 +98,7 @@ from pisa_spark.config import EngineConfig
 from pisa_spark.index import InvertedIndex
 
 _STATS_RE = re.compile(r"stats_g(\d+)")
+log = logging.getLogger(__name__)
 
 # Schemas for generation-partitioned tables that can legitimately be
 # EMPTY (an all-stopword batch indexes zero terms): a zero-row
@@ -354,7 +356,8 @@ class IncrementalIndexer:
 
     def add_generation(self, pages: DataFrame,
                        epoch_id: int | None = None,
-                       check_recrawls: bool = True) -> int:
+                       check_recrawls: bool = True,
+                       on_recrawl: str = "error") -> int:
         """Index a new batch of pages; returns the generation number.
 
         Per-generation write volume: O(|batch|) postings/docs/sizes +
@@ -385,7 +388,13 @@ class IncrementalIndexer:
         the stored docs urls per batch (broadcast semi-join of the
         delta, corpus-proportional READ, delta-proportional
         everything else); pipelines that guarantee url-uniqueness
-        upstream can disable it to keep batches corpus-independent."""
+        upstream can disable it to keep batches corpus-independent.
+        ``on_recrawl`` picks the policy when a duplicate IS found:
+        ``"error"`` (default — the batch-build contract, fail loudly)
+        or ``"filter"`` (crawl-stream mode — deterministically keep
+        one row per url, drop already-indexed urls, log counts, keep
+        going; an all-recrawl batch degrades to a committed no-op
+        instead of wedging the stream)."""
         if pages.isEmpty():
             prev = self._committed_gen()
             if prev is None:
@@ -425,31 +434,71 @@ class IncrementalIndexer:
         # forward._with_assigned_ids / pipeline.run): a duplicate url
         # inside the batch would get two doc_ids nondeterministically;
         # NULL urls are rejected inside the id assignment below.
-        dup = (
-            pages.groupBy("url").agg(F.count("*").alias("n"))
-            .filter(F.col("n") > 1).limit(1).collect()
-        )
-        if dup:
+        if on_recrawl not in ("error", "filter"):
             raise ValueError(
-                f"duplicate url in batch (e.g. {dup[0]['url']!r}): url "
-                "is the corpus key and must be unique per batch"
+                f"on_recrawl={on_recrawl!r}: expected 'error' or 'filter'"
             )
-        if not first and check_recrawls:
-            # recrawled url = a second doc_id for the same key. One
-            # column-pruned stored-urls scan per batch (see docstring).
-            seen = (
-                self._read("docs").select("url")
-                .join(F.broadcast(pages.select("url").distinct()), "url")
-                .limit(1).collect()
+        if on_recrawl == "filter":
+            # Crawl-stream mode: recrawls/refetches are ordinary data,
+            # not poison. Deterministically keep ONE row per url
+            # (latest warc_ts, ties broken by content hash) and drop
+            # urls a previous generation already indexed. Both are
+            # delta-sized jobs: the window shuffles only the batch,
+            # and the stored-urls scan is a column-pruned read joined
+            # against the BROADCAST batch url set. Eager checkpoint so
+            # the (corpus-proportional-read) anti-join runs once, not
+            # once per downstream write job.
+            w = Window.partitionBy("url").orderBy(
+                F.col("warc_ts").desc_nulls_last(),
+                F.md5(F.coalesce(F.col("text"), F.lit(""))).desc(),
             )
-            if seen:
-                raise ValueError(
-                    f"url {seen[0]['url']!r} was already indexed by a "
-                    "previous generation: url is the corpus key "
-                    "(dedup recrawls upstream, or pass "
-                    "check_recrawls=False if uniqueness is guaranteed "
-                    "there)"
+            pages = (
+                pages.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1).drop("_rn")
+            )
+            if not first and check_recrawls:
+                stored = self._read("docs").select("url").join(
+                    F.broadcast(pages.select("url").distinct()), "url"
                 )
+                pages = pages.join(F.broadcast(stored), "url", "left_anti")
+            pages = pages.localCheckpoint(eager=True)
+            if pages.isEmpty():
+                # every url was a recrawl: committed no-op (cannot
+                # happen on first — within-batch dedup keeps >= 1 row
+                # and there is no stored corpus to collide with)
+                log.warning(
+                    "add_generation: batch contained only already-"
+                    "indexed urls; skipped (committed no-op)"
+                )
+                return prev
+        else:
+            dup = (
+                pages.groupBy("url").agg(F.count("*").alias("n"))
+                .filter(F.col("n") > 1).limit(1).collect()
+            )
+            if dup:
+                raise ValueError(
+                    f"duplicate url in batch (e.g. {dup[0]['url']!r}): url "
+                    "is the corpus key and must be unique per batch"
+                )
+            if not first and check_recrawls:
+                # recrawled url = a second doc_id for the same key. One
+                # column-pruned stored-urls scan per batch (see
+                # docstring).
+                seen = (
+                    self._read("docs").select("url")
+                    .join(F.broadcast(pages.select("url").distinct()), "url")
+                    .limit(1).collect()
+                )
+                if seen:
+                    raise ValueError(
+                        f"url {seen[0]['url']!r} was already indexed by a "
+                        "previous generation: url is the corpus key "
+                        "(dedup recrawls upstream, pass "
+                        "check_recrawls=False if uniqueness is guaranteed "
+                        "there, or on_recrawl='filter' to keep-first and "
+                        "continue)"
+                    )
         toks = tokenize_pages(pages, self.config.analyzer, assign_doc_ids=False)
         doc_stats: dict = {}
         new_docs = assign_global_ids(
@@ -810,10 +859,22 @@ def run_stream_indexing(
     checkpoint_dir: str,
     config: EngineConfig | None = None,
     available_now: bool = True,
+    check_recrawls: bool = True,
+    on_recrawl: str = "filter",
 ):
     """Micro-batch incremental indexing: each foreachBatch becomes one
     index generation. availableNow=True drains what's there and stops
-    (catch-up/cron mode); False runs continuously."""
+    (catch-up/cron mode); False runs continuously.
+
+    Recrawl policy defaults to ``on_recrawl="filter"`` here (unlike
+    the batch ``add_generation`` default of ``"error"``): a crawl
+    stream ordinarily refetches urls, and a raise inside foreachBatch
+    would fail the query — and since foreachBatch replays the SAME
+    batch on every restart, the identical raise recurs forever: a
+    permanent stream wedge. Filter-and-warn keeps the first-indexed
+    copy and progresses. Pass ``on_recrawl="error"`` to restore
+    fail-loud, or ``check_recrawls=False`` to skip the per-batch
+    stored-urls scan when uniqueness is guaranteed upstream."""
     indexer = IncrementalIndexer(spark, index_dir, config)
 
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
@@ -821,7 +882,10 @@ def run_stream_indexing(
             return
         # epoch_id makes an at-least-once replay of an already-
         # committed batch a no-op (add_generation's replay guard)
-        indexer.add_generation(batch_df, epoch_id=epoch_id)
+        indexer.add_generation(
+            batch_df, epoch_id=epoch_id,
+            check_recrawls=check_recrawls, on_recrawl=on_recrawl,
+        )
 
     writer = (
         stream_pages(spark, input_dir)

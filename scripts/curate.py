@@ -101,8 +101,10 @@ def curate(spark, docs, mix=None, bench=None,
     # job and the dropped-bucket AUDIT (dedup.py's contract: a
     # pipeline must surface what the cap excluded, not silently treat
     # those docs as unique)
-    bands = dedup.minhash_bands(exact_kept).localCheckpoint(eager=True)
-    pairs = dedup.minhash_lsh_pairs(exact_kept, bands=bands)
+    shd = dedup.shingles_df(exact_kept).localCheckpoint(eager=True)
+    bands = dedup.minhash_bands(exact_kept, shd=shd) \
+        .localCheckpoint(eager=True)
+    pairs = dedup.minhash_lsh_pairs(exact_kept, shd=shd, bands=bands)
     clusters = dedup.dedup_clusters(exact_kept, pairs=pairs)
     dupes = clusters.filter(F.col("doc_id") != F.col("rep_doc_id")) \
         .select("doc_id")

@@ -674,3 +674,47 @@ def test_empty_vocabulary_generation_degrades_gracefully(spark, tmp_path):
     assert terms
     res = _query(spark, idx, terms, n=2)
     assert len(res) > 0
+
+
+def test_on_recrawl_filter_keeps_stream_alive(spark, tmp_path):
+    """on_recrawl='filter' (the run_stream_indexing default): a batch
+    carrying within-batch duplicates and already-indexed urls indexes
+    only the genuinely-new pages; an all-recrawl batch is a committed
+    no-op instead of a raise (the raise would wedge foreachBatch —
+    every restart replays the identical batch)."""
+    from pisa_spark.streaming import IncrementalIndexer
+
+    out = tmp_path / "inc_recrawl"
+    inc = IncrementalIndexer(spark, str(out), CFG)
+    gen0 = _pages_slice(spark, 0, 10)
+    inc.add_generation(gen0)
+    assert inc.index().num_docs == 10
+
+    # batch 1: 5 recrawls of gen0 urls + 4 new urls, with one new url
+    # duplicated within the batch (a refetch inside the window)
+    recrawls = _pages_slice(spark, 3, 8)
+    fresh = _pages_slice(spark, 120, 124)
+    dup_row = fresh.orderBy("url").limit(1).withColumn(
+        "warc_ts", F.col("warc_ts") + F.expr("INTERVAL 1 HOUR")
+    )
+    batch = recrawls.unionByName(fresh).unionByName(dup_row)
+    g1 = inc.add_generation(batch, on_recrawl="filter")
+    assert g1 == 1
+    assert inc.index().num_docs == 14  # 10 + 4 new, dupes dropped
+
+    # determinism: the kept copy of the duplicated url is the LATEST
+    # warc_ts one — its doc row exists exactly once
+    docs = spark.read.parquet(str(out / "docs"))
+    dup_url = dup_row.collect()[0]["url"]
+    assert docs.filter(F.col("url") == dup_url).count() == 1
+
+    # batch 2: pure recrawls — committed no-op, not a raise
+    before = inc.index().num_docs
+    g2 = inc.add_generation(_pages_slice(spark, 0, 6),
+                            on_recrawl="filter")
+    assert g2 == g1
+    assert inc.index().num_docs == before
+
+    # default batch contract unchanged: same batch raises loudly
+    with pytest.raises(ValueError, match="already indexed"):
+        inc.add_generation(_pages_slice(spark, 0, 6))
