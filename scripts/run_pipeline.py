@@ -52,38 +52,64 @@ def main() -> None:
                          "shape, executor.topk_search_batch)")
     ap.add_argument("--warmup", type=int, default=1,
                     help="run an untimed small warmup build first")
+    ap.add_argument("--codec-profile", default="phased",
+                    choices=["phased", "flat"],
+                    help="phased (default): the build runs in a "
+                         "zstd-shuffle session, then a FRESH lz4 "
+                         "session serves the query batch — the "
+                         "per-phase optimum (BENCH.md A/B: zstd buys "
+                         "+15-23%% build throughput where the memory "
+                         "bus saturates, but taxes small query "
+                         "shuffles ~25%%). On a real cluster these "
+                         "are separate spark-submit applications "
+                         "(index-build job vs query service), each "
+                         "with its own --conf. flat: one session, "
+                         "lz4 throughout.")
     ap.add_argument("--conf", action="append", default=[],
                     metavar="K=V",
                     help="extra spark conf (repeatable), e.g. "
-                         "--conf spark.io.compression.codec=zstd")
+                         "--conf spark.io.compression.codec=zstd; "
+                         "applied LAST to every phase session")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
 
-    b = SparkSession.builder.appName("pisa-spark-pipeline")
-    if args.local:
-        b = b.master(f"local[{args.local}]")
-        # 2 task waves per scan on small local inputs (straggler
-        # smoothing; see pisa_spark.session). Under spark-submit the
-        # executor-count default is left in charge.
-        b = b.config("spark.sql.files.minPartitionNum", str(2 * args.local))
-    # Shuffle codec: lz4 default (see pisa_spark.session for the
-    # measured trade); build-heavy cluster runs can flip to zstd via
-    # --conf spark.io.compression.codec=zstd (applied below, last).
-    b = (
-        b.config("spark.sql.shuffle.partitions", str(args.partitions))
-        .config("spark.sql.adaptive.enabled", "false")  # fixed plan for scaling runs
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory",
-                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    def make_session(phase_conf: dict[str, str]):
+        b = SparkSession.builder.appName("pisa-spark-pipeline")
+        if args.local:
+            b = b.master(f"local[{args.local}]")
+            # 2 task waves per scan on small local inputs (straggler
+            # smoothing; see pisa_spark.session). Under spark-submit
+            # the executor-count default is left in charge.
+            b = b.config(
+                "spark.sql.files.minPartitionNum", str(2 * args.local)
+            )
+        b = (
+            b.config("spark.sql.shuffle.partitions", str(args.partitions))
+            .config("spark.sql.adaptive.enabled", "false")  # fixed plan for scaling runs
+            .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+            .config("spark.ui.enabled", "false")
+            .config("spark.driver.memory",
+                    os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        )
+        for k, v in phase_conf.items():
+            b = b.config(k, v)
+        # user --conf LAST so it overrides every default above
+        for kv in args.conf:
+            k, _, v = kv.partition("=")
+            b = b.config(k, v)
+        spark = b.getOrCreate()
+        spark.sparkContext.setLogLevel("ERROR")
+        return spark
+
+    # Build-phase session. Shuffle codec per phase (the measured
+    # trade, pisa_spark.session): zstd for the shuffle-heavy build,
+    # lz4 for the small query shuffles. `flat` keeps one lz4 session.
+    build_conf = (
+        {"spark.io.compression.codec": "zstd"}
+        if args.codec_profile == "phased" else {}
     )
-    # user --conf LAST so it overrides every default above
-    for kv in args.conf:
-        k, _, v = kv.partition("=")
-        b = b.config(k, v)
-    spark = b.getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    spark = make_session(build_conf)
 
     import pandas as pd
 
@@ -138,6 +164,24 @@ def main() -> None:
     index = pipe.run(pages)
     index.segments.count()
     build_wall = time.perf_counter() - t0
+    build_executed = pipe.executed
+    build_lineage = pipe.report()["stages"]
+
+    if args.codec_profile == "phased":
+        # Query phase gets its own session (lz4 shuffle): stop the
+        # build session and RESUME the pipeline from its manifests —
+        # zero recompute, the returned index is backed by the same
+        # checkpoint parquet. The JVM restart sits OUTSIDE both
+        # timers, exactly like the separate build-job / query-service
+        # applications it models on a cluster.
+        spark.stop()
+        spark = make_session({"spark.io.compression.codec": "lz4"})
+        pages = spark.read.parquet(pages_dir)
+        index = BuildPipeline(
+            spark, args.out, EngineConfig(),
+            input_desc={"gen": "synth_pages", "n_docs": args.n_docs,
+                        "partitions": args.partitions},
+        ).run(pages)
 
     qpdf = synth_queries(args.n_queries)
     qdf = spark.createDataFrame(
@@ -167,8 +211,9 @@ def main() -> None:
                 "query_wall_s": round(query_wall, 3),
                 "queries_per_sec": round(args.n_queries / query_wall, 2),
                 "result_rows": n_rows,
-                "stages_executed": pipe.executed,
-                "lineage": pipe.report()["stages"],
+                "codec_profile": args.codec_profile,
+                "stages_executed": build_executed,
+                "lineage": build_lineage,
             }
         )
     )

@@ -68,9 +68,10 @@ def main() -> None:
     ap.add_argument("--conf", action="append", default=[],
                     metavar="K=V",
                     help="extra spark conf forwarded to run_pipeline "
-                         "(repeatable) — e.g. the documented "
-                         "build-heavy configuration "
-                         "spark.io.compression.codec=zstd")
+                         "(repeatable); run_pipeline's shipped default "
+                         "is the PHASED codec profile (zstd build "
+                         "session / lz4 query session) — override "
+                         "both phases here if needed")
     args = ap.parse_args()
     n, n4 = args.n, args.n * 4
 
@@ -96,6 +97,7 @@ def main() -> None:
         "n_queries": args.queries,
         "strategy": args.strategy,
         "conf": args.conf,
+        "codec_profile": lo.get("codec_profile", "flat"),
         "low": {"cores": n, "build_docs_per_sec": lo["build_docs_per_sec"],
                 "queries_per_sec": lo["queries_per_sec"],
                 "build_wall_s": lo["build_wall_s"],
