@@ -281,6 +281,25 @@ def main() -> None:
     parsed = parse_queries(qdf, index.lexicon, pre_tokenized=True).persist()
     parsed.count()
 
+    # Headline kernel jobs run BATCH-MAJOR by default (VERDICT r3
+    # next-#6: batch_major_qps measured 3.3x query-major on the same
+    # workload; the strategy_topk gate entry pins rank-identity
+    # between the two forms every driver round). Set
+    # SPARK_GRAFT_BENCH_STRATEGY=query to time the per-query shape —
+    # the throughput section below always reports BOTH.
+    strategy = os.environ.get("SPARK_GRAFT_BENCH_STRATEGY", "batch")
+
+    from pisa_spark.query.executor import topk_search_batch
+
+    def headline_search(algo, thresholds=None):
+        if strategy == "batch":
+            return topk_search_batch(
+                index, parsed, algorithm=algo, k=10, thresholds=thresholds
+            )
+        return topk_search(
+            index, parsed, algorithm=algo, k=10, thresholds=thresholds
+        )
+
     for algo, key in (
         ("block_max_wand", "bmw_100q"),
         ("block_max_maxscore", "bmm_100q"),
@@ -288,7 +307,7 @@ def main() -> None:
         ("wand", "wand_100q"),
         ("ranked_or", "taat_100q"),
     ):
-        timed(key, lambda a=algo: topk_search(index, parsed, algorithm=a, k=10).count())
+        timed(key, lambda a=algo: headline_search(a).count())
     timed(
         "range_maxscore_100q",
         lambda: topk_range(index, parsed, algorithm="maxscore", k=10).count(),
@@ -303,9 +322,7 @@ def main() -> None:
     est.count()
     timed(
         "bmw_boot_100q",
-        lambda: topk_search(
-            index, parsed, algorithm="block_max_wand", k=10, thresholds=est
-        ).count(),
+        lambda: headline_search("block_max_wand", thresholds=est).count(),
     )
 
     # --- Training-data pipeline jobs (datapipe module), if present.

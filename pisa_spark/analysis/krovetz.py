@@ -11,15 +11,23 @@ The full kstem headword lexicon ships as external data files the
 reference loads at runtime; those files are not embeddable here, so
 this module implements the published rule cascade with
 
-- a small embedded exception table for common irregular forms and
-  dictionary-protected words (all public-knowledge English), and
-- Porter-style heuristics (undoubling, e-restoration after short
-  stems / "at|bl|iz") replacing the dictionary-membership tests.
+- an embedded exception table for irregular forms and ambiguous
+  plural classes (all public-knowledge English),
+- an embedded MINI HEADWORD DICTIONARY (_HEADWORDS) consulted in
+  kstem's own order — bare stem first, then stem+'e' — before any
+  shape heuristic runs, and
+- shape heuristics as the fallback: undoubling, e-restoration after
+  "at|bl|iz", and a cvc e-restore GATED TO ONE-SYLLABLE stems
+  (multisyllable cvc stems — offer, visit, target... — are
+  overwhelmingly headwords kstem would leave alone).
 
 Behavior on regular inflection matches kstem; on rare
-dictionary-dependent cases it may differ — the analyzer accepts
-``stemmer="krovetz"`` with these documented semantics, pinned by the
-goldens in tests/test_tokenizer.py.
+dictionary-dependent cases outside the embedded tables it may
+differ — the analyzer accepts ``stemmer="krovetz"`` with these
+documented semantics, pinned by the goldens in
+tests/test_tokenizer.py and the ~330-pair vector set in
+tests/test_krovetz_vectors.py (agreement rate reported in
+COVERAGE.md).
 """
 
 from __future__ import annotations
@@ -29,6 +37,34 @@ from __future__ import annotations
 # apparent suffixes are mapped to themselves (the kstem "is it a
 # headword already?" check for the worst offenders).
 _EXCEPTIONS = {
+    # inflected forms too short for the length-gated rules
+    "using": "use", "dying": "die", "lying": "lie", "tying": "tie",
+    "died": "die", "tied": "tie", "lied": "lie",
+    # -oes plurals (consonant+o headwords take -es; toes/shoes-style
+    # vowel+e singulars are served by the generic -s strip)
+    "heroes": "hero", "potatoes": "potato", "tomatoes": "tomato",
+    "echoes": "echo", "torpedoes": "torpedo", "vetoes": "veto",
+    "mosquitoes": "mosquito", "volcanoes": "volcano",
+    "cargoes": "cargo", "dominoes": "domino", "buffaloes": "buffalo",
+    "mangoes": "mango", "tornadoes": "tornado", "embargoes": "embargo",
+    # -uses is ambiguous (buses->bus but houses->house): the
+    # consonant+us headwords are dictionary knowledge
+    "buses": "bus", "gases": "gas", "viruses": "virus",
+    "bonuses": "bonus", "campuses": "campus", "censuses": "census",
+    "statuses": "status", "geniuses": "genius", "choruses": "chorus",
+    "circuses": "circus", "surpluses": "surplus",
+    "walruses": "walrus", "octopuses": "octopus",
+    "apparatuses": "apparatus", "radiuses": "radius",
+    # -ies plurals whose singular ends -ie (not -y)
+    "movies": "movie", "cookies": "cookie", "zombies": "zombie",
+    "calories": "calorie", "prairies": "prairie",
+    "rookies": "rookie", "goalies": "goalie", "genies": "genie",
+    "sorties": "sortie", "collies": "collie", "pixies": "pixie",
+    "brownies": "brownie", "hippies": "hippie", "selfies": "selfie",
+    "birdies": "birdie", "newbies": "newbie",
+    # Greek/Latin -oses
+    "diagnoses": "diagnosis", "neuroses": "neurosis",
+    "psychoses": "psychosis",
     # irregular plurals
     "children": "child", "men": "man", "women": "woman", "feet": "foot",
     "geese": "goose", "teeth": "tooth", "mice": "mouse", "lice": "louse",
@@ -51,6 +87,10 @@ _EXCEPTIONS = {
     "headaches": "headache", "toothaches": "toothache",
     "cliches": "cliche", "quiches": "quiche", "psyches": "psyche",
     # words the suffix rules must not touch (protected headwords)
+    "christmas": "christmas", "atlas": "atlas", "alias": "alias",
+    "bias": "bias", "canvas": "canvas", "pancreas": "pancreas",
+    "chaos": "chaos", "cosmos": "cosmos", "pathos": "pathos",
+    "ethos": "ethos", "asbestos": "asbestos",
     "news": "news", "series": "series", "species": "species",
     "bus": "bus", "gas": "gas", "lens": "lens", "yes": "yes",
     "this": "this", "his": "his", "is": "is", "was": "was", "has": "has",
@@ -73,9 +113,79 @@ _EXCEPTIONS = {
 
 _VOWELS = frozenset("aeiou")
 
+# Mini headword dictionary consulted by _restore — the kstem "is the
+# candidate a headword?" check (kstem tries the bare stem, then
+# stem+'e', against its lexicon). Common English only (public
+# knowledge). Two roles:
+#   bare protect: "add" stops the undoubler ("added" -> add, not ad);
+#   e-restore:    "cause" rescues stems the shape heuristics cannot
+#                 ("caused" -> caus -> cause; the cvc rule never
+#                 fires on vowel-vowel-consonant or multi-syllable
+#                 endings, by design — see _restore).
+_HEADWORDS = frozenset("""
+add err inn egg
+cause pause clause raise praise please tease cease lease increase
+release decrease purchase promise premise surprise advise devise
+revise exercise suppose propose expose impose compose oppose dispose
+close house arouse browse cleanse collapse eclipse glimpse rinse
+sense license response converse reverse traverse disperse immerse
+endorse force enforce divorce source announce pronounce denounce
+bounce balance advance silence influence experience reference
+produce reduce introduce deduce induce seduce replace embrace
+argue continue value issue rescue pursue glue queue subdue
+invite unite ignite excite incite recite complete compete delete
+compute execute contribute distribute dispute salute dilute pollute
+constitute substitute promote devote quote demote denote
+decide provide divide reside preside collide coincide guide
+include exclude conclude
+define examine determine imagine combine decline refine confine
+machine outline underline undermine
+describe prescribe subscribe ascribe inscribe
+escape amuse accuse excuse abuse refuse confuse infuse diffuse
+achieve believe receive perceive deceive conceive relieve retrieve
+derive arrive revive survive deserve reserve observe preserve
+conserve serve swerve involve resolve revolve evolve dissolve
+improve approve remove prove
+require retire desire admire inspire acquire inquire expire
+compare declare prepare beware
+manage damage encourage discourage engage arrange exchange change
+charge discharge enlarge judge acknowledge merge emerge submerge
+urge surge purge indulge plunge lunge challenge avenge revenge
+schedule measure figure feature capture ensure assure secure endure
+procure configure injure picture lecture torture nurture puncture
+structure treasure pressure leisure seize
+handle enable disable double trouble tackle settle struggle sample
+couple title cycle circle battle bottle assemble resemble gamble
+scramble compile style smile whistle wrestle rustle hustle bustle
+startle trample stumble tumble crumble mumble grumble fumble humble
+juggle giggle wiggle toggle smuggle snuggle shuffle muffle ruffle
+baffle stifle rifle trifle table cable stable staple maple people
+welcome become assume consume resume costume
+upgrade invade persuade evade degrade parade blockade
+ignore explore restore adore
+analyze paralyze catalyze breathe soothe clothe bathe loathe
+waste taste paste haste baste
+phrase blame frame
+""".split())
+
 
 def _has_vowel(w: str) -> bool:
     return any(c in _VOWELS or c == "y" for c in w)
+
+
+def _vowel_groups(w: str) -> int:
+    """Number of maximal vowel runs — a cheap syllable proxy. The cvc
+    e-restore below only fires on ONE-syllable stems ("bak" -> bake):
+    multisyllable stems ending cvc are overwhelmingly headwords
+    already (visit, limit, offer, target, focus, happen, travel...)
+    and kstem's dictionary check would leave them alone."""
+    n, prev = 0, False
+    for c in w:
+        isv = c in _VOWELS
+        if isv and not prev:
+            n += 1
+        prev = isv
+    return n
 
 
 def _ends_cvc(w: str) -> bool:
@@ -93,12 +203,24 @@ def _ends_cvc(w: str) -> bool:
 
 
 def _restore(stem: str) -> str:
-    """Post-rule repair shared by -ed/-ing removal: undouble a trailing
-    doubled consonant (except ll/ss/zz/ff, which are legitimate
-    English finals) or restore 'e' after the classic patterns."""
+    """Post-rule repair shared by -ed/-ing removal, in kstem's order:
+    dictionary first (bare stem, then stem+'e'), then the shape
+    heuristics — undouble a trailing doubled consonant (except
+    ll/ss/zz/ff, legitimate English finals) or restore 'e' after the
+    classic patterns. The cvc restore is gated to ONE-syllable stems:
+    unrestricted it mangled the whole -er/-en/-it/-et multisyllable
+    class (offered -> offere, visited -> visite); with the gate those
+    fall through untouched, and the genuinely-restoring multisyllable
+    stems (invite, complete, escape...) are dictionary rows."""
+    if stem in _HEADWORDS:
+        return stem
+    if (stem + "e") in _HEADWORDS:
+        return stem + "e"
     if len(stem) >= 2 and stem[-1] == stem[-2] and stem[-1] not in "aeioulszf":
         return stem[:-1]
-    if stem.endswith(("at", "bl", "iz")) or _ends_cvc(stem):
+    if stem.endswith(("at", "bl", "iz")) or (
+        _ends_cvc(stem) and _vowel_groups(stem) == 1
+    ):
         return stem + "e"
     return stem
 

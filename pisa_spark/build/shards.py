@@ -137,21 +137,3 @@ def shard_term_stats(
     )
 
 
-def shard_taily_expr(num_docs: str, avg_len: str, n_shards: int = 4) -> str:
-    """SQL fragment for per-shard Taily moments over the gated
-    postings skeleton (shared by the Spark and DuckDB dialects)."""
-    bm25 = bm25_sql_expr(
-        tf="p.tf", df="l.df", doc_len="s.doc_len",
-        num_docs=num_docs, avg_len=avg_len,
-    )
-    m = micro_sql(bm25)
-    return f"""SELECT CAST(p.doc_id % {n_shards} AS INT) AS shard_id,
-       p.term_id,
-       CAST(COUNT(*) AS BIGINT) AS df,
-       CAST(SUM(CAST({m} AS DECIMAL(38,0))) AS DOUBLE) AS sum_micro,
-       CAST(SUM(CAST({m} * {m} AS DECIMAL(38,0))) AS DOUBLE) AS sum_micro_sq
-FROM postings p
-JOIN sizes s ON s.doc_id = p.doc_id
-JOIN lex l ON l.term_id = p.term_id
-CROSS JOIN stats st
-GROUP BY p.doc_id % {n_shards}, p.term_id"""

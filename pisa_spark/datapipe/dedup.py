@@ -82,14 +82,6 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
     )
 
 
-def exact_dedup_oracle() -> str:
-    return (
-        "SELECT md5(text) AS text_md5, MIN(doc_id) AS keeper_doc_id,\n"
-        "       CAST(COUNT(*) AS BIGINT) AS n_docs\n"
-        "FROM documents GROUP BY md5(text)"
-    )
-
-
 # ---------------------------------------------------------------- URL dedup
 
 # Query parameters that never change page content — the strip list of

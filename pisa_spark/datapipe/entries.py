@@ -159,37 +159,121 @@ GATE_SAMPLE_SEED = 7
 GATE_SEQ_LEN = 128
 
 
+# Epoch-microseconds of a TIMESTAMP_NTZ column, timezone-independent
+# (parquet timestamps read as NTZ under Spark 4; unix_micros would
+# require LTZ and drag the session timezone into the value — the
+# DuckDB oracle side is epoch_us(naive), so NTZ arithmetic matches).
+_EPOCH_US = (
+    "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {c})"
+)
+
+
 def _mm_meta_union(s: SparkSession, d: str) -> DataFrame:
-    """Tagged union of the multimodal metadata plumbing: 'blob' rows
-    (doc_id, n_bytes, sha256) + 'frame' rows (doc_id, frame_id,
-    frame_hash) in one (kind, a, b, key) shape — frees a gate slot
-    for the curation operators without losing either check."""
+    """Tagged union of the multimodal metadata plumbing PLUS the
+    batch-mode streaming-analytics rollups, in one (kind, a, b, key)
+    shape (frees gate slots without losing checks):
+
+    - 'blob' rows (doc_id, n_bytes, sha256) and 'frame' rows
+      (doc_id, frame_id, frame_hash) — multimodal.py;
+    - 'win': windowed_event_volume over the events table — a =
+      epoch-us of the window start, b = n_events, key =
+      event_type@value_micro_sum. The batch plan here is the SAME
+      plan the streaming query runs (withWatermark is a no-op in
+      batch; pinned stream==batch in test_streaming_analytics), so
+      this row is the driver gate for streaming/analytics.py;
+    - 'sess': user_sessions (session_window gap sessionization) —
+      a = user_id, b = n_events, key =
+      s_start_us-s_end_us@value_micro_sum; the DuckDB oracle is the
+      gaps-and-islands window form."""
     from pyspark.sql import functions as F
+
+    from pisa_spark.streaming import analytics
 
     pages = _pages(s, d)
     blob = multimodal.blob_meta(pages).select(
         F.lit("blob").alias("kind"),
-        F.col("doc_id").alias("a"),
-        F.col("n_bytes").alias("b"),
+        F.col("doc_id").cast("long").alias("a"),
+        F.col("n_bytes").cast("long").alias("b"),
         F.col("sha256").alias("key"),
     )
     frame = multimodal.frame_sample(pages).select(
         F.lit("frame").alias("kind"),
-        F.col("doc_id").alias("a"),
-        F.col("frame_id").alias("b"),
+        F.col("doc_id").cast("long").alias("a"),
+        F.col("frame_id").cast("long").alias("b"),
         F.col("frame_hash").cast("string").alias("key"),
     )
-    return blob.unionByName(frame)
+    ev = s.read.parquet(f"{d}/events.parquet")
+    win = analytics.windowed_event_volume(ev).select(
+        F.lit("win").alias("kind"),
+        F.expr(_EPOCH_US.format(c="w_start")).alias("a"),
+        F.col("n_events").cast("long").alias("b"),
+        F.concat_ws(
+            "@", "event_type", F.col("value_micro_sum").cast("string")
+        ).alias("key"),
+    )
+    sess = analytics.user_sessions(ev).select(
+        F.lit("sess").alias("kind"),
+        F.col("user_id").cast("long").alias("a"),
+        F.col("n_events").cast("long").alias("b"),
+        F.concat_ws(
+            "@",
+            F.concat_ws(
+                "-",
+                F.expr(_EPOCH_US.format(c="s_start")).cast("string"),
+                F.expr(_EPOCH_US.format(c="s_end")).cast("string"),
+            ),
+            F.col("value_micro_sum").cast("string"),
+        ).alias("key"),
+    )
+    return blob.unionByName(frame).unionByName(win).unionByName(sess)
 
 
 def _mm_meta_oracle() -> str:
-    return f"""SELECT 'blob' AS kind, doc_id AS a, n_bytes AS b,
-       sha256 AS key
+    from pisa_spark.streaming.analytics import VALUE_MICRO
+
+    # Session semantics must match Spark's session_window exactly:
+    # windows are [start, last_ts + gap) — an event at EXACTLY
+    # prev + gap starts a NEW session (>=, not >); s_end = last event
+    # ts + gap.
+    return f"""SELECT 'blob' AS kind, CAST(doc_id AS BIGINT) AS a,
+       CAST(n_bytes AS BIGINT) AS b, sha256 AS key
 FROM ({multimodal.blob_meta_oracle()}) bm
 UNION ALL
-SELECT 'frame' AS kind, doc_id AS a, frame_id AS b,
+SELECT 'frame' AS kind, CAST(doc_id AS BIGINT) AS a,
+       CAST(frame_id AS BIGINT) AS b,
        CAST(frame_hash AS VARCHAR) AS key
-FROM ({multimodal.frame_sample_oracle()}) fs"""
+FROM ({multimodal.frame_sample_oracle()}) fs
+UNION ALL
+SELECT 'win' AS kind,
+       epoch_us(time_bucket(INTERVAL '10 minutes', ts)) AS a,
+       CAST(COUNT(*) AS BIGINT) AS b,
+       event_type || '@'
+         || CAST(CAST(SUM({VALUE_MICRO}) AS BIGINT) AS VARCHAR) AS key
+FROM events
+GROUP BY time_bucket(INTERVAL '10 minutes', ts), event_type
+UNION ALL
+SELECT 'sess' AS kind, CAST(user_id AS BIGINT) AS a,
+       CAST(COUNT(*) AS BIGINT) AS b,
+       CAST(epoch_us(MIN(ts)) AS VARCHAR) || '-'
+         || CAST(epoch_us(MAX(ts) + INTERVAL '30 minutes') AS VARCHAR)
+         || '@' || CAST(CAST(SUM(value_micro) AS BIGINT) AS VARCHAR) AS key
+FROM (
+  SELECT user_id, ts, value_micro,
+         SUM(new_sess) OVER (
+           PARTITION BY user_id ORDER BY ts
+           ROWS UNBOUNDED PRECEDING
+         ) AS sess_id
+  FROM (
+    SELECT user_id, ts, {VALUE_MICRO} AS value_micro,
+           CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                     IS NULL
+                OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                     >= INTERVAL '30 minutes'
+                THEN 1 ELSE 0 END AS new_sess
+    FROM events
+  ) g
+) t
+GROUP BY user_id, sess_id"""
 
 
 def _curation_union(s: SparkSession, d: str) -> DataFrame:

@@ -52,16 +52,18 @@ def get_spark(
         # inputs maxPartitionBytes (128M) caps splits long before this
         # floor matters (measured: tokens stage -30% wall at local[8]).
         .config("spark.sql.files.minPartitionNum", str(2 * n_cores))
-        # Shuffle compression stays on Spark's lz4 default. zstd
+        # Shuffle compression stays on Spark's lz4 default for this
+        # shared session factory (tests + query-shaped work). zstd
         # halves the corpus-pair shuffle's bytes and buys ~+15-23%
         # BUILD throughput where the memory bus saturates (local[8]+,
         # BENCH.md A/B) — but it taxes every small query job ~25%
         # (zstd context setup per shuffle block dominates tiny
         # shuffles; measured e2e 12.4 s lz4 vs 16.4-17.1 s zstd on the
-        # full bench, with sf-build throughput flat). On a
-        # multi-executor cluster where shuffle bytes are NETWORK
-        # traffic, flip it via extra_conf / --conf
-        # spark.io.compression.codec=zstd for build-heavy jobs.
+        # full bench, with sf-build throughput flat). The PHASED
+        # profile in scripts/run_pipeline.py is the shipped answer:
+        # the build application runs zstd, the query application
+        # lz4 — on a cluster those are separate spark-submit jobs
+        # with their own --conf anyway.
         # Posting-list arrays can be large; keep Arrow batches bounded.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("PISA_SPARK_DRIVER_MEM", "8g"))

@@ -314,6 +314,16 @@ def test_binary_collection_sharded_import_is_global(spark, tmp_path):
     with pytest.raises(ValueError, match="exactly one sequence"):
         read_sizes(spark, str(s / "bad.sizes"))
 
+    # the standalone layout inspector agrees with what was written:
+    # per-file sequence/value counts + global offsets in shard order
+    from pisa_spark.build.bincoll import file_layouts
+
+    lay = file_layouts(spark, str(d / "c.docs.*"))
+    assert list(lay["n_seqs"]) == [2, 2]
+    assert list(lay["n_vals"]) == [3, 4]
+    assert list(lay["seq_off"]) == [0, 2]
+    assert list(lay["val_off"]) == [0, 3]
+
 
 def test_binary_collection_unpadded_shard_order_is_natural(spark, tmp_path):
     """>=10 shards with UNPADDED numeric suffixes: 'c.sizes.10' must

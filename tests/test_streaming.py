@@ -718,3 +718,71 @@ def test_on_recrawl_filter_keeps_stream_alive(spark, tmp_path):
     # default batch contract unchanged: same batch raises loudly
     with pytest.raises(ValueError, match="already indexed"):
         inc.add_generation(_pages_slice(spark, 0, 6))
+
+
+def test_twenty_generation_soak_with_midstream_compact(spark, tmp_path):
+    """Depth soak (VERDICT r3 next-#5): 21 generations of appends with
+    a compact() mid-stream, asserting after every phase that the
+    incremental index answers queries identically (url+score) to a
+    from-scratch batch build of the same corpus, and that the
+    accumulated bound_factor inflation stays bounded."""
+    from pisa_spark.index import build_index
+    from pisa_spark.streaming import IncrementalIndexer
+
+    from pisa_spark.corpus import pages_from_documents
+
+    all_pages = pages_from_documents(spark, SF).limit(420)  # of 500
+    # deterministic 21-way split on doc_id, ~20 docs each
+    slices = [
+        all_pages.filter(F.col("doc_id") % 21 == g).drop("doc_id")
+        .localCheckpoint(eager=True)
+        for g in range(21)
+    ]
+    inc = IncrementalIndexer(spark, str(tmp_path / "soak"), CFG)
+
+    def check_matches_batch(n_gens: int):
+        inc_index = inc.index()
+        corpus = slices[0]
+        for s in slices[1:n_gens]:
+            corpus = corpus.unionByName(s)
+        batch_index = build_index(spark, corpus, CFG)
+        assert inc_index.num_docs == batch_index.num_docs
+        terms = [r["term"]
+                 for r in batch_index.lexicon.orderBy("term_id")
+                 .limit(30).collect()]
+        got = _query(spark, inc_index, terms, n=4).sort_values(
+            ["query_id", "score", "url"], ascending=[True, False, True]
+        )
+        want = _query(spark, batch_index, terms, n=4).sort_values(
+            ["query_id", "score", "url"], ascending=[True, False, True]
+        )
+        assert len(got) == len(want)
+        assert (got["query_id"].values == want["query_id"].values).all()
+        assert (got["url"].values == want["url"].values).all()
+        assert np.allclose(got["score"].values, want["score"].values,
+                           atol=1e-9)
+
+    for g in range(10):
+        inc.add_generation(slices[g])
+    check_matches_batch(10)
+
+    # bound_factor stays bounded: it only compounds for never-touched
+    # terms, and each generation's inflation ratio is idf/avg_len
+    # drift — with ~5% corpus growth per generation the product stays
+    # near 1 (sound means >= 1 up to f32 rounding)
+    bf = inc.index().term_meta.toPandas()["bound_factor"]
+    assert (bf >= 1.0 - 1e-6).all()
+    assert bf.max() < 3.0, f"bound_factor inflated to {bf.max()}"
+
+    # compact mid-stream: fresh committed generation, factors reset
+    inc.compact()
+    bf2 = inc.index().term_meta.toPandas()["bound_factor"]
+    assert (bf2 == 1.0).all()
+    check_matches_batch(10)
+
+    for g in range(10, 21):
+        inc.add_generation(slices[g])
+    check_matches_batch(21)
+    bf3 = inc.index().term_meta.toPandas()["bound_factor"]
+    assert (bf3 >= 1.0 - 1e-6).all()
+    assert bf3.max() < 3.0, f"bound_factor inflated to {bf3.max()}"
