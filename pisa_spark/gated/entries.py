@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pisa_spark.config import AnalyzerConfig, EngineConfig, IndexConfig
 from pisa_spark.gated.sql import (
     BMW_VARIANT_TAGS,
+    CIFF_TAG_TERMS,
     DECODE_CHECK_CODECS,
     DIALECT_DUCKDB,
     DIALECT_SPARK,
@@ -486,16 +487,67 @@ def _strategy_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def _ciff_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CIFF wire-format round-trip (osirrc/ciff; reference parity
+    tools/ciff2pisa): export the first CIFF_TAG_TERMS term_ids'
+    postings through write_ciff, re-import DISTRIBUTED via
+    ciff_postings (mapInPandas protobuf walk + gap decode), and emit
+    (term_id, doc_id, tf). Lists are written in engine term_id order,
+    so the import's positional term_ids equal the originals and the
+    result must hash-match the postings skeleton's term_id<cap slice.
+    The toPandas sides are documented-bounded: <=cap lists and one
+    doc record per gate-corpus doc."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from pisa_spark.build.ciff import ciff_postings, write_ciff
+
+    index = _get_index(spark, sf_dir)
+    sub = (
+        index.postings.filter(F.col("term_id") < CIFF_TAG_TERMS)
+        .join(index.lexicon.select("term_id", "term"), "term_id")
+        .orderBy("term_id", "doc_id")
+        .toPandas()
+    )
+    plists = [
+        (str(term), list(zip((int(d) for d in g["doc_id"]),
+                             (int(t) for t in g["tf"]))))
+        for (tid, term), g in sub.groupby(["term_id", "term"], sort=True)
+    ]
+    docs = (
+        index.doc_sizes.join(index.docmap, "doc_id")
+        .orderBy("doc_id").toPandas()
+    )
+    doc_recs = [
+        (int(r.doc_id), str(r.url), int(r.doc_len))
+        for r in docs.itertuples()
+    ]
+    with tempfile.TemporaryDirectory() as td:
+        path = f"{td}/gate.ciff"
+        write_ciff(path, plists, doc_recs)
+        out = ciff_postings(spark, path).select(
+            "term_id", F.col("doc_id").cast("long").alias("doc_id"), "tf"
+        )
+        # materialize before the temp file vanishes
+        out = out.localCheckpoint(eager=True)
+    return out
+
+
 def _decode_check_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """compress --check across the ENTIRE codec registry: one full
     index build + segment round-trip decode per codec, union-tagged —
-    a single driver row covers every codec family."""
+    a single driver row covers every codec family. The extra 'ciff'
+    tag (round 4) round-trips the CIFF interchange format, giving the
+    importer/exporter a driver value row too."""
     return tagged_union(
         "codec",
-        (
+        [
             (c, _decode_check("default" if c == "varint" else c)(spark, sf_dir))
             for c in DECODE_CHECK_CODECS
-        ),
+        ] + [("ciff", _ciff_roundtrip(spark, sf_dir))],
         ["term_id", "doc_id", "tf"],
     )
 

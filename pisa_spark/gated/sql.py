@@ -141,6 +141,11 @@ DIALECT_DUCKDB = Dialect(
 # a single driver CORRECTNESS row covers the whole registry.
 # (maskedvbyte is wire-identical to varint by construction and is not
 # re-run.)
+# Term-id cap for the ciff tag of segments_decode_check (the CIFF
+# export is a single sequential file; the gate bounds the driver-side
+# write to this many lists — see gated/entries._ciff_roundtrip).
+CIFF_TAG_TERMS = 200
+
 DECODE_CHECK_CODECS = [
     "bitpack", "ef", "g8iu", "hybrid", "interpolative", "optpfor",
     "pef", "qmx", "rankedbv", "simple16", "simple8b", "streamvbyte",
@@ -1263,10 +1268,16 @@ FROM ss JOIN sv ON sv.shard_id = ss.shard_id ORDER BY ss.shard_id"""
     codec_tags = " UNION ALL ".join(
         f"SELECT '{c}' AS codec" for c in DECODE_CHECK_CODECS
     )
+    # the 'ciff' tag round-trips the interchange format over the
+    # first CIFF_TAG_TERMS lists (gated/entries._ciff_roundtrip)
     e["segments_decode_check"] = f"""{base}
-SELECT c.codec, p.term_id, p.doc_id, p.tf
-FROM postings p CROSS JOIN ({codec_tags}) c
-ORDER BY c.codec, p.term_id, p.doc_id"""
+SELECT codec, term_id, doc_id, tf FROM (
+  SELECT c.codec, p.term_id, p.doc_id, p.tf
+  FROM postings p CROSS JOIN ({codec_tags}) c
+  UNION ALL
+  SELECT 'ciff' AS codec, p.term_id, p.doc_id, p.tf
+  FROM postings p WHERE p.term_id < {CIFF_TAG_TERMS}
+) u ORDER BY codec, term_id, doc_id"""
 
     # BMW under bootstrap/cwand/quantized/varblock configurations,
     # tagged by variant: non-quantized variants must equal ranked_or;
