@@ -96,6 +96,19 @@ def doc_token_counts(docs: DataFrame) -> DataFrame:
     )
 
 
+def seq_span_exprs(seq_len: int):
+    """(first_seq, last_seq) Columns over (tok_start, n_tokens):
+    exact integer DIV, matching the DuckDB oracle's `//` for ALL long
+    values — double `/`-then-cast loses exactness once tok_start
+    passes ~2^52, which a 100 TB token stream reaches (pinned at
+    2^55 in tests/test_datapipe.py)."""
+    l = int(seq_len)
+    return (
+        F.expr(f"tok_start DIV CAST({l} AS BIGINT)"),
+        F.expr(f"(tok_start + n_tokens - 1L) DIV CAST({l} AS BIGINT)"),
+    )
+
+
 def pack_sequences(docs: DataFrame, seq_len: int = SEQ_LEN,
                    counts: DataFrame | None = None) -> DataFrame:
     """The pack plan: (seq_id, doc_id, doc_tok_start, doc_tok_end,
@@ -113,13 +126,7 @@ def pack_sequences(docs: DataFrame, seq_len: int = SEQ_LEN,
     nz = counts.filter(F.col("n_tokens") > 0)
     offs = exclusive_prefix_sum(nz, "doc_id", "n_tokens", "tok_start")
     l = F.lit(int(seq_len)).cast("long")
-    # exact integer division (DIV), matching the DuckDB oracle's `//`
-    # for ALL long values — double `/`-then-cast loses exactness once
-    # tok_start passes ~2^52 (real at 100 TB token streams)
-    first_seq = F.expr(f"tok_start DIV CAST({int(seq_len)} AS BIGINT)")
-    last_seq = F.expr(
-        f"(tok_start + n_tokens - 1L) DIV CAST({int(seq_len)} AS BIGINT)"
-    )
+    first_seq, last_seq = seq_span_exprs(seq_len)
     exploded = offs.select(
         "doc_id", "n_tokens", "tok_start",
         F.explode(F.sequence(first_seq, last_seq)).alias("seq_id"),

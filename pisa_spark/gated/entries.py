@@ -536,18 +536,64 @@ def _ciff_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _bincoll_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """binary_collection wire-format round-trip (the reference's
+    uncompressed .docs/.freqs pair, invert.cpp lockstep layout):
+    export the first CIFF_TAG_TERMS lists as a SHARDED pair (two
+    shards each, exercising the global-sequence-numbering path),
+    re-import via postings_from_binary_collection, emit
+    (term_id, doc_id, tf) — must hash-match the same postings slice
+    the ciff tag pins. Bounded driver-side export, same contract as
+    _ciff_roundtrip."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from pisa_spark.build.bincoll import (
+        postings_from_binary_collection, write_binary_collection,
+    )
+
+    index = _get_index(spark, sf_dir)
+    sub = (
+        index.postings.filter(F.col("term_id") < CIFF_TAG_TERMS)
+        .orderBy("term_id", "doc_id")
+        .toPandas()
+    )
+    doc_lists = [g["doc_id"].to_numpy()
+                 for _, g in sub.groupby("term_id", sort=True)]
+    tf_lists = [g["tf"].to_numpy()
+                for _, g in sub.groupby("term_id", sort=True)]
+    half = len(doc_lists) // 2
+    with tempfile.TemporaryDirectory() as td:
+        write_binary_collection(
+            [[index.num_docs]] + doc_lists[:half], f"{td}/c.docs.00"
+        )
+        write_binary_collection(doc_lists[half:], f"{td}/c.docs.01")
+        write_binary_collection(tf_lists[:half], f"{td}/c.freqs.00")
+        write_binary_collection(tf_lists[half:], f"{td}/c.freqs.01")
+        out = postings_from_binary_collection(
+            spark, f"{td}/c.docs.*", f"{td}/c.freqs.*"
+        ).select(
+            "term_id", F.col("doc_id").cast("long").alias("doc_id"), "tf"
+        ).localCheckpoint(eager=True)  # materialize before tmp vanishes
+    return out
+
+
 def _decode_check_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """compress --check across the ENTIRE codec registry: one full
     index build + segment round-trip decode per codec, union-tagged —
     a single driver row covers every codec family. The extra 'ciff'
-    tag (round 4) round-trips the CIFF interchange format, giving the
-    importer/exporter a driver value row too."""
+    and 'bincoll' tags (round 4) round-trip the two interchange
+    formats, giving the importers/exporters driver value rows too."""
     return tagged_union(
         "codec",
         [
             (c, _decode_check("default" if c == "varint" else c)(spark, sf_dir))
             for c in DECODE_CHECK_CODECS
-        ] + [("ciff", _ciff_roundtrip(spark, sf_dir))],
+        ] + [
+            ("ciff", _ciff_roundtrip(spark, sf_dir)),
+            ("bincoll", _bincoll_roundtrip(spark, sf_dir)),
+        ],
         ["term_id", "doc_id", "tf"],
     )
 

@@ -1275,8 +1275,10 @@ SELECT codec, term_id, doc_id, tf FROM (
   SELECT c.codec, p.term_id, p.doc_id, p.tf
   FROM postings p CROSS JOIN ({codec_tags}) c
   UNION ALL
-  SELECT 'ciff' AS codec, p.term_id, p.doc_id, p.tf
-  FROM postings p WHERE p.term_id < {CIFF_TAG_TERMS}
+  SELECT fmt AS codec, p.term_id, p.doc_id, p.tf
+  FROM postings p CROSS JOIN (
+    SELECT 'ciff' AS fmt UNION ALL SELECT 'bincoll' AS fmt
+  ) f WHERE p.term_id < {CIFF_TAG_TERMS}
 ) u ORDER BY codec, term_id, doc_id"""
 
     # BMW under bootstrap/cwand/quantized/varblock configurations,

@@ -924,3 +924,43 @@ def test_materialize_sequences(spark):
     pdf = docs.select("doc_id", "text").toPandas().sort_values("doc_id")
     want = [t for txt in pdf["text"] for t in txt.lower().split()]
     assert stream == want
+
+
+def test_pack_sequences_exact_beyond_double_precision(spark):
+    """The ADVICE r3 fix: sequence-boundary ids use integer DIV
+    (packing.seq_span_exprs — the exact expressions pack_sequences
+    plugs into its explode), so the math stays exact when the token
+    stream passes 2^53 (double `/`-then-cast loses ULPs there — real
+    at 100 TB). Offsets around 2^55 must equal Python exact-integer
+    `//`; the old double form provably diverges on these inputs."""
+    import pandas as pd
+
+    from pisa_spark.datapipe.packing import seq_span_exprs
+
+    L = 2048
+    rows = []
+    base = 1 << 55
+    for i in range(64):
+        # offsets straddling sequence boundaries at huge magnitude,
+        # including exact-multiple and off-by-one cases
+        tok_start = base + i * ((1 << 31) + 13) + (i % 3) - 1
+        n = 1 + (i * 997) % (4 * L)
+        rows.append((tok_start, n))
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["tok_start", "n_tokens"]),
+        schema="tok_start long, n_tokens long",
+    )
+    first, last = seq_span_exprs(L)
+    got = df.select(
+        "tok_start", "n_tokens",
+        first.alias("first_seq"), last.alias("last_seq"),
+    ).toPandas()
+    diverged = 0
+    for r in got.itertuples(index=False):
+        exp_first = r.tok_start // L
+        exp_last = (r.tok_start + r.n_tokens - 1) // L
+        assert (r.first_seq, r.last_seq) == (exp_first, exp_last), r
+        # the retired double form loses these rows
+        if int(float(r.tok_start) / L) != exp_first:
+            diverged += 1
+    assert diverged > 0, "test inputs failed to exercise the 2^53 regime"
