@@ -61,3 +61,41 @@ def test_estimator_report_families(spark):
     assert rep["estimated"] > 0
     assert rep["overshoot_rate"] == 0.0
     assert rep["mean_gap"] <= 1.0
+
+
+@pytest.mark.parametrize("profile", ["phased", "flat"])
+def test_run_pipeline_codec_profiles(tmp_path, profile):
+    """The spark-submit entry runs end-to-end under BOTH codec
+    profiles: 'phased' (zstd build session -> fresh lz4 query session
+    resuming from the build's manifests — the r4 shipped default) and
+    'flat' (one lz4 session). Subprocess because each profile owns its
+    SparkSession lifecycle."""
+    import json
+    import re
+    import subprocess
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent.parent
+    proc = subprocess.run(
+        [
+            sys.executable, str(repo / "scripts" / "run_pipeline.py"),
+            "--local", "4", "--n-docs", "400", "--n-queries", "12",
+            "--partitions", "8", "--warmup", "0",
+            "--codec-profile", profile,
+            "--out", str(tmp_path / f"idx_{profile}"),
+        ],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    m = re.findall(r'\{"n_docs".*\}', proc.stdout + proc.stderr)
+    assert m, proc.stdout[-2000:]
+    r = json.loads(m[-1])
+    assert r["codec_profile"] == profile
+    assert r["n_docs"] == 400 and r["result_rows"] > 0
+    assert r["build_docs_per_sec"] > 0 and r["queries_per_sec"] > 0
+    # the build executed every stage exactly once (the phased query
+    # session RESUMES, never recomputes)
+    assert r["stages_executed"] == [
+        "docs", "term_ids", "stats", "postings", "lexicon",
+        "term_meta", "segments",
+    ]
