@@ -392,9 +392,12 @@ class IncrementalIndexer:
         ``on_recrawl`` picks the policy when a duplicate IS found:
         ``"error"`` (default — the batch-build contract, fail loudly)
         or ``"filter"`` (crawl-stream mode — deterministically keep
-        one row per url, drop already-indexed urls, log counts, keep
-        going; an all-recrawl batch degrades to a committed no-op
-        instead of wedging the stream)."""
+        one row per url, drop already-indexed urls, keep going; an
+        all-recrawl batch degrades to a committed no-op with a
+        warning instead of wedging the stream. No per-batch drop
+        counting: that would cost an extra delta-sized job per
+        micro-batch — derive drop rates from the stored docs table
+        offline instead)."""
         if pages.isEmpty():
             prev = self._committed_gen()
             if prev is None:
