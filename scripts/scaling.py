@@ -178,6 +178,23 @@ Reproduce: `python scripts/scaling.py --n {n} --n-docs {args.n_docs} --queries {
 (best-of-{args.repeats} per level, {args.strategy}-major queries; the
 shared-host VM sees neighbor CPU steal — compare only runs from a
 quiet window, BENCH.md "Measurement discipline")
+"""
+    if rounds:
+        table += (
+            "\nInterleaved per-round ratios (each round's two levels"
+            " measured\nback-to-back under the same box weather —"
+            " every round reported):\n\n"
+            "| round | build eff | query eff |"
+            f" local[{n}] / local[{n4}] build docs/s |\n|---|---|---|---|\n"
+        )
+        for r in rounds:
+            table += (
+                f"| {r['round']} | {r['build_eff']:.3f} |"
+                f" {r['query_eff']:.3f} |"
+                f" {r['low_build_dps']} / {r['high_build_dps']} |\n"
+            )
+    table += f"""
+Curated cross-run record + attribution: BENCH.md "Round-4 headline".
 
 Raw JSON:
 
