@@ -104,6 +104,9 @@ _EXCEPTIONS = {
     "red": "red", "bed": "bed", "led": "led", "fed": "feed",
     "bred": "breed", "shed": "shed", "sled": "sled", "wed": "wed",
     "hundred": "hundred", "sacred": "sacred", "hatred": "hatred",
+    "kindred": "kindred", "naked": "naked", "wicked": "wicked",
+    "rugged": "rugged", "jagged": "jagged", "ragged": "ragged",
+    "wretched": "wretched", "crooked": "crooked",
     "united": "unite", "used": "use", "based": "base", "need": "need",
     "proceed": "proceed", "exceed": "exceed", "succeed": "succeed",
     # -eed: headwords keep it (speed/seed/...); true past forms map
@@ -252,6 +255,15 @@ def stem(word: str) -> str:
         word = word[:-1] if word[-4] in "aeiouy" else word[:-2]
     elif word.endswith("s") and not word.endswith(("ss", "us", "is")) and len(word) > 3:
         word = word[:-1]
+
+    # kstem checks its dictionary after EACH step — re-check the
+    # exception table on the de-pluralized form so noun plurals of
+    # protected headwords stop here ("hundreds" -> "hundred" must not
+    # fall through to the past-tense strip -> "hundr"; same for
+    # "mornings"/"siblings" vs the -ing stage).
+    hit = _EXCEPTIONS.get(word)
+    if hit is not None:
+        return hit
 
     # ---- past tense (kstem step 2)
     if word.endswith("ied") and len(word) > 4:

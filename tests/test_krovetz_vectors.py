@@ -236,6 +236,19 @@ VECTORS = {
     "need": "need", "proceed": "proceed", "exceed": "exceed",
     "succeed": "succeed", "hundred": "hundred",
     "sacred": "sacred", "hatred": "hatred", "against": "against",
+    # plural-of-protected-headword chains (the step-2 dictionary
+    # re-check: plural strip must not fall through to -ed/-ing rules)
+    "hundreds": "hundred", "hatreds": "hatred",
+    "mornings": "morning", "evenings": "evening",
+    "siblings": "sibling", "kings": "king", "things": "thing",
+    # adjective -ed headwords (not past tense)
+    "naked": "naked", "wicked": "wicked", "rugged": "rugged",
+    "jagged": "jagged", "ragged": "ragged", "wretched": "wretched",
+    "kindred": "kindred",
+    # genuine deverbal plurals still stem through both steps
+    "buildings": "build", "feelings": "feel", "meetings": "meet",
+    "earnings": "earn", "savings": "save", "warnings": "warn",
+    "paintings": "paint", "recordings": "record",
     "interest": "interest", "united": "unite", "used": "use",
     "based": "base", "fed": "feed", "bred": "breed",
 }
