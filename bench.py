@@ -308,9 +308,21 @@ def main() -> None:
         ("ranked_or", "taat_100q"),
     ):
         timed(key, lambda a=algo: headline_search(a).count())
+    # Range execution follows the same strategy switch (r4 VERDICT #1:
+    # the query-major form was the round's only regression — payloads
+    # shipped once per (query, bucket); topk_range_batch ships them
+    # once per (batch, bucket), pinned rank-identical by the
+    # range_topk gate entry's batch tags).
+    from pisa_spark.query.executor import topk_range_batch
+
+    def headline_range(algo):
+        if strategy == "batch":
+            return topk_range_batch(index, parsed, algorithm=algo, k=10)
+        return topk_range(index, parsed, algorithm=algo, k=10)
+
     timed(
         "range_maxscore_100q",
-        lambda: topk_range(index, parsed, algorithm="maxscore", k=10).count(),
+        lambda: headline_range("maxscore").count(),
     )
 
     # Threshold-bootstrapped BMW (kth_threshold pipeline end-to-end).

@@ -450,18 +450,54 @@ def _bmw_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _range_batch(algorithm: str, live: bool = False):
+    """Batch-major range execution (executor.topk_range_batch): term
+    payloads cross the wire once per (batch, bucket) instead of once
+    per (query, bucket); with ``live``, additionally bootstrapped by
+    pair-estimate thresholds through the Catalyst live-range
+    pre-filter. Must stay rank-identical to ranked_or."""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pisa_spark.query.executor import topk_range_batch
+        from pisa_spark.query.parser import parse_queries
+
+        index = _get_index(spark, sf_dir)
+        parsed = parse_queries(
+            _queries_df(spark), index.lexicon, pre_tokenized=True
+        )
+        est = None
+        if live:
+            from pisa_spark.query.thresholds import (
+                estimate_thresholds_with_pairs, kth_score_cache,
+            )
+
+            cache = kth_score_cache(index, k=K)
+            est = estimate_thresholds_with_pairs(index, parsed, cache, k=K)
+        return topk_range_batch(
+            index, parsed, algorithm=algorithm, k=K, thresholds=est,
+            batches=5,
+        )
+
+    fn.__name__ = f"gated_range_batch{'_live' if live else ''}_{algorithm}"
+    return fn
+
+
 def _range_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Doc-range-partitioned execution (wand_data_range) under
-    maxscore, BMW, BMW + live-block pre-filter, and per-range TAAT
+    maxscore, BMW, BMW + live-block pre-filter, per-range TAAT
     (range_taat_query.hpp: the accumulator algorithm run range by
     range — here the vectorized TAAT kernel per salt-bucket range,
-    merged by the shared partial-top-k window), tagged by range_mode
-    — each must stay rank-identical to ranked_or."""
+    merged by the shared partial-top-k window), and the batch-major
+    range form (shared payloads per (batch, bucket), with and without
+    the live pre-filter), tagged by range_mode — each must stay
+    rank-identical to ranked_or."""
     runs = {
         "maxscore": _run_kernel("maxscore", range_mode=True),
         "bmw": _run_kernel("block_max_wand", range_mode=True),
         "bmw_live": _run_range_live("block_max_wand"),
         "taat": _run_kernel("ranked_or", range_mode=True),
+        "batch": _range_batch("maxscore"),
+        "batch_live": _range_batch("block_max_wand", live=True),
     }
     return tagged_union(
         "range_mode",

@@ -158,7 +158,7 @@ DECODE_CHECK_CODECS = [
 BMW_VARIANT_TAGS = [
     "bootstrap", "cwand", "quantized", "sampling_safe", "varblock",
 ]
-RANGE_MODE_TAGS = ["bmw", "bmw_live", "maxscore", "taat"]
+RANGE_MODE_TAGS = ["batch", "batch_live", "bmw", "bmw_live", "maxscore", "taat"]
 STRATEGY_TAGS = ["adaptive", "batched"]
 ANALYZER_TAGS = ["english", "whitespace"]
 

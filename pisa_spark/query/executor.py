@@ -526,6 +526,15 @@ def topk_range(
     partial = rows.groupBy("query_id", "bucket").applyInPandas(
         run, "query_id string, doc_id long, score double"
     )
+    return _merge_range_partials(partial, parsed, k)
+
+
+def _merge_range_partials(
+    partial: DataFrame, parsed: DataFrame, k: int
+) -> DataFrame:
+    """Shared heap merge for range execution (range_query.hpp's single
+    heap across ranges, in window form): rank the per-bucket partial
+    top-k rows per query and cap at the query's k."""
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("doc_id").asc()
     )
@@ -749,3 +758,250 @@ def topk_search_batch(
     return rows.groupBy("batch_id").cogroup(pq.groupBy("batch_id")).applyInPandas(
         lambda left, right: run(left, right), schema
     )
+
+
+def topk_range_batch(
+    index: InvertedIndex,
+    parsed: DataFrame,
+    algorithm: str = "maxscore",
+    k: int = 10,
+    thresholds: DataFrame | None = None,
+    batches: int | None = None,
+    scan_prune: bool | None = None,
+) -> DataFrame:
+    """(query_id, rank, doc_id, score) — BATCH-major RANGE execution.
+
+    ``topk_range`` ships each (query, docID-bucket) group its own copy
+    of the bucket's term blocks: a term shared by Q queries is
+    Arrow-transferred and block-decoded Q times per bucket — the same
+    per-query payload duplication topk_search_batch removes for the
+    query-major path (reference analogue: range_query.hpp's shared
+    per-range state amortized across the tools/queries.cpp batch loop
+    via the resident index). This variant cogroups on
+    (batch_id, bucket): LEFT = the batch's DISTINCT terms' blocks
+    within the bucket (each list crosses the wire once per batch per
+    bucket, decoded at most once via the shared per-term block cache);
+    RIGHT = the batch's parsed queries replicated per live bucket
+    (fixed-width metadata rows only — payload bytes never replicate).
+    Kernels then run per query over the bucket-local protos exactly as
+    topk_range's per-group kernel would, and the partial top-k rows
+    merge through the same shared-heap window — results are identical
+    by construction.
+
+    Scale shape: parallelism = batches x buckets tasks; per-task
+    working set = the batch's distinct lists WITHIN ONE BUCKET, so the
+    head-term caveat of topk_search_batch does not apply — no task
+    ever sees a full posting list, same as topk_range. ``batches``
+    defaults to ceil(2 x defaultParallelism / bucket-count): buckets
+    already provide the parallelism axis at scale (batches -> 1, full
+    sharing per bucket), while small corpora (few buckets) keep the
+    cores busy via query batching.
+
+    ``thresholds`` enables the same Catalyst live-range pre-filter as
+    topk_range (wand_data_range.hpp compute_live_blocks): the
+    (query, bucket) live set prunes the replicated query side, and its
+    per-batch projection prunes dead buckets off the segment side
+    before any payload ships.
+    """
+    import math
+    from dataclasses import replace
+
+    from pisa_spark.build.segments import blocks_per_bucket
+
+    kernel = RANKED_KERNELS[algorithm]
+    decode = CODECS[index.config.index.codec][1]
+    cfg = index.config.index
+    bucket_stride = blocks_per_bucket(cfg)
+    stats = Stats(
+        num_docs=float(index.num_docs),
+        avg_len=float(index.avg_len),
+        k1=index.config.bm25.k1,
+        b=index.config.bm25.b,
+        quantized=bool(index.config.index.quantize_bits),
+    )
+    if thresholds is not None:
+        if algorithm not in DISJUNCTIVE_ALGORITHMS:
+            raise ValueError(
+                f"threshold bootstrapping is unsound for conjunctive "
+                f"algorithm {algorithm!r}"
+            )
+        parsed = parsed.join(F.broadcast(thresholds), "query_id", "left")
+    merge_parsed = parsed  # k-column presence decides the merge cap
+    if "k" not in parsed.columns:
+        parsed = parsed.withColumn("k", F.lit(int(k)))
+
+    par = index.segments.sparkSession.sparkContext.defaultParallelism
+    n_buckets = max(
+        1, math.ceil(max(int(index.num_docs), 1) / cfg.salt_bucket_docs)
+    )
+    if batches is None:
+        # Buckets are the parallelism axis at scale (batches -> 1,
+        # maximal payload sharing per bucket); small corpora (few
+        # buckets) keep the cores busy via query batching. 1x the
+        # cores — unlike topk_search_batch's 2x — because each
+        # (batch, bucket) group is already bucket-bounded, so the
+        # straggler-smoothing second wave buys less than the extra
+        # payload copies cost (measured at 100q/sf0.1: 1x par 0.63 s,
+        # 2x par 0.87 s).
+        batches = max(1, math.ceil(par / n_buckets))
+    batch_expr = F.pmod(F.xxhash64("query_id"), F.lit(batches)).cast("int")
+    pq = parsed.withColumn("batch_id", batch_expr)
+    # Segment side: distinct terms per batch (the dedup that removes
+    # the per-query payload copies), bucketed exactly as topk_range.
+    bt = parsed.select(batch_expr.alias("batch_id"), "term_id").distinct()
+    rows = _factored_segment_rows(index, parsed, bt, scan_prune).withColumn(
+        "bucket", (F.col("block_id") / F.lit(bucket_stride)).cast("long")
+    )
+    if thresholds is not None:
+        # Live-range pruning in Catalyst (metadata columns only — the
+        # aggregate reads block maxes/weights, so column pruning keeps
+        # payload bytes out of this pass): the per-(query, bucket)
+        # live set filters the replicated query side; its per-batch
+        # bucket projection filters the payload-carrying segment side.
+        qmeta = _query_segments(index, parsed, scan_prune).withColumn(
+            "bucket", (F.col("block_id") / F.lit(bucket_stride)).cast("long")
+        )
+        live = live_ranges(qmeta).localCheckpoint()
+        live_b = (
+            live.join(pq.select("query_id", "batch_id").distinct(), "query_id")
+            .select("batch_id", "bucket")
+            .distinct()
+        )
+        rows = rows.join(live_b, ["batch_id", "bucket"])
+        # inner join on query_id adds the query's live buckets — the
+        # replication step for this path, restricted to live ranges
+        pq = pq.join(live, ["query_id"])
+    else:
+        # Replicate the batch's queries to every bucket: a pure
+        # driver-side (batches x n_buckets) literal table — NO segment
+        # pass (a data-derived distinct(batch, bucket) costs a full
+        # workload-metadata aggregation per call; measured ~0.2 s of
+        # the bench job). Sound because this engine's doc ids are
+        # DENSE by construction (build/ids.assign_global_ids;
+        # incremental generations stack contiguous offsets), so every
+        # real bucket < ceil(num_docs / salt_bucket_docs); the kernel
+        # below still guards loudly against a bucket outside the
+        # range (left rows with no replicated queries) rather than
+        # ever dropping results silently.
+        spark = index.segments.sparkSession
+        bb = spark.range(int(batches)).select(
+            F.col("id").cast("int").alias("batch_id")
+        ).crossJoin(
+            spark.range(int(n_buckets)).select(F.col("id").alias("bucket"))
+        )
+        pq = pq.join(F.broadcast(bb), "batch_id")
+
+    def run(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        # left: the (batch, bucket)'s distinct term blocks (+ stats);
+        # right: the batch's parsed queries for this bucket.
+        if len(left) and not len(right):
+            # Every real bucket must have received the batch's query
+            # replica (see the bb construction above). Fail loudly —
+            # returning empty here would silently drop this bucket's
+            # docs from the top-k.
+            raise RuntimeError(
+                "topk_range_batch: segment bucket "
+                f"{int(left['bucket'].iloc[0]) if 'bucket' in left else '?'} "
+                "outside the replicated query range — non-dense doc ids?"
+            )
+        protos: dict[int, TermPostings] = {}
+        base_bm: dict[int, np.ndarray] = {}
+        for term_id, g in left.groupby("term_id", sort=True):
+            g = g.sort_values("block_id")
+            tmax = float(g["term_max_score"].iloc[0])
+            if "max_score_q" in g.columns:
+                bm = g["max_score_q"].to_numpy(np.float64) / 255.0 * tmax
+            else:
+                bm = g["max_score"].to_numpy(np.float64)
+            tid = int(term_id)
+            base_bm[tid] = bm * MICRO
+            cache: dict = {}
+            if int(g["count"].sum()) > BATCH_CACHE_MAX_POSTINGS:
+                cache = CappedBlockCache(BATCH_CACHE_MAX_POSTINGS)
+            protos[tid] = TermPostings(
+                term_id=tid,
+                df=float(g["df"].iloc[0]),
+                weight=1.0,
+                max_score=tmax * MICRO + 1.0,
+                block_max_doc=g["max_doc_id"].to_numpy(np.uint64),
+                block_max_score=base_bm[tid] + 1.0,
+                block_count=g["count"].to_numpy(np.int64),
+                doc_payloads=[bytes(x) for x in g["doc_bytes"]],
+                tf_payloads=[bytes(x) for x in g["tf_bytes"]],
+                len_payloads=[bytes(x) for x in g["len_bytes"]],
+                decode=decode,
+                block_cache=cache,
+            )
+        r = right.sort_values("query_id", kind="stable")
+        q_ids = r["query_id"].to_numpy()
+        t_ids = r["term_id"].to_numpy()
+        weights = r["weight"].to_numpy(np.float64)
+        ks = r["k"].to_numpy()
+        thr = (
+            r["threshold_micro"].to_numpy(np.float64)
+            if "threshold_micro" in r
+            else None
+        )
+        out_q: list = []
+        out_d: list = []
+        out_s: list = []
+        i, n_rows = 0, len(r)
+        while i < n_rows:
+            j = i
+            terms = []
+            while j < n_rows and q_ids[j] == q_ids[i]:
+                proto = protos.get(int(t_ids[j]))
+                if proto is not None:
+                    w = float(weights[j])
+                    terms.append(replace(
+                        proto,
+                        weight=w,
+                        max_score=w * (proto.max_score - 1.0) + 1.0,
+                        block_max_score=w * base_bm[proto.term_id] + 1.0,
+                    ))
+                j += 1
+            init = 0.0
+            if thr is not None and not np.isnan(thr[i]):
+                init = float(thr[i]) - PRUNE_EPS
+            docs, scores = kernel(
+                terms, int(ks[i]), stats, init_threshold=init
+            )
+            if len(docs):
+                out_q.append(np.repeat(q_ids[i], len(docs)))
+                out_d.append(docs)
+                out_s.append(scores)
+            for tp in terms:  # idf grows once, shared thereafter
+                if tp.idf_cache is not None:
+                    protos[tp.term_id].idf_cache = tp.idf_cache
+            i = j
+        if not out_q:
+            return pd.DataFrame(
+                {"query_id": pd.Series(dtype=object),
+                 "doc_id": pd.Series(dtype=np.int64),
+                 "score": pd.Series(dtype=np.float64)}
+            )
+        return pd.DataFrame(
+            {
+                "query_id": np.concatenate(out_q),
+                "doc_id": np.concatenate(out_d),
+                "score": np.concatenate(out_s),
+            }
+        )
+
+    # Pinned partition count (AQE-coalesce exempt, same rationale as
+    # topk_search_batch): ~one (batch, bucket) group per partition up
+    # to 4x the cores — beyond that, groups within a partition run
+    # sequentially inside one task, which is the right shape when
+    # buckets vastly outnumber cores (10^12-doc corpora).
+    n_parts = int(max(batches, min(batches * n_buckets, 4 * par)))
+    rows = rows.repartition(n_parts, "batch_id", "bucket")
+    pq = pq.repartition(n_parts, "batch_id", "bucket")
+    partial = (
+        rows.groupBy("batch_id", "bucket")
+        .cogroup(pq.groupBy("batch_id", "bucket"))
+        .applyInPandas(
+            lambda left, right: run(left, right),
+            "query_id string, doc_id long, score double",
+        )
+    )
+    return _merge_range_partials(partial, merge_parsed, k)

@@ -1492,6 +1492,85 @@ def test_range_executor_heterogeneous_k_matches_query_major(index, parsed):
     )
 
 
+@pytest.mark.parametrize("batches", [1, 3, 16])
+def test_range_batch_matches_oracle(index, parsed, oracle_topk, batches):
+    """Batch-major range execution (topk_range_batch): payloads ship
+    once per (batch, bucket) instead of once per (query, bucket) but
+    results stay rank-identical to the exhaustive oracle at every
+    batch count (1 = full sharing, 16 > query count = query-major
+    degenerate)."""
+    from pisa_spark.query.executor import topk_range_batch
+
+    got = _fetch(
+        topk_range_batch(
+            index, parsed, algorithm="maxscore", k=10, batches=batches
+        )
+    )
+    exp = oracle_topk.astype({"rank": "int64", "doc_id": "int64"})
+    pd.testing.assert_frame_equal(
+        got[["query_id", "rank", "doc_id"]], exp[["query_id", "rank", "doc_id"]]
+    )
+    np.testing.assert_allclose(got["score"], exp["score"], rtol=0, atol=1e-6)
+
+
+def test_range_batch_live_thresholds(index, parsed, oracle_topk):
+    """topk_range_batch with bootstrap thresholds: the Catalyst
+    live-range pre-filter path stays rank-identical, and conjunctive
+    bootstrapping is rejected exactly like the query-major form."""
+    from pisa_spark.query.executor import topk_range_batch
+    from pisa_spark.query.thresholds import (
+        estimate_thresholds_with_pairs, kth_score_cache,
+    )
+
+    cache = kth_score_cache(index, k=10)
+    est = estimate_thresholds_with_pairs(index, parsed, cache, k=10)
+    got = _fetch(
+        topk_range_batch(
+            index, parsed, algorithm="block_max_wand", k=10,
+            thresholds=est, batches=3,
+        )
+    )
+    exp = oracle_topk.astype({"rank": "int64", "doc_id": "int64"})
+    pd.testing.assert_frame_equal(
+        got[["query_id", "rank", "doc_id"]], exp[["query_id", "rank", "doc_id"]]
+    )
+
+    with pytest.raises(ValueError, match="unsound"):
+        topk_range_batch(
+            index, parsed, algorithm="ranked_and", k=10, thresholds=est
+        )
+
+
+def test_range_batch_heterogeneous_k(index, parsed):
+    """Per-query k parity for the batch-major range form, plus the
+    no-k-column fallback to the k argument."""
+    mixed = parsed.withColumn(
+        "k",
+        F.when(F.pmod(F.xxhash64("query_id"), F.lit(2)) == 0, F.lit(4))
+        .otherwise(F.lit(9)),
+    )
+    from pisa_spark.query.executor import topk_range_batch
+
+    exp = _fetch(topk_search(index, mixed, algorithm="maxscore", k=10))
+    got = _fetch(
+        topk_range_batch(index, mixed, algorithm="maxscore", k=10, batches=2)
+    )
+    pd.testing.assert_frame_equal(
+        got[["query_id", "rank", "doc_id"]],
+        exp[["query_id", "rank", "doc_id"]],
+    )
+
+    no_k = parsed.drop("k")
+    exp = _fetch(topk_search(index, no_k, algorithm="maxscore", k=7))
+    got = _fetch(
+        topk_range_batch(index, no_k, algorithm="maxscore", k=7, batches=2)
+    )
+    pd.testing.assert_frame_equal(
+        got[["query_id", "rank", "doc_id"]],
+        exp[["query_id", "rank", "doc_id"]],
+    )
+
+
 def test_assign_global_ids_count_and_sum_out(spark):
     """count_out rides the offset collect: n_rows AND (with sum_col)
     the column sum must be exact — build_index and the incremental
