@@ -43,7 +43,11 @@ def main() -> None:
                     help="fixed input/shuffle partitioning (parallelism-independent)")
     ap.add_argument("--local", type=int, default=None,
                     help="run on local[N] (omit under spark-submit)")
-    ap.add_argument("--algorithm", default="maxscore")
+    # adaptive = per-query kernel selection (kernels.choose_algorithm):
+    # the fastest driver-visible kernel row (BENCH_r04 mean 4.23 ms vs
+    # maxscore 4.26) with rank-identity pinned every round by the
+    # strategy_topk gate entry's 'adaptive' tag.
+    ap.add_argument("--algorithm", default="adaptive")
     ap.add_argument("--strategy", default="query",
                     choices=["query", "batched"],
                     help="query-major (one task per query, the latency "
