@@ -375,7 +375,9 @@ def datapipe_queries():
         "doc_fingerprints": lambda s, d: textstats.doc_fingerprints(_docs(s, d)),
         "curation": _curation_union,
         "mm_meta": _mm_meta_union,
-        "mm_decode_stub": lambda s, d: multimodal.decode_blobs(_pages(s, d)),
+        "mm_decode_bmp": lambda s, d: multimodal.decode_blobs(
+            multimodal.synth_image_blobs(_docs(s, d))
+        ),
     }
 
 
@@ -406,11 +408,12 @@ def datapipe_oracle_sql():
         "doc_fingerprints": textstats.doc_fingerprints_oracle(),
         "curation": _curation_oracle(),
         "mm_meta": _mm_meta_oracle(),
-        # mm_decode_stub: the FAKE decoder's byte-level reduction IS
-        # SQL-expressible (hex-dump byte math) — value-exact oracle
-        # pinning the plumbing contract; a real pixel decoder would
-        # revert this entry to rows-only.
-        "mm_decode_stub": multimodal.decode_stub_oracle(),
+        # mm_decode_bmp: REAL pixel decode — the Spark side round-trips
+        # actual 24-bit BMP bytes (encode_bmp -> decode_bmp) while the
+        # oracle recomputes every decoded value in closed form from the
+        # deterministic pixel formula; the wire format itself is pinned
+        # against public example bytes in tests.
+        "mm_decode_bmp": multimodal.decode_bmp_oracle(),
     }
 
 

@@ -13,21 +13,22 @@ plumbing for that pattern:
                         + ``explode`` — the decode itself is the
                         stubbed step
 - ``decode_blobs``      the real mapInPandas decode kernel: schema,
-                        Arrow batch shape, and partitioning are real;
-                        the pixel decode is stubbed (image/audio libs
-                        are not in this container) behind
-                        ``fake_decode`` / NotImplementedError. The
-                        kernel also emits FEATURE EXTRACTION (f0..f3
-                        byte-bucket histogram — real numpy math over
-                        the payload, not stubbed) and the RESIZE plan
-                        (``resize_dims``: aspect-preserving integer
-                        fit into a 224x224 box, applied to the
-                        decoded dims; a real decoder resamples pixels
-                        to exactly these dims)
+                        Arrow batch shape, and partitioning are real,
+                        and so is the default pixel decode —
+                        ``decode_bmp`` parses actual 24-bit BMP blobs
+                        (magic, BITMAPINFOHEADER, BGR order, 4-byte
+                        row padding, bottom-up/top-down rows; written
+                        by the pure-stdlib ``encode_bmp``). The kernel
+                        emits per-channel pixel sums, FEATURE
+                        EXTRACTION (f0..f3 pixel-byte histogram) and
+                        the RESIZE plan (``resize_dims``:
+                        aspect-preserving integer fit into a 224x224
+                        box applied to the decoded dims)
 
-Real decoders plug in by replacing ``fake_decode`` — the Spark plan
-(scan -> repartition by blob size -> mapInPandas -> struct column)
-does not change.
+Formats needing external libraries (JPEG/PNG/audio/video) plug in by
+passing ``decode_blobs(decoder=...)`` — the Spark plan (scan ->
+mapInPandas -> typed columns) does not change. ``synth_image_blobs``
+generates the deterministic BMP corpus the gate and tests decode.
 """
 
 from __future__ import annotations
@@ -57,8 +58,7 @@ def blob_meta_oracle() -> str:
     view (same construction as corpus.pages_from_documents).
     n_bytes counts UTF-8 BYTES via octet_length(encode(...)) — plain
     length() on the VARCHAR is a CHARACTER count and diverges from
-    Spark's octet_length on any non-ASCII text (decode_stub_oracle
-    already counts bytes the same way)."""
+    Spark's octet_length on any non-ASCII text."""
     return """SELECT doc_id,
        CAST(octet_length(encode('<html><body>' || text || '</body></html>'))
             AS BIGINT) AS n_bytes,
@@ -101,12 +101,12 @@ FROM meta m, LATERAL (
 ) f"""
 
 
-# ------------------------------------------------------------- decode stubs
+# ---------------------------------------------------------- pixel decoding
 
 DECODED_SCHEMA = (
     "doc_id long, n_bytes long, format string, width int, height int, "
-    "mean_byte double, out_w int, out_h int, "
-    "f0 long, f1 long, f2 long, f3 long"
+    "r_sum long, g_sum long, b_sum long, mean_byte double, "
+    "out_w int, out_h int, f0 long, f1 long, f2 long, f3 long"
 )
 
 RESIZE_MAX = 224  # target box for the resize plan (out_w x out_h)
@@ -123,23 +123,75 @@ def resize_dims(w: int, h: int, box: int = RESIZE_MAX) -> tuple[int, int]:
     return max(1, (w * box) // h), box
 
 
-def fake_decode(blob: bytes) -> dict:
-    """Deterministic stand-in for an image decoder: 'dimensions' are
-    derived from the byte length, 'pixels' from the raw bytes. A real
-    decoder (PIL/ffmpeg) replaces this function only. The byte-bucket
-    histogram (f0..f3 = counts of bytes in [0,64) [64,128) [128,192)
-    [192,256)) and the resize plan are REAL computations over the raw
-    payload — only the pixel interpretation of those bytes is fake."""
-    n = len(blob)
-    arr = np.frombuffer(blob, dtype=np.uint8)
-    w, h = int(n % 640) + 1, int(n % 480) + 1
+def encode_bmp(rgb: np.ndarray) -> bytes:
+    """Pure-stdlib 24-bit BMP writer (the BMP wire format is public:
+    BITMAPFILEHEADER + BITMAPINFOHEADER, BI_RGB uncompressed). Input
+    is an (h, w, 3) uint8 array in RGB row-major top-down order; the
+    file stores rows BOTTOM-UP with BGR channel order and each row
+    padded to a 4-byte boundary — the three classic parser traps
+    decode_bmp must undo exactly (pinned against the canonical 2x2
+    public example in tests)."""
+    import struct
+
+    h, w, _ = rgb.shape
+    stride = (3 * w + 3) // 4 * 4
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : 3 * w] = rgb[::-1, :, ::-1].reshape(h, 3 * w)  # bottom-up, BGR
+    pixel_bytes = rows.tobytes()
+    header = struct.pack(
+        "<2sIHHI", b"BM", 54 + len(pixel_bytes), 0, 0, 54
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixel_bytes), 2835, 2835, 0, 0
+    )
+    return header + pixel_bytes
+
+
+def decode_bmp(blob: bytes) -> dict:
+    """Real 24-bit BMP pixel decoder (no external libraries): parses
+    the actual wire format — magic, pixel-data offset,
+    BITMAPINFOHEADER dims (negative height = top-down rows), 24 bpp
+    BI_RGB only — strips per-row padding, restores top-down RGB order,
+    and reduces the true pixel matrix: per-channel sums, pixel-byte
+    mean, the f0..f3 intensity histogram (pixel byte >> 6), and the
+    resize plan. Raises ValueError on anything that is not an
+    uncompressed 24-bit BMP — unsupported formats fail loudly rather
+    than returning fake numbers."""
+    import struct
+
+    if len(blob) < 54 or blob[:2] != b"BM":
+        raise ValueError("not a BMP blob (missing 'BM' magic)")
+    data_offset = struct.unpack_from("<I", blob, 10)[0]
+    w, h_signed = struct.unpack_from("<ii", blob, 18)
+    planes, bpp = struct.unpack_from("<HH", blob, 26)
+    compression = struct.unpack_from("<I", blob, 30)[0]
+    if bpp != 24 or compression != 0 or planes != 1 or w <= 0:
+        raise ValueError(
+            f"unsupported BMP: bpp={bpp} compression={compression}"
+        )
+    h = abs(h_signed)
+    stride = (3 * w + 3) // 4 * 4
+    if len(blob) < data_offset + stride * h:
+        raise ValueError("truncated BMP pixel array")
+    rows = np.frombuffer(
+        blob, dtype=np.uint8, count=stride * h, offset=data_offset
+    ).reshape(h, stride)[:, : 3 * w]
+    bgr = rows.reshape(h, w, 3)
+    if h_signed > 0:  # bottom-up storage -> top-down
+        bgr = bgr[::-1]
+    rgb = bgr[:, :, ::-1]
+    flat = rgb.reshape(-1).astype(np.int64)
+    n = flat.size
+    ch = rgb.reshape(-1, 3).astype(np.int64)
     out_w, out_h = resize_dims(w, h)
-    hist = np.bincount(arr >> 6, minlength=4) if n else np.zeros(4, np.int64)
+    hist = np.bincount(flat >> 6, minlength=4)
     return {
-        "format": "fake/html" if blob[:1] == b"<" else "fake/bin",
+        "format": "bmp",
         "width": w,
         "height": h,
-        "mean_byte": float(arr.mean()) if n else 0.0,
+        "r_sum": int(ch[:, 0].sum()),
+        "g_sum": int(ch[:, 1].sum()),
+        "b_sum": int(ch[:, 2].sum()),
+        "mean_byte": float(int(flat.sum()) / n) if n else 0.0,
         "out_w": out_w,
         "out_h": out_h,
         "f0": int(hist[0]),
@@ -149,47 +201,96 @@ def fake_decode(blob: bytes) -> dict:
     }
 
 
-def decode_stub_oracle() -> str:
-    """DuckDB reproduction of the FAKE decoder's output, value-exact:
-    the blob is reconstructed as UTF-8 of the html wrapper (same
-    construction as corpus.pages_from_documents), and the byte mean
-    is computed from its hex dump (16*hi + lo per byte) — integer
-    sums, one IEEE division, identical doubles. A real pixel decoder
-    has no SQL form; THIS oracle pins the plumbing contract (sizes,
-    derived dims, byte-level reduction) the fake decoder defines."""
-    html = "'<html><body>' || text || '</body></html>'"
-    # byte bucket = byte >> 6 = hi_hex_digit // 4 (odd hex positions)
-    bucket = (
-        "(strpos('0123456789ABCDEF', substr(hx, CAST(2 * i - 1 AS INT), 1)) - 1)"
-        " // 4"
+# Deterministic synthetic image corpus: dims and pixels are pure
+# integer functions of doc_id, so a DuckDB oracle can recompute every
+# decoded value in closed form while the Spark path exercises the
+# REAL bytes (encode_bmp -> decode_bmp round-trip through the actual
+# wire format). Width crosses RESIZE_MAX so the resize plan's both
+# branches run; h > 1 exercises bottom-up row recovery; w % 4 varies
+# so every row-padding remainder occurs.
+BLOB_W_MOD = 250
+BLOB_H_MOD = 3
+BLOB_PIX_A = 131  # pixel byte i of doc d = (d*A + i*B) % 256
+BLOB_PIX_B = 17
+
+
+def synth_blob_pixels(doc_id: int) -> np.ndarray:
+    """(h, w, 3) uint8 RGB pixels for ``doc_id`` (see constants)."""
+    w = doc_id % BLOB_W_MOD + 1
+    h = doc_id % BLOB_H_MOD + 1
+    i = np.arange(w * h * 3, dtype=np.int64)
+    v = (doc_id * BLOB_PIX_A + i * BLOB_PIX_B) % 256
+    return v.astype(np.uint8).reshape(h, w, 3)
+
+
+def synth_image_blobs(docs: DataFrame) -> DataFrame:
+    """(doc_id, blob binary): the deterministic BMP corpus, generated
+    inside an Arrow-batched kernel (only doc_id crosses the wire in;
+    blob bytes are born distributed, never driver-side)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["doc_id"].to_numpy(np.int64)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "blob": [
+                        encode_bmp(synth_blob_pixels(int(d))) for d in ids
+                    ],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(gen, "doc_id long, blob binary")
+
+
+def decode_bmp_oracle() -> str:
+    """DuckDB closed-form recomputation of every value decode_bmp
+    produces over the synthetic corpus: dims, file size (header + the
+    PADDED row stride — the writer's size math, verified in SQL),
+    per-channel sums, pixel mean, intensity histogram, and resize
+    plan, all from the doc_id pixel formula. The Spark side goes
+    through the REAL bytes (encode_bmp -> decode_bmp), so any error
+    in padding, BGR order, bottom-up rows, or header layout that is
+    not perfectly self-cancelling breaks the hash; the symmetric-bug
+    residue is pinned separately against the canonical public 2x2
+    BMP example bytes in tests."""
+    px = f"(doc_id * {BLOB_PIX_A} + i * {BLOB_PIX_B}) % 256"
+    chan_sum = (
+        "COALESCE(list_sum(list_transform(range(0, n), i -> "
+        f"CASE WHEN i % 3 = {{c}} THEN {px} ELSE 0 END)), 0)"
     )
-    fcols = ",\n         ".join(
-        f"COALESCE(list_sum(list_transform(range(1, CAST(n AS BIGINT) + 1), "
-        f"i -> CASE WHEN {bucket} = {b} THEN 1 ELSE 0 END)), 0) AS f{b}"
-        for b in range(4)
+    fcol = (
+        "COALESCE(list_sum(list_transform(range(0, n), i -> "
+        f"CASE WHEN ({px}) // 64 = {{b}} THEN 1 ELSE 0 END)), 0)"
     )
-    return f"""WITH b AS (
+    fcols = ",\n         ".join(f"{fcol.format(b=b)} AS f{b}" for b in range(4))
+    return f"""WITH d AS (
   SELECT doc_id,
-         hex(encode({html})) AS hx,
-         octet_length(encode({html})) AS n
+         doc_id % {BLOB_W_MOD} + 1 AS w,
+         doc_id % {BLOB_H_MOD} + 1 AS h,
+         CAST((doc_id % {BLOB_W_MOD} + 1) * (doc_id % {BLOB_H_MOD} + 1) * 3
+              AS BIGINT) AS n
   FROM documents
 ),
 s AS (
-  SELECT doc_id, n, hx,
-         list_sum(list_transform(range(1, CAST(2 * n AS BIGINT) + 1),
-           j -> (strpos('0123456789ABCDEF', substr(hx, CAST(j AS INT), 1)) - 1)
-                * CASE WHEN j % 2 = 1 THEN 16 ELSE 1 END)) AS byte_sum,
-         {fcols},
-         n % 640 + 1 AS w,
-         n % 480 + 1 AS h
-  FROM b
+  SELECT doc_id, w, h, n,
+         list_sum(list_transform(range(0, n), i -> {px})) AS byte_sum,
+         {chan_sum.format(c=0)} AS r_sum,
+         {chan_sum.format(c=1)} AS g_sum,
+         {chan_sum.format(c=2)} AS b_sum,
+         {fcols}
+  FROM d
 )
 SELECT doc_id,
-       CAST(n AS BIGINT) AS n_bytes,
-       CASE WHEN substr(hx, 1, 2) = '3C' THEN 'fake/html'
-            ELSE 'fake/bin' END AS format,
+       CAST(54 + ((3 * w + 3) // 4) * 4 * h AS BIGINT) AS n_bytes,
+       'bmp' AS format,
        CAST(w AS INT) AS width,
        CAST(h AS INT) AS height,
+       CAST(r_sum AS BIGINT) AS r_sum,
+       CAST(g_sum AS BIGINT) AS g_sum,
+       CAST(b_sum AS BIGINT) AS b_sum,
        CAST(byte_sum AS DOUBLE) / CAST(n AS DOUBLE) AS mean_byte,
        CAST(CASE WHEN w <= {RESIZE_MAX} AND h <= {RESIZE_MAX} THEN w
                  WHEN w >= h THEN {RESIZE_MAX}
@@ -202,34 +303,30 @@ SELECT doc_id,
 FROM s"""
 
 
-def real_decode(blob: bytes) -> dict:  # pragma: no cover - stub
-    """Plug-in point for an actual decoder; the container ships no
-    image/audio libraries, so this is intentionally unimplemented."""
-    raise NotImplementedError(
-        "install an image/audio decoder and route decode_blobs(decoder=real_decode)"
-    )
-
-
-def decode_blobs(pages: DataFrame, decoder=fake_decode) -> DataFrame:
-    """The real multimodal kernel plumbing: Arrow-batched
-    ``mapInPandas`` over (doc_id, html) emitting a typed struct per
-    blob. Batch shape, schema, and distribution are production-real;
-    only ``decoder`` is fake in this container."""
+def decode_blobs(
+    blobs: DataFrame, decoder=decode_bmp, blob_col: str = "blob"
+) -> DataFrame:
+    """The multimodal decode kernel: Arrow-batched ``mapInPandas``
+    over (doc_id, <blob_col> binary) emitting typed columns per blob.
+    The default ``decoder`` is the real BMP pixel parser; other
+    formats (JPEG/PNG via external libraries) plug in through the
+    same signature without changing the Spark plan."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            metas = [decoder(bytes(b)) for b in pdf["html"]]
+            raw = [bytes(b) for b in pdf[blob_col]]
+            metas = [decoder(b) for b in raw]
             cols = {
                 "doc_id": pdf["doc_id"].to_numpy(np.int64),
-                "n_bytes": [len(bytes(b)) for b in pdf["html"]],
+                "n_bytes": [len(b) for b in raw],
             }
             for key in (
-                "format", "width", "height", "mean_byte",
-                "out_w", "out_h", "f0", "f1", "f2", "f3",
+                "format", "width", "height", "r_sum", "g_sum", "b_sum",
+                "mean_byte", "out_w", "out_h", "f0", "f1", "f2", "f3",
             ):
                 cols[key] = [m[key] for m in metas]
             yield pd.DataFrame(cols)
 
-    return pages.select("doc_id", "html").mapInPandas(kernel, DECODED_SCHEMA)
+    return blobs.select("doc_id", blob_col).mapInPandas(kernel, DECODED_SCHEMA)

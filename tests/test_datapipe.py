@@ -771,24 +771,82 @@ def test_fingerprints_detect_shared_passages(spark):
 
 # -------------------------------------------------------------- multimodal
 
-def test_decode_blobs_plumbing(spark):
-    from pisa_spark.corpus import pages_from_documents
-    from pisa_spark.datapipe.multimodal import decode_blobs, real_decode
+def test_decode_blobs_real_bmp(spark):
+    from pisa_spark.datapipe.multimodal import (
+        decode_blobs, synth_blob_pixels, synth_image_blobs,
+    )
 
-    pages = pages_from_documents(spark, SF).limit(10)
-    out = decode_blobs(pages).toPandas()
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(10)
+    out = (
+        decode_blobs(synth_image_blobs(docs))
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
     assert len(out) == 10
-    assert set(out["format"]) == {"fake/html"}
-    assert (out["n_bytes"] > 0).all()
-    assert out["mean_byte"].between(0, 255).all()
-    # feature extraction: bucket counts partition the payload bytes
-    assert (out[["f0", "f1", "f2", "f3"]].sum(axis=1) == out["n_bytes"]).all()
-    # resize plan: inside the box, aspect order preserved, no upscale
+    assert set(out["format"]) == {"bmp"}
+    # decoded dims + channel sums equal the generator's pixel matrix
+    for _, row in out.iterrows():
+        rgb = synth_blob_pixels(int(row["doc_id"]))
+        assert (row["height"], row["width"]) == rgb.shape[:2]
+        ch = rgb.reshape(-1, 3).astype(np.int64)
+        assert row["r_sum"] == ch[:, 0].sum()
+        assert row["g_sum"] == ch[:, 1].sum()
+        assert row["b_sum"] == ch[:, 2].sum()
+        # file size = 54-byte header + padded rows
+        stride = (3 * int(row["width"]) + 3) // 4 * 4
+        assert row["n_bytes"] == 54 + stride * int(row["height"])
+    # histogram partitions the PIXEL bytes (not file bytes)
+    assert (
+        out[["f0", "f1", "f2", "f3"]].sum(axis=1)
+        == 3 * out["width"] * out["height"]
+    ).all()
+    # resize plan: inside the box, no upscale
     assert (out["out_w"] <= 224).all() and (out["out_h"] <= 224).all()
     assert (out["out_w"] <= out["width"]).all()
     assert (out["out_h"] <= out["height"]).all()
-    with pytest.raises(NotImplementedError):
-        real_decode(b"\x89PNG")
+
+
+def test_bmp_wire_format_pinned_to_public_example():
+    """encode_bmp/decode_bmp against the canonical public 2x2 24-bit
+    BMP example bytes (the BMP file format's standard documentation
+    example: top row blue+green, bottom row red+white, 70 bytes) —
+    catches any symmetric writer/reader bug (BGR order, bottom-up
+    rows, row padding, header layout) that a round-trip alone would
+    self-cancel."""
+    from pisa_spark.datapipe.multimodal import decode_bmp, encode_bmp
+
+    expected = bytes.fromhex(
+        "424d46000000000000003600000028000000020000000200000001001800"
+        "0000000010000000130b0000130b00000000000000000000"
+        "0000ffffffff0000"
+        "ff000000ff000000"
+    )
+    rgb = np.array(
+        [[[0, 0, 255], [0, 255, 0]],      # top row: blue, green
+         [[255, 0, 0], [255, 255, 255]]],  # bottom row: red, white
+        dtype=np.uint8,
+    )
+    assert encode_bmp(rgb) == expected
+    meta = decode_bmp(expected)
+    assert (meta["width"], meta["height"]) == (2, 2)
+    assert (meta["r_sum"], meta["g_sum"], meta["b_sum"]) == (510, 510, 510)
+
+    # top-down variant (negative height) must decode identically
+    top_down = bytearray(expected)
+    top_down[22:26] = (-2).to_bytes(4, "little", signed=True)
+    # rows swap when stored top-down
+    top_down[54:62], top_down[62:70] = expected[62:70], expected[54:62]
+    assert decode_bmp(bytes(top_down)) == meta
+
+    with pytest.raises(ValueError, match="magic"):
+        decode_bmp(b"\x89PNG" + b"\x00" * 64)
+    with pytest.raises(ValueError, match="unsupported"):
+        bad = bytearray(expected)
+        bad[28] = 8  # 8 bpp
+        decode_bmp(bytes(bad))
+    with pytest.raises(ValueError, match="truncated"):
+        decode_bmp(expected[:-4])
 
 
 def test_resize_dims_aspect_and_bounds():
