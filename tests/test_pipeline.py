@@ -518,3 +518,188 @@ def test_null_urls_fail_loudly(spark, tmp_path):
 
     with pytest.raises(ValueError, match="NULL 'url'"):
         BuildPipeline(spark, str(tmp_path / "null_idx"), CFG).run(bad)
+
+
+# ------------------------------------------------- full-corpus round-trips
+
+SF001 = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def full_index(spark):
+    """One sf0.01 full-corpus index shared by the wire-format
+    round-trip tests (the gate tags cover a 200-list slice; these
+    tests export/reimport EVERY list)."""
+    from pisa_spark.corpus import pages_from_documents
+    from pisa_spark.index import build_index
+
+    pages = pages_from_documents(spark, SF001)
+    idx = build_index(spark, pages, CFG)
+    idx.segments.persist().count()
+    return idx
+
+
+def _rebuilt_from_postings(idx, postings, doc_sizes):
+    """InvertedIndex over reimported postings: same lexicon/config,
+    stats + doc lengths + segments recomputed from the imported data
+    (scored_postings needs the doc_len column the wire formats do not
+    carry per posting)."""
+    from pyspark.sql import functions as F
+
+    from pisa_spark.build import build_term_meta, collection_stats
+    from pisa_spark.build.segments import build_segments, scored_postings
+    from pisa_spark.index import InvertedIndex
+
+    stats = collection_stats(doc_sizes).collect()[0]
+    num_docs = int(stats["num_docs"])
+    avg_len = float(stats["avg_len"] or 0.0)
+    scored = scored_postings(postings, doc_sizes, idx.lexicon, num_docs, avg_len)
+    term_meta = build_term_meta(
+        scored, num_docs, avg_len, idx.config.bm25
+    )
+    segments = build_segments(
+        scored, num_docs, avg_len, idx.config.index, idx.config.bm25
+    )
+    return InvertedIndex(
+        lexicon=idx.lexicon,
+        docmap=doc_sizes.select("doc_id"),
+        doc_sizes=doc_sizes,
+        postings=postings,
+        segments=segments,
+        term_meta=term_meta,
+        num_docs=num_docs,
+        avg_len=avg_len,
+        collection_len=int(stats["collection_len"] or 0),
+        config=idx.config,
+    )
+
+
+def _topk_frame(index, spark, k=10):
+    """Deterministic 25-query top-k over ``index`` (workload drawn
+    from the lexicon exactly like bench.py's kernel section)."""
+    import pandas as pd
+
+    from pisa_spark.query.executor import topk_search
+    from pisa_spark.query.parser import parse_queries
+
+    terms = [
+        r["term"] for r in index.lexicon.orderBy("term_id").limit(200).collect()
+    ]
+    rows = [
+        (
+            f"q{qi:03d}",
+            [terms[(qi * 11 + j * 7) % len(terms)] for j in range(1 + qi % 4)],
+            k,
+        )
+        for qi in range(25)
+    ]
+    qdf = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["query_id", "terms", "k"]),
+        schema="query_id string, terms array<string>, k int",
+    )
+    parsed = parse_queries(qdf, index.lexicon, pre_tokenized=True)
+    return (
+        topk_search(index, parsed, algorithm="block_max_wand", k=k)
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+
+
+def test_ciff_full_corpus_roundtrip_rank_identity(spark, full_index, tmp_path):
+    """Export EVERY posting list of the sf0.01 index to one CIFF file,
+    reimport it, rebuild segments/WAND metadata from the imported
+    postings + doc records, and require rank-identical top-k with
+    byte-equal scores (reference parity: tools/ciff2pisa + the full
+    query stack over the converted index)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from pisa_spark.build.ciff import ciff_import, write_ciff
+
+    idx = full_index
+    sub = (
+        idx.postings.join(idx.lexicon.select("term_id", "term"), "term_id")
+        .orderBy("term_id", "doc_id")
+        .toPandas()
+    )
+    plists = [
+        (str(term), list(zip((int(d) for d in g["doc_id"]),
+                             (int(t) for t in g["tf"]))))
+        for (tid, term), g in sub.groupby(["term_id", "term"], sort=True)
+    ]
+    docs = (
+        idx.doc_sizes.join(idx.docmap, "doc_id").orderBy("doc_id").toPandas()
+    )
+    doc_recs = [
+        (int(r.doc_id), str(r.url), int(r.doc_len)) for r in docs.itertuples()
+    ]
+    write_ciff(tmp_path / "full.ciff", plists, doc_recs)
+
+    postings2, docs2 = ciff_import(spark, str(tmp_path / "full.ciff"))
+    doc_sizes2 = docs2.select(
+        "doc_id", F.col("doc_len").cast("int").alias("doc_len")
+    )
+    # lists were written in engine term_id order -> positional ids match
+    assert postings2.count() == len(sub)
+    idx2 = _rebuilt_from_postings(idx, postings2, doc_sizes2)
+
+    got = _topk_frame(idx2, spark)
+    exp = _topk_frame(idx, spark)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        got[["query_id", "rank", "doc_id"]], exp[["query_id", "rank", "doc_id"]]
+    )
+    np.testing.assert_array_equal(
+        got["score"].to_numpy(), exp["score"].to_numpy()
+    )
+
+
+def test_bincoll_full_corpus_roundtrip_rank_identity(spark, full_index, tmp_path):
+    """Same contract through the binary_collection pair: every list
+    exported to .docs/.freqs (plus the .sizes doc-length sequence),
+    reimported, rebuilt, rank-identical with byte-equal scores."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from pisa_spark.build.bincoll import (
+        postings_from_binary_collection, read_sizes,
+        write_binary_collection,
+    )
+
+    idx = full_index
+    sub = idx.postings.orderBy("term_id", "doc_id").toPandas()
+    doc_lists = [
+        g["doc_id"].to_numpy() for _, g in sub.groupby("term_id", sort=True)
+    ]
+    tf_lists = [
+        g["tf"].to_numpy() for _, g in sub.groupby("term_id", sort=True)
+    ]
+    sizes = (
+        idx.doc_sizes.orderBy("doc_id").toPandas()["doc_len"].to_numpy()
+    )
+    write_binary_collection(
+        [[idx.num_docs]] + doc_lists, str(tmp_path / "c.docs")
+    )
+    write_binary_collection(tf_lists, str(tmp_path / "c.freqs"))
+    write_binary_collection([sizes], str(tmp_path / "c.sizes"))
+
+    postings2 = postings_from_binary_collection(
+        spark, str(tmp_path / "c.docs"), str(tmp_path / "c.freqs")
+    )
+    doc_sizes2 = read_sizes(spark, str(tmp_path / "c.sizes")).select(
+        "doc_id", F.col("doc_len").cast("int").alias("doc_len")
+    )
+    assert postings2.count() == len(sub)
+    idx2 = _rebuilt_from_postings(idx, postings2, doc_sizes2)
+
+    got = _topk_frame(idx2, spark)
+    exp = _topk_frame(idx, spark)
+    pd.testing.assert_frame_equal(
+        got[["query_id", "rank", "doc_id"]], exp[["query_id", "rank", "doc_id"]]
+    )
+    np.testing.assert_array_equal(
+        got["score"].to_numpy(), exp["score"].to_numpy()
+    )
