@@ -277,3 +277,36 @@ def test_docid_assignment_never_moves_the_corpus(spark):
     # ids actually joined: dense 0..n-1 over sorted urls
     pdf = docs.select("doc_id", "url").toPandas().sort_values("url")
     assert list(pdf["doc_id"]) == list(range(len(pdf)))
+
+
+def test_build_scale_growth(tmp_path):
+    """Two-size build probe (scripts/scale_probe.py, fresh sessions):
+    shuffle bytes must grow ~linearly with the corpus while the
+    driver process's peak RSS stays flat — the measured form of this
+    file's plan-shape claims (nothing driver-side scales with docs;
+    the postings shuffle is the data volume). Small sizes keep the
+    broadcast-gate regime fixed (both < ID_BROADCAST_ROWS), so the
+    byte growth here isolates pure scaling, not the documented
+    regime switch measured in SCALE.md."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = str(tmp_path / "probe.json")
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts", "scale_probe.py"),
+         "--docs", "8000,32000", "--cores", "8", "--out", out],
+        capture_output=True, text=True, cwd=repo, timeout=420,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    data = json.load(open(out))
+    (growth,) = data["growth_vs_first"]
+    assert growth["docs_ratio"] == 4.0
+    # linear shuffle: 4x docs -> ~4x bytes (vocab growth adds a few
+    # percent; anything quadratic or corpus-broadcast-shaped lands
+    # far outside this band)
+    assert 3.0 <= growth["shuffle_write_ratio"] <= 5.5, growth
+    # flat driver: the Python driver's peak RSS must not track docs
+    assert growth["driver_rss_ratio"] <= 1.5, growth
