@@ -209,3 +209,21 @@ def pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lang"),
         F.col("doc_id"),
     )
+
+def to_trec_format(
+    docs: "DataFrame", id_col: str = "url", text_col: str = "text"
+) -> "DataFrame":
+    """One TREC-formatted SGML block per document — the reference's
+    script/files2trec.py (<DOC><DOCNO>id</DOCNO><TEXT>body</TEXT></DOC>,
+    the document id playing the relative-path role). Returns a
+    one-column (``trec`` string) DataFrame; write with
+    ``df.write.text`` for the file the script produces."""
+    from pyspark.sql import functions as F
+
+    return docs.select(
+        F.concat(
+            F.lit("<DOC>\n<DOCNO>"), F.col(id_col).cast("string"),
+            F.lit("</DOCNO>\n<TEXT>\n"), F.col(text_col),
+            F.lit("</TEXT>\n</DOC>\n"),
+        ).alias("trec")
+    )

@@ -109,6 +109,20 @@ def aol_queries(lines: DataFrame, unique: bool = False) -> DataFrame:
     )
 
 
+def filter_query_lines(
+    lines: DataFrame, term_count: int, include_longer: bool = False
+) -> DataFrame:
+    """Tab-separated query lines filtered by term count — the
+    reference's script/filter_query.py (csv.reader with tab
+    delimiter; exact length match, or >= with --include-longer).
+    ``lines`` is any DataFrame with a ``value`` string column; the
+    output keeps the matching lines verbatim, exactly like the
+    script's tab-rejoin print."""
+    n = F.size(F.split("value", "\t"))
+    cond = n >= term_count if include_longer else n == term_count
+    return lines.where(cond)
+
+
 def stem_query_lines(
     lines: DataFrame, stemmer: str | None = None
 ) -> DataFrame:

@@ -72,13 +72,16 @@ def main() -> None:
                          "is the PHASED codec profile (zstd build "
                          "session / lz4 query session) — override "
                          "both phases here if needed")
-    ap.add_argument("--interleave", action="store_true",
+    ap.add_argument("--interleave", action=argparse.BooleanOptionalAction,
+                    default=True,
                     help="alternate N / 4N runs round-by-round and "
                          "report PER-ROUND ratios alongside the "
-                         "pooled best-of pair. The phase-major order "
-                         "runs all N repeats ~20 min before the 4N "
-                         "repeats, so slow drift in neighbor CPU "
-                         "steal lands entirely in the ratio; "
+                         "pooled best-of pair — the DEFAULT and the "
+                         "only RECORDED protocol since round 5. The "
+                         "phase-major order (--no-interleave, debug "
+                         "only) runs all N repeats ~20 min before "
+                         "the 4N repeats, so slow drift in neighbor "
+                         "CPU steal lands entirely in the ratio; "
                          "interleaving measures each round's two "
                          "levels back-to-back under the same weather "
                          "(a methodology fix, not a number filter — "

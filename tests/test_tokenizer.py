@@ -300,3 +300,37 @@ def test_strip_html_comment_opener_inside_script():
     subtrees strip first, the reference's order)."""
     html = "<script>if(a<!--b){}</script><p>Hello</p><!-- note -->"
     assert strip_html_series(pd.Series([html])).iloc[0] == "Hello"
+
+
+def test_filter_query_lines_matches_reference_script(spark):
+    """script/filter_query.py semantics: tab-separated term count,
+    exact match by default, >= with include_longer."""
+    import pandas as pd
+
+    from pisa_spark.query.prep import filter_query_lines
+
+    lines = spark.createDataFrame(
+        pd.DataFrame({"value": ["a", "a\tb", "a\tb\tc", "x\ty", ""]})
+    )
+    exact = [r.value for r in filter_query_lines(lines, 2).collect()]
+    assert sorted(exact) == ["a\tb", "x\ty"]
+    longer = [
+        r.value
+        for r in filter_query_lines(lines, 2, include_longer=True).collect()
+    ]
+    assert sorted(longer) == ["a\tb", "a\tb\tc", "x\ty"]
+
+
+def test_to_trec_format_matches_reference_script(spark):
+    """script/files2trec.py TREC_FORMAT block, id in DOCNO."""
+    import pandas as pd
+
+    from pisa_spark.corpus import to_trec_format
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"url": ["d1"], "text": ["hello world"]})
+    )
+    (row,) = to_trec_format(docs).collect()
+    assert row.trec == (
+        "<DOC>\n<DOCNO>d1</DOCNO>\n<TEXT>\nhello world</TEXT>\n</DOC>\n"
+    )
