@@ -786,3 +786,48 @@ def test_twenty_generation_soak_with_midstream_compact(spark, tmp_path):
     bf3 = inc.index().term_meta.toPandas()["bound_factor"]
     assert (bf3 >= 1.0 - 1e-6).all()
     assert bf3.max() < 3.0, f"bound_factor inflated to {bf3.max()}"
+
+
+def test_range_batch_on_incremental_index(spark, tmp_path):
+    """topk_range_batch over a two-generation incremental index (with
+    real bound_factor inflation in term_meta): the batch-major range
+    form must agree rank-identically with query-major topk_search on
+    the same index — the bound-factor contract goes through the shared
+    _factored_segment_rows, so this pins that the newest executor path
+    honors it too."""
+    from pisa_spark.query.executor import topk_range_batch, topk_search
+    from pisa_spark.query.parser import parse_queries
+    from pisa_spark.streaming import IncrementalIndexer
+
+    pages = _pages(spark).persist()
+    gen0 = pages.filter(F.crc32(F.col("url")) % 2 == 0)
+    gen1 = pages.filter(F.crc32(F.col("url")) % 2 == 1)
+    inc = IncrementalIndexer(spark, str(tmp_path / "inc_rb"), CFG)
+    inc.add_generation(gen0)
+    inc.add_generation(gen1)
+    idx = inc.index()
+
+    terms = [r["term"] for r in idx.lexicon.orderBy("term_id").limit(30).collect()]
+    rows = [
+        (f"q{i}", [terms[(3 * i) % len(terms)],
+                   terms[(3 * i + 7) % len(terms)]], 10)
+        for i in range(12)
+    ]
+    qdf = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["query_id", "terms", "k"]),
+        schema="query_id string, terms array<string>, k int",
+    )
+    parsed = parse_queries(qdf, idx.lexicon, pre_tokenized=True)
+    exp = (
+        topk_search(idx, parsed, algorithm="maxscore", k=10)
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    got = (
+        topk_range_batch(idx, parsed, algorithm="maxscore", k=10, batches=3)
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[["query_id", "rank", "doc_id"]],
+        exp[["query_id", "rank", "doc_id"]],
+    )
+    np.testing.assert_allclose(got["score"], exp["score"], rtol=0, atol=1e-9)
