@@ -122,6 +122,17 @@ _EXCEPTIONS = {
     "embed": "embed", "infrared": "infrared", "shred": "shred",
 }
 
+# Fields of study and other -ics mass nouns that ARE the headword
+# (public knowledge; each names a discipline, not a plural of its
+# -ic adjective). Everything else in -ics stems normally.
+_ICS_NOMINALS = frozenset("""
+physics mathematics economics statistics politics athletics genetics
+electronics graphics dynamics ethics tactics logistics linguistics
+mechanics gymnastics optics acoustics analytics robotics aesthetics
+demographics ergonomics semantics forensics aerobics aeronautics
+thermodynamics phonetics pragmatics obstetrics pediatrics geriatrics
+""".split())
+
 _VOWELS = frozenset("aeiou")
 
 # Mini headword dictionary consulted by _restore — the kstem "is the
@@ -288,12 +299,14 @@ def stem(word: str) -> str:
     # nouns (building, meeting, training...) whole, not suffix rules.
     if word in _HEADWORDS:
         return word
-    # Lexicalized -ics nominals (physics, statistics, economics...):
-    # kstem's lexicon lists the -ics form itself as a headword, so the
-    # word comes back unstripped — Krovetz (SIGIR'93) uses exactly
-    # this class to motivate the dictionary check ("physics" must not
-    # conflate with "physic").
-    if word.endswith("ics"):
+    # Lexicalized -ics nominals: kstem's lexicon lists the -ics form
+    # itself as a headword for fields of study, so those come back
+    # unstripped — Krovetz (SIGIR'93) uses exactly this class to
+    # motivate the dictionary check ("physics" must not conflate with
+    # "physic"). ONLY the curated set below is lexicalized: ordinary
+    # -ic noun plurals (topics, comics, critics, clinics) still
+    # conflate with their singular through the generic -s strip.
+    if word in _ICS_NOMINALS:
         return word
 
     # ---- plural (kstem step 1)
@@ -316,12 +329,14 @@ def stem(word: str) -> str:
 
     # kstem checks its dictionary after EACH step — re-check the
     # exception table AND the headword dictionary on the
-    # de-pluralized form so noun plurals of protected headwords stop
+    # de-pluralized form so noun plurals of protected entries stop
     # here ("hundreds" -> "hundred" must not fall through to the
-    # past-tense strip -> "hundr"; "meanings" -> "meaning" must not
-    # reach the -ing stage -> "mean"; a dictionary hit also marks the
-    # strip CONFIRMED rather than rule-only in the COVERAGE.md
-    # characterization).
+    # past-tense strip -> "hundr"; "causes" -> "cause" stops at the
+    # headword). Plurals of -ing deverbals deliberately do NOT stop:
+    # "meanings" -> "meaning" -> "mean", matching the vector set's
+    # kstem behavior (buildings -> build). A dictionary hit here also
+    # marks the strip CONFIRMED rather than rule-only in the
+    # COVERAGE.md characterization.
     hit = _EXCEPTIONS.get(word)
     if hit is not None:
         return hit

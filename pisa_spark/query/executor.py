@@ -561,6 +561,98 @@ def _merge_range_partials(
 # task memory at ~24 bytes/posting regardless of batch composition.
 BATCH_CACHE_MAX_POSTINGS = 1 << 22
 
+# Row cap under which topk_range_batch's (batch x bucket) query-
+# replication table keeps its broadcast hint; it grows linearly with
+# the corpus (n_buckets = docs / salt_bucket_docs), and the repo rule
+# is hints on known-small sides only — above the cap the planner
+# decides.
+RANGE_BB_BROADCAST_ROWS = 1 << 20
+
+
+def _build_batch_protos(left: pd.DataFrame, decode):
+    """(protos, base_bm) for one cogroup's distinct term segment rows
+    — the per-batch TermPostings prototypes both batch-major executors
+    (topk_search_batch, topk_range_batch) share: weight-neutral bounds
+    (weight rebound per query via dataclasses.replace), a shared
+    per-term decoded-block cache, CappedBlockCache beyond the
+    working-set cap."""
+    protos: dict[int, TermPostings] = {}
+    base_bm: dict[int, np.ndarray] = {}
+    for term_id, g in left.groupby("term_id", sort=True):
+        g = g.sort_values("block_id")
+        tmax = float(g["term_max_score"].iloc[0])
+        if "max_score_q" in g.columns:
+            bm = g["max_score_q"].to_numpy(np.float64) / 255.0 * tmax
+        else:
+            bm = g["max_score"].to_numpy(np.float64)
+        tid = int(term_id)
+        base_bm[tid] = bm * MICRO
+        cache: dict = {}
+        if int(g["count"].sum()) > BATCH_CACHE_MAX_POSTINGS:
+            # over-cap term: cache its first cap-worth of blocks
+            # (first-come) instead of disabling caching — see
+            # kernels.CappedBlockCache
+            cache = CappedBlockCache(BATCH_CACHE_MAX_POSTINGS)
+        protos[tid] = TermPostings(
+            term_id=tid,
+            df=float(g["df"].iloc[0]),
+            weight=1.0,
+            max_score=tmax * MICRO + 1.0,
+            block_max_doc=g["max_doc_id"].to_numpy(np.uint64),
+            block_max_score=base_bm[tid] + 1.0,
+            block_count=g["count"].to_numpy(np.int64),
+            doc_payloads=[bytes(x) for x in g["doc_bytes"]],
+            tf_payloads=[bytes(x) for x in g["tf_bytes"]],
+            len_payloads=[bytes(x) for x in g["len_bytes"]],
+            decode=decode,
+            block_cache=cache,
+        )
+    return protos, base_bm
+
+
+def _walk_batch_queries(right: pd.DataFrame, protos, base_bm, kernel, stats):
+    """Column-array walk over a batch's (query-sorted) parsed rows —
+    no per-query pandas groupby/iterrows. Yields (query_id, docs,
+    scores) per query: protos rebound to the query's weights (shared
+    payload/caches), threshold bootstrap honored, per-query k from
+    the mandatory k column, idf caches shared back into the protos."""
+    from dataclasses import replace
+
+    r = right.sort_values("query_id", kind="stable")
+    q_ids = r["query_id"].to_numpy()
+    t_ids = r["term_id"].to_numpy()
+    weights = r["weight"].to_numpy(np.float64)
+    ks = r["k"].to_numpy()
+    thr = (
+        r["threshold_micro"].to_numpy(np.float64)
+        if "threshold_micro" in r
+        else None
+    )
+    i, n_rows = 0, len(r)
+    while i < n_rows:
+        j = i
+        terms = []
+        while j < n_rows and q_ids[j] == q_ids[i]:
+            proto = protos.get(int(t_ids[j]))
+            if proto is not None:
+                w = float(weights[j])
+                terms.append(replace(
+                    proto,
+                    weight=w,
+                    max_score=w * (proto.max_score - 1.0) + 1.0,
+                    block_max_score=w * base_bm[proto.term_id] + 1.0,
+                ))
+            j += 1
+        init = 0.0
+        if thr is not None and not np.isnan(thr[i]):
+            init = float(thr[i]) - PRUNE_EPS
+        docs, scores = kernel(terms, int(ks[i]), stats, init_threshold=init)
+        for tp in terms:  # idf grows once, shared thereafter
+            if tp.idf_cache is not None:
+                protos[tp.term_id].idf_cache = tp.idf_cache
+        yield q_ids[i], docs, scores
+        i = j
+
 
 def topk_search_batch(
     index: InvertedIndex,
@@ -604,10 +696,6 @@ def topk_search_batch(
     these byte-light, CPU-heavy Python groups onto a fraction of the
     cores (measured: 512 batches coalesced to 10 tasks).
     """
-    from dataclasses import replace
-
-    from pisa_spark.functions.scoring import MICRO
-
     kernel = RANKED_KERNELS[algorithm]
     decode = CODECS[index.config.index.codec][1]
     stats = Stats(
@@ -657,83 +745,20 @@ def topk_search_batch(
     def run(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         # left: the batch's distinct term segment rows (+ term stats);
         # right: the batch's parsed queries (query_id, k, term_id,
-        # weight[, threshold_micro]).
-        protos: dict[int, TermPostings] = {}
-        base_bm: dict[int, np.ndarray] = {}
-        for term_id, g in left.groupby("term_id", sort=True):
-            g = g.sort_values("block_id")
-            tmax = float(g["term_max_score"].iloc[0])
-            if "max_score_q" in g.columns:
-                bm = g["max_score_q"].to_numpy(np.float64) / 255.0 * tmax
-            else:
-                bm = g["max_score"].to_numpy(np.float64)
-            tid = int(term_id)
-            base_bm[tid] = bm * MICRO
-            cache: dict = {}
-            if int(g["count"].sum()) > BATCH_CACHE_MAX_POSTINGS:
-                # over-cap term: cache its first cap-worth of blocks
-                # (first-come) instead of disabling caching — see
-                # kernels.CappedBlockCache
-                cache = CappedBlockCache(BATCH_CACHE_MAX_POSTINGS)
-            protos[tid] = TermPostings(
-                term_id=tid,
-                df=float(g["df"].iloc[0]),
-                weight=1.0,
-                max_score=tmax * MICRO + 1.0,
-                block_max_doc=g["max_doc_id"].to_numpy(np.uint64),
-                block_max_score=base_bm[tid] + 1.0,
-                block_count=g["count"].to_numpy(np.int64),
-                doc_payloads=[bytes(x) for x in g["doc_bytes"]],
-                tf_payloads=[bytes(x) for x in g["tf_bytes"]],
-                len_payloads=[bytes(x) for x in g["len_bytes"]],
-                decode=decode,
-                block_cache=cache,
-            )
-        # Column-array walk over the (query-sorted) right side — no
-        # per-query pandas groupby/iterrows; one output frame.
-        r = right.sort_values("query_id", kind="stable")
-        q_ids = r["query_id"].to_numpy()
-        t_ids = r["term_id"].to_numpy()
-        weights = r["weight"].to_numpy(np.float64)
-        ks = r["k"].to_numpy()
-        thr = (
-            r["threshold_micro"].to_numpy(np.float64)
-            if "threshold_micro" in r
-            else None
-        )
+        # weight[, threshold_micro]). Shared proto build + query walk
+        # (_build_batch_protos/_walk_batch_queries); one output frame.
+        protos, base_bm = _build_batch_protos(left, decode)
         out_q: list = []
         out_d: list = []
         out_s: list = []
         out_n: list = []
-        i, n_rows = 0, len(r)
-        while i < n_rows:
-            j = i
-            terms = []
-            while j < n_rows and q_ids[j] == q_ids[i]:
-                proto = protos.get(int(t_ids[j]))
-                if proto is not None:
-                    w = float(weights[j])
-                    terms.append(replace(
-                        proto,
-                        weight=w,
-                        max_score=w * (proto.max_score - 1.0) + 1.0,
-                        block_max_score=w * base_bm[proto.term_id] + 1.0,
-                    ))
-                j += 1
-            init = 0.0
-            if thr is not None and not np.isnan(thr[i]):
-                init = float(thr[i]) - PRUNE_EPS
-            docs, scores = kernel(
-                terms, int(ks[i]), stats, init_threshold=init
-            )
-            out_q.append(q_ids[i])
+        for qid, docs, scores in _walk_batch_queries(
+            right, protos, base_bm, kernel, stats
+        ):
+            out_q.append(qid)
             out_d.append(docs)
             out_s.append(scores)
             out_n.append(len(docs))
-            for tp in terms:  # idf grows once, shared thereafter
-                if tp.idf_cache is not None:
-                    protos[tp.term_id].idf_cache = tp.idf_cache
-            i = j
         if not out_q:
             return pd.DataFrame(
                 {"query_id": pd.Series(dtype=object),
@@ -792,7 +817,7 @@ def topk_range_batch(
     working set = the batch's distinct lists WITHIN ONE BUCKET, so the
     head-term caveat of topk_search_batch does not apply — no task
     ever sees a full posting list, same as topk_range. ``batches``
-    defaults to ceil(2 x defaultParallelism / bucket-count): buckets
+    defaults to ceil(defaultParallelism / bucket-count): buckets
     already provide the parallelism axis at scale (batches -> 1, full
     sharing per bucket), while small corpora (few buckets) keep the
     cores busy via query batching.
@@ -804,7 +829,6 @@ def topk_range_batch(
     before any payload ships.
     """
     import math
-    from dataclasses import replace
 
     from pisa_spark.build.segments import blocks_per_bucket
 
@@ -889,11 +913,21 @@ def topk_range_batch(
         ).crossJoin(
             spark.range(int(n_buckets)).select(F.col("id").alias("bucket"))
         )
-        pq = pq.join(F.broadcast(bb), "batch_id")
+        # Broadcast hint only while the replication table is known
+        # small (repo rule: hints on counted-small sides only). At
+        # 10^12 docs n_buckets ~ 10^6 and the table grows linearly
+        # with the corpus — beyond the cap the hint comes off and the
+        # planner (AQE) chooses; the join itself stays the same.
+        if batches * n_buckets <= RANGE_BB_BROADCAST_ROWS:
+            bb = F.broadcast(bb)
+        pq = pq.join(bb, "batch_id")
 
     def run(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         # left: the (batch, bucket)'s distinct term blocks (+ stats);
-        # right: the batch's parsed queries for this bucket.
+        # right: the batch's parsed queries for this bucket. Shared
+        # proto build + query walk (_build_batch_protos/
+        # _walk_batch_queries); output is UNranked partials for the
+        # window merge.
         if len(left) and not len(right):
             # Every real bucket must have received the batch's query
             # replica (see the bb construction above). Fail loudly —
@@ -904,76 +938,17 @@ def topk_range_batch(
                 f"{int(left['bucket'].iloc[0]) if 'bucket' in left else '?'} "
                 "outside the replicated query range — non-dense doc ids?"
             )
-        protos: dict[int, TermPostings] = {}
-        base_bm: dict[int, np.ndarray] = {}
-        for term_id, g in left.groupby("term_id", sort=True):
-            g = g.sort_values("block_id")
-            tmax = float(g["term_max_score"].iloc[0])
-            if "max_score_q" in g.columns:
-                bm = g["max_score_q"].to_numpy(np.float64) / 255.0 * tmax
-            else:
-                bm = g["max_score"].to_numpy(np.float64)
-            tid = int(term_id)
-            base_bm[tid] = bm * MICRO
-            cache: dict = {}
-            if int(g["count"].sum()) > BATCH_CACHE_MAX_POSTINGS:
-                cache = CappedBlockCache(BATCH_CACHE_MAX_POSTINGS)
-            protos[tid] = TermPostings(
-                term_id=tid,
-                df=float(g["df"].iloc[0]),
-                weight=1.0,
-                max_score=tmax * MICRO + 1.0,
-                block_max_doc=g["max_doc_id"].to_numpy(np.uint64),
-                block_max_score=base_bm[tid] + 1.0,
-                block_count=g["count"].to_numpy(np.int64),
-                doc_payloads=[bytes(x) for x in g["doc_bytes"]],
-                tf_payloads=[bytes(x) for x in g["tf_bytes"]],
-                len_payloads=[bytes(x) for x in g["len_bytes"]],
-                decode=decode,
-                block_cache=cache,
-            )
-        r = right.sort_values("query_id", kind="stable")
-        q_ids = r["query_id"].to_numpy()
-        t_ids = r["term_id"].to_numpy()
-        weights = r["weight"].to_numpy(np.float64)
-        ks = r["k"].to_numpy()
-        thr = (
-            r["threshold_micro"].to_numpy(np.float64)
-            if "threshold_micro" in r
-            else None
-        )
+        protos, base_bm = _build_batch_protos(left, decode)
         out_q: list = []
         out_d: list = []
         out_s: list = []
-        i, n_rows = 0, len(r)
-        while i < n_rows:
-            j = i
-            terms = []
-            while j < n_rows and q_ids[j] == q_ids[i]:
-                proto = protos.get(int(t_ids[j]))
-                if proto is not None:
-                    w = float(weights[j])
-                    terms.append(replace(
-                        proto,
-                        weight=w,
-                        max_score=w * (proto.max_score - 1.0) + 1.0,
-                        block_max_score=w * base_bm[proto.term_id] + 1.0,
-                    ))
-                j += 1
-            init = 0.0
-            if thr is not None and not np.isnan(thr[i]):
-                init = float(thr[i]) - PRUNE_EPS
-            docs, scores = kernel(
-                terms, int(ks[i]), stats, init_threshold=init
-            )
+        for qid, docs, scores in _walk_batch_queries(
+            right, protos, base_bm, kernel, stats
+        ):
             if len(docs):
-                out_q.append(np.repeat(q_ids[i], len(docs)))
+                out_q.append(np.repeat(qid, len(docs)))
                 out_d.append(docs)
                 out_s.append(scores)
-            for tp in terms:  # idf grows once, shared thereafter
-                if tp.idf_cache is not None:
-                    protos[tp.term_id].idf_cache = tp.idf_cache
-            i = j
         if not out_q:
             return pd.DataFrame(
                 {"query_id": pd.Series(dtype=object),

@@ -117,8 +117,12 @@ def filter_query_lines(
     delimiter; exact length match, or >= with --include-longer).
     ``lines`` is any DataFrame with a ``value`` string column; the
     output keeps the matching lines verbatim, exactly like the
-    script's tab-rejoin print."""
-    n = F.size(F.split("value", "\t"))
+    script's tab-rejoin print. A blank line counts 0 fields
+    (csv.reader yields an empty row there; a bare split('') would
+    count 1)."""
+    n = F.when(F.col("value") == "", F.lit(0)).otherwise(
+        F.size(F.split("value", "\t"))
+    )
     cond = n >= term_count if include_longer else n == term_count
     return lines.where(cond)
 

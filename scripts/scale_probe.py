@@ -80,8 +80,14 @@ def probe_one(n_docs: int, cores: int, port: int) -> dict:
     n_postings = index.postings.count()
     heap_peak = max(heap_peak, heap_now())
 
-    base = f"http://localhost:{port}/api/v1/applications"
-    app_id = json.load(urllib.request.urlopen(base))[0]["id"]
+    # Read the BOUND port back (Spark walks ports upward when the
+    # requested one is taken — querying the requested port would read
+    # another application's stats without any error).
+    ui_url = spark.sparkContext.uiWebUrl
+    base = f"{ui_url}/api/v1/applications"
+    app_id = spark.sparkContext.applicationId
+    apps = json.load(urllib.request.urlopen(base))
+    assert any(a["id"] == app_id for a in apps), (app_id, apps)
     stages = json.load(urllib.request.urlopen(f"{base}/{app_id}/stages"))
     out = {
         "n_docs": n_docs,

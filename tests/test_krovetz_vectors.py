@@ -278,3 +278,19 @@ def test_kstem_idempotent_on_vector_outputs():
     moved = {o: stem(o) for o in outs if stem(o) != o}
     # allow the single-character-of-drift budget: none known today
     assert not moved, moved
+
+
+def test_ics_nominals_curated_not_blanket():
+    """Only lexicalized -ics fields of study return whole (kstem's
+    dictionary behavior, SIGIR'93's physics example); ordinary -ic
+    noun plurals still conflate with their singular."""
+    from pisa_spark.analysis.krovetz import stem
+
+    for w in ("physics", "mathematics", "statistics", "economics",
+              "politics", "ethics", "genetics", "linguistics"):
+        assert stem(w) == w, w
+    assert stem("topics") == "topic"
+    assert stem("comics") == "comic"
+    assert stem("critics") == "critic"
+    assert stem("clinics") == "clinic"
+    assert stem("basics") == "basic"

@@ -314,6 +314,11 @@ def test_filter_query_lines_matches_reference_script(spark):
     )
     exact = [r.value for r in filter_query_lines(lines, 2).collect()]
     assert sorted(exact) == ["a\tb", "x\ty"]
+    # blank line = 0 fields (csv.reader semantics), not 1
+    assert filter_query_lines(lines, 1).count() == 1  # just "a"
+    blank = [r.value for r in
+             filter_query_lines(lines, 0, include_longer=False).collect()]
+    assert blank == [""]
     longer = [
         r.value
         for r in filter_query_lines(lines, 2, include_longer=True).collect()
