@@ -190,6 +190,7 @@ waste taste paste haste baste
 phrase blame frame
 """.split()) | frozenset("""
 activity awe bra bro brow clean come common content currency curio
+earring herring posse xmas
 dvd elder era jack kick kill kiss male mean mountain out over pea
 pen periodical photo pig pill plea rock sea sell show site spa
 symptom tea tee will
@@ -314,8 +315,12 @@ def stem(word: str) -> str:
         word = word[:-3] + "y"
     elif word.endswith(("sses", "shes", "ches", "xes")) and len(word) > 4:
         # common -che headwords (ache, niche, cache) this es-strip
-        # would mangle are dictionary knowledge -> _EXCEPTIONS.
+        # would mangle are dictionary knowledge -> _EXCEPTIONS; -e
+        # headwords colliding with the pattern (posse+s looks like
+        # class+es) get kstem's stem+'e' dictionary restore.
         word = word[:-2]
+        if word not in _HEADWORDS and (word + "e") in _HEADWORDS:
+            word += "e"
     elif word.endswith("zes") and len(word) > 4:
         # vowel+ze headwords (size, blaze, freeze) pluralize with -s:
         # strip only the s. Consonant+z headwords (waltz, blitz,

@@ -30,7 +30,11 @@ VECTORS = {
     "countries": "country", "armies": "army", "puppies": "puppy",
     "houses": "house", "causes": "cause", "phrases": "phrase",
     "excuses": "excuse", "fuses": "fuse", "pauses": "pause",
-    "toes": "toe", "shoes": "shoe",
+    "toes": "toe", "shoes": "shoe", "posses": "posse",
+    # lexicalized -ring nouns (kstem headwords; the -ing strip must
+    # NOT fire — caught by the round-5 full-population audit)
+    "earring": "earring", "earrings": "earring",
+    "herring": "herring", "herrings": "herring", "xmas": "xmas",
     # vowel+ze vs consonant+z vs doubled-z plurals
     "sizes": "size", "prizes": "prize", "freezes": "freeze",
     "organizes": "organize", "analyzes": "analyze", "gazes": "gaze",
