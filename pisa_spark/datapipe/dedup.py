@@ -42,7 +42,11 @@ Scale notes (100 TB):
 - SimHash: fingerprint = 60 conditional sums (one shuffle, partial
   aggs); candidates via 4x 15-bit-chunk equi-joins (pigeonhole: any
   pair with Hamming <= 3 shares at least one chunk) — no cross join
-  at any scale.
+  at any scale. Chunk buckets over MAX_BUCKET are dropped before the
+  join (a chunk has only 2^15 values, so at corpus scale dominant
+  buckets go quadratic without the guard) and reported by
+  ``simhash_dropped_chunks`` — the same cap-plus-audit contract as
+  MinHash banding.
 - Components: alternating large-star/small-star (Kiveris, Lattanzi,
   Mirrokni, Rastogi, Vassilvitskii: "Connected Components in
   MapReduce and Beyond", SoCC'14) — O(log n) ROUNDS regardless of
@@ -573,7 +577,31 @@ def simhash_fingerprints(docs: DataFrame) -> DataFrame:
     return sums.select("doc_id", F.expr(fp).alias("fp"))
 
 
-def simhash_pairs(docs: DataFrame, max_hamming: int = MAX_HAMMING) -> DataFrame:
+def simhash_chunks(docs: DataFrame) -> DataFrame:
+    """(doc_id, fp, ci, ch): each fingerprint EXPLODED to one row per
+    15-bit chunk. Public so a pipeline running both ``simhash_pairs``
+    and the ``simhash_dropped_chunks`` audit materializes the
+    tokenize→fingerprint→explode scan ONCE (the minhash_bands sharing
+    pattern) — eager-localCheckpoint the result before sharing it."""
+    chunk_w = SIM_BITS // SIM_CHUNKS
+    cmask = (1 << chunk_w) - 1
+    structs = [
+        F.struct(
+            F.lit(ci).alias("ci"),
+            F.expr(f"(fp >> {ci * chunk_w}) & {cmask}").alias("ch"),
+        )
+        for ci in range(SIM_CHUNKS)
+    ]
+    return (
+        simhash_fingerprints(docs)
+        .select("doc_id", "fp", F.explode(F.array(*structs)).alias("b"))
+        .select("doc_id", "fp", F.col("b.ci").alias("ci"), F.col("b.ch").alias("ch"))
+    )
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = MAX_HAMMING,
+                  max_bucket: int = MAX_BUCKET,
+                  chunks: DataFrame | None = None) -> DataFrame:
     """(doc_a, doc_b, hamming <= max_hamming).
 
     Candidates come from {SIM_CHUNKS} 15-bit chunks by pigeonhole:
@@ -584,23 +612,27 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = MAX_HAMMING) -> DataFrame:
     a single self-equi-join on the chunk key serves all chunks at
     once — one bucketing shuffle instead of {SIM_CHUNKS} sequential
     self-joins of the fingerprint table.
+
+    Chunk buckets larger than ``max_bucket`` are dropped BEFORE the
+    join (the minhash MAX_BUCKET quadratic-bucket guard — a chunk has
+    only 2^15 values, so at corpus scale boilerplate-heavy buckets
+    otherwise go quadratic) and reported by ``simhash_dropped_chunks``;
+    recall is exact for pairs whose shared chunks include one
+    under-cap bucket. ``chunks``: pass ``simhash_chunks(docs)`` to
+    share the fingerprint scan with the audit.
     """
     assert max_hamming < SIM_CHUNKS
-    chunk_w = SIM_BITS // SIM_CHUNKS
-    cmask = (1 << chunk_w) - 1
-    structs = [
-        F.struct(
-            F.lit(ci).alias("ci"),
-            F.expr(f"(fp >> {ci * chunk_w}) & {cmask}").alias("ch"),
-        )
-        for ci in range(SIM_CHUNKS)
-    ]
+    from pyspark.sql import Window
+
+    if chunks is None:
+        chunks = simhash_chunks(docs)
+    w = Window.partitionBy("ci", "ch")
     # eager localCheckpoint: both self-join sides read this, released
     # when unreferenced (persist would pin a CacheManager entry)
     ex = (
-        simhash_fingerprints(docs)
-        .select("doc_id", "fp", F.explode(F.array(*structs)).alias("b"))
-        .select("doc_id", "fp", F.col("b.ci").alias("ci"), F.col("b.ch").alias("ch"))
+        chunks.withColumn("bsz", F.count("*").over(w))
+        .filter(F.col("bsz") <= max_bucket)
+        .drop("bsz")
         .localCheckpoint(eager=True)
     )
     x = ex.select(
@@ -622,7 +654,27 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = MAX_HAMMING) -> DataFrame:
     )
 
 
-def simhash_oracle(max_hamming: int = MAX_HAMMING) -> str:
+def simhash_dropped_chunks(docs: DataFrame, max_bucket: int = MAX_BUCKET,
+                           chunks: DataFrame | None = None) -> DataFrame:
+    """(ci, ch, bucket_size) for every chunk bucket the cap excluded —
+    the audit trail for simhash_pairs' coverage (alert on rows here
+    rather than silently treating dropped docs as unique; the
+    minhash_dropped_buckets twin)."""
+    if chunks is None:
+        chunks = simhash_chunks(docs)
+    return (
+        chunks.groupBy("ci", "ch")
+        .agg(F.count("*").alias("bucket_size"))
+        .filter(F.col("bucket_size") > max_bucket)
+    )
+
+
+def simhash_oracle(max_hamming: int = MAX_HAMMING,
+                   max_bucket: int = MAX_BUCKET) -> str:
+    """Same algorithm in DuckDB: explode fingerprints to (ci, ch)
+    chunk rows, window-count buckets, cap, self-join on the chunk
+    key — mirroring simhash_pairs' guarded candidate generation
+    (the minhash_lsh_oracle structure)."""
     from pisa_spark.datapipe.hashing import hash60_sql
     from pisa_spark.datapipe.tokens import TOK_CTE
 
@@ -634,14 +686,29 @@ def simhash_oracle(max_hamming: int = MAX_HAMMING) -> str:
         f"(CASE WHEN c{b} >= 0 THEN CAST({1 << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
         for b in range(SIM_BITS)
     )
+    chunk_w = SIM_BITS // SIM_CHUNKS
+    cmask = (1 << chunk_w) - 1
+    chunk_rows = "\n  UNION ALL ".join(
+        f"SELECT doc_id, fp, {ci} AS ci, (fp >> {ci * chunk_w}) & {cmask} AS ch"
+        " FROM fps"
+        for ci in range(SIM_CHUNKS)
+    )
     return f"""WITH {TOK_CTE},
 tokh AS (SELECT doc_id, {hash60_sql('term', 'duckdb')} AS h FROM tok),
 sums AS (SELECT doc_id, {sums} FROM tokh GROUP BY doc_id),
-fps AS (SELECT doc_id, {fp} AS fp FROM sums)
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
-FROM fps a JOIN fps b ON a.doc_id < b.doc_id
-WHERE bit_count(xor(a.fp, b.fp)) <= {max_hamming}"""
+fps AS (SELECT doc_id, {fp} AS fp FROM sums),
+chunks AS ({chunk_rows}),
+capped AS (
+  SELECT doc_id, fp, ci, ch FROM (
+    SELECT *, COUNT(*) OVER (PARTITION BY ci, ch) AS bsz FROM chunks)
+  WHERE bsz <= {max_bucket}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  a.fp AS fa, b.fp AS fb
+  FROM capped a JOIN capped b
+    ON a.ci = b.ci AND a.ch = b.ch AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(fa, fb)) <= {max_hamming}"""
 
 
 # ------------------------------------------------- clusters / representatives

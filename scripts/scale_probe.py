@@ -1,9 +1,13 @@
-"""Build scale probe: shuffle-byte and driver-memory growth vs corpus size.
+"""Scale probe: shuffle-byte and driver-memory growth vs corpus size.
 
 Measured evidence for the "survives 100x" argument (VERDICT r4 next-#4):
-run the SAME synthetic build (bench.py's _synth_section shape) at a
-ladder of corpus sizes, each in a FRESH local session with the UI's
-REST endpoint enabled, and record per-size
+run the SAME synthetic job at a ladder of corpus sizes, each in a FRESH
+local session with the UI's REST endpoint enabled. ``--job build``
+(default) probes the index build (bench.py's _synth_section shape);
+``--job dedup`` probes the two headline dedup scale paths
+(minhash_lsh_pairs banded-LSH + simhash_pairs pigeonhole chunks) over
+the same synthetic pages — the measured form of SCALE.md's
+"Training-data pipeline" plan-shape claims. Recorded per size:
 
 - build wall + docs/s,
 - total shuffle read/write bytes and input bytes summed over stages
@@ -19,7 +23,8 @@ One JSON line per size on stdout; the aggregate goes to
 SCALE_PROBE.json (repo root) unless --out is given.
 
 Usage: python scripts/scale_probe.py [--docs 64000,128000,512000]
-       [--cores 32] [--out SCALE_PROBE.json]
+       [--cores 32] [--job build|dedup] [--out SCALE_PROBE.json]
+(--job dedup writes SCALE_PROBE_DEDUP.json by default)
 """
 
 from __future__ import annotations
@@ -36,11 +41,12 @@ import urllib.request
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def probe_one(n_docs: int, cores: int, port: int) -> dict:
+def probe_one(n_docs: int, cores: int, port: int, job: str = "build") -> dict:
     """Run ONE size in THIS process (fresh JVM per invocation when
     driven through main's subprocess mode)."""
     sys.path.insert(0, REPO)
     from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
 
     from pisa_spark.config import EngineConfig
     from pisa_spark.corpus import synth_pages
@@ -70,15 +76,50 @@ def probe_one(n_docs: int, cores: int, port: int) -> dict:
         rt = spark.sparkContext._jvm.java.lang.Runtime.getRuntime()
         return int(rt.totalMemory() - rt.freeMemory())
 
-    t0 = time.perf_counter()
-    index = build_index(spark, pages, EngineConfig())
-    n_seg = index.segments.count()
-    heap_peak = max(heap_peak, heap_now())
-    index.term_meta.count()
-    build_s = time.perf_counter() - t0
-    heap_peak = max(heap_peak, heap_now())
-    n_postings = index.postings.count()
-    heap_peak = max(heap_peak, heap_now())
+    job_metrics: dict = {}
+    if job == "dedup":
+        # documents-shaped input: the synthetic url embeds the doc
+        # index (corpus.py:86), so doc_id extraction is deterministic
+        # and shuffle-free.
+        from pisa_spark.datapipe import dedup as dd
+
+        docs = pages.select(
+            F.regexp_extract("url", r"page(\d+)$", 1).cast("long")
+            .alias("doc_id"),
+            "text",
+        ).persist()
+        docs.count()
+        t0 = time.perf_counter()
+        mh_pairs = dd.minhash_lsh_pairs(docs).count()
+        mh_s = time.perf_counter() - t0
+        heap_peak = max(heap_peak, heap_now())
+        t1 = time.perf_counter()
+        # pair job + dropped-chunk audit share one fingerprint scan
+        # (the curate.py minhash sharing contract, simhash twin)
+        chunks = dd.simhash_chunks(docs).localCheckpoint(eager=True)
+        sim_pairs = dd.simhash_pairs(docs, chunks=chunks).count()
+        sim_dropped = dd.simhash_dropped_chunks(docs, chunks=chunks).count()
+        sim_s = time.perf_counter() - t1
+        build_s = time.perf_counter() - t0
+        heap_peak = max(heap_peak, heap_now())
+        job_metrics = {
+            "minhash_s": round(mh_s, 2),
+            "minhash_pairs": mh_pairs,
+            "simhash_s": round(sim_s, 2),
+            "simhash_pairs": sim_pairs,
+            "simhash_dropped_chunks": sim_dropped,
+        }
+        n_seg = n_postings = 0
+    else:
+        t0 = time.perf_counter()
+        index = build_index(spark, pages, EngineConfig())
+        n_seg = index.segments.count()
+        heap_peak = max(heap_peak, heap_now())
+        index.term_meta.count()
+        build_s = time.perf_counter() - t0
+        heap_peak = max(heap_peak, heap_now())
+        n_postings = index.postings.count()
+        heap_peak = max(heap_peak, heap_now())
 
     # Read the BOUND port back (Spark walks ports upward when the
     # requested one is taken — querying the requested port would read
@@ -90,12 +131,14 @@ def probe_one(n_docs: int, cores: int, port: int) -> dict:
     assert any(a["id"] == app_id for a in apps), (app_id, apps)
     stages = json.load(urllib.request.urlopen(f"{base}/{app_id}/stages"))
     out = {
+        "job": job,
         "n_docs": n_docs,
         "cores": cores,
         "build_s": round(build_s, 2),
         "docs_per_sec": round(n_docs / build_s, 1),
         "n_postings": n_postings,
         "n_segments": n_seg,
+        **job_metrics,
         "n_stages": len(stages),
         "shuffle_read_b": sum(s.get("shuffleReadBytes", 0) for s in stages),
         "shuffle_write_b": sum(s.get("shuffleWriteBytes", 0) for s in stages),
@@ -113,14 +156,19 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", default="64000,128000,512000")
     ap.add_argument("--cores", type=int, default=32)
-    ap.add_argument("--out", default=os.path.join(REPO, "SCALE_PROBE.json"))
+    ap.add_argument("--job", choices=("build", "dedup"), default="build")
+    ap.add_argument("--out", default=None)
     ap.add_argument("--one", type=int, default=None, help=argparse.SUPPRESS)
     ap.add_argument("--port", type=int, default=4049, help=argparse.SUPPRESS)
     args = ap.parse_args()
+    if args.out is None:
+        name = "SCALE_PROBE.json" if args.job == "build" else (
+            "SCALE_PROBE_DEDUP.json")
+        args.out = os.path.join(REPO, name)
 
     if args.one is not None:
         # child mode: one size in this (fresh) JVM/process
-        print(json.dumps(probe_one(args.one, args.cores, args.port)))
+        print(json.dumps(probe_one(args.one, args.cores, args.port, args.job)))
         return
 
     sizes = [int(x) for x in args.docs.split(",")]
@@ -131,7 +179,7 @@ def main() -> None:
         r = subprocess.run(
             [sys.executable, os.path.abspath(__file__),
              "--one", str(n), "--cores", str(args.cores),
-             "--port", str(4049 + i)],
+             "--job", args.job, "--port", str(4049 + i)],
             capture_output=True, text=True, cwd=REPO,
         )
         line = [l for l in r.stdout.splitlines() if l.startswith("{")]

@@ -313,11 +313,12 @@ def test_dedup_clusters_keeps_one_representative(spark):
 
 def test_simhash_chunk_join_equals_cross_join(spark, docs):
     """Pigeonhole exactness: the 4x15-bit chunk-join candidate set
-    must yield exactly the cross-join Hamming<=3 pairs."""
+    must yield exactly the cross-join Hamming<=3 pairs (cap lifted —
+    the guarded default is pinned by the cap test below)."""
     from pisa_spark.datapipe.dedup import simhash_fingerprints, simhash_pairs
 
     sub = docs.limit(80)
-    out = simhash_pairs(sub).toPandas()
+    out = simhash_pairs(sub, max_bucket=10**9).toPandas()
     fps = simhash_fingerprints(sub).toPandas()
     f = dict(zip(fps["doc_id"], fps["fp"]))
     expect = set()
@@ -328,6 +329,36 @@ def test_simhash_chunk_join_equals_cross_join(spark, docs):
             if h <= 3:
                 expect.add((a, b, h))
     assert set(map(tuple, out[["doc_a", "doc_b", "hamming"]].values)) == expect
+
+
+def test_simhash_chunk_cap_drops_boilerplate(spark):
+    """A chunk bucket over max_bucket (boilerplate: many identical
+    fingerprints — a 15-bit chunk has only 2^15 values, so at corpus
+    scale dominant buckets otherwise go quadratic) is excluded from
+    pair generation and reported by simhash_dropped_chunks instead of
+    silently vanishing — the minhash MAX_BUCKET contract."""
+    from pisa_spark.datapipe.dedup import (
+        simhash_chunks, simhash_dropped_chunks, simhash_pairs,
+    )
+
+    one = spark.read.parquet(f"{SF}/documents.parquet").limit(1)
+    clones = one
+    for i in range(1, 8):
+        clones = clones.unionByName(
+            one.withColumn("doc_id", F.col("doc_id") + 1000 * i)
+        )
+    # 8 identical docs, cap 4: each of the 4 chunk buckets holds all
+    # 8 -> every bucket dropped -> no candidate pairs at all.
+    chunks = simhash_chunks(clones).localCheckpoint(eager=True)
+    pairs = simhash_pairs(clones, max_bucket=4, chunks=chunks).toPandas()
+    assert len(pairs) == 0
+    dropped = simhash_dropped_chunks(
+        clones, max_bucket=4, chunks=chunks
+    ).toPandas()
+    assert (dropped["bucket_size"] == 8).all() and len(dropped) == 4
+    # With the cap above the group size the 28 exact-dup pairs return.
+    pairs2 = simhash_pairs(clones, max_bucket=64).toPandas()
+    assert len(pairs2) == 28 and (pairs2["hamming"] == 0).all()
 
 
 def test_embedding_dup_pairs_symmetric_threshold(emb):
