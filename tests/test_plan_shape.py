@@ -310,3 +310,37 @@ def test_build_scale_growth(tmp_path):
     assert 3.0 <= growth["shuffle_write_ratio"] <= 5.5, growth
     # flat driver: the Python driver's peak RSS must not track docs
     assert growth["driver_rss_ratio"] <= 1.5, growth
+
+
+def test_dedup_scale_growth(tmp_path):
+    """Two-size dedup probe (scale_probe.py --job dedup): the
+    minhash-banding and simhash-chunk shuffles must grow ~linearly
+    with the corpus and the driver RSS stay flat. The simhash chunk
+    cap is what makes this hold — 15-bit chunk buckets grow with the
+    corpus, and without the MAX_BUCKET guard the candidate join's
+    output (and its shuffle) grows quadratically on self-similar
+    corpora (SCALE.md "Training-data pipeline")."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = str(tmp_path / "probe.json")
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts", "scale_probe.py"),
+         "--job", "dedup", "--docs", "4000,8000", "--cores", "8",
+         "--out", out],
+        capture_output=True, text=True, cwd=repo, timeout=420,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    data = json.load(open(out))
+    (growth,) = data["growth_vs_first"]
+    assert growth["docs_ratio"] == 2.0
+    assert 1.5 <= growth["shuffle_write_ratio"] <= 2.8, growth
+    assert growth["driver_rss_ratio"] <= 1.5, growth
+    a, b = data["runs"]
+    # capped pair output stays near-linear (uncapped: ~4x at 2x docs)
+    assert b["simhash_pairs"] <= 3.2 * max(a["simhash_pairs"], 1), data
+    # the cap is actually exercising: dropped buckets are reported
+    assert a["simhash_dropped_chunks"] > 0 and b["simhash_dropped_chunks"] > 0
