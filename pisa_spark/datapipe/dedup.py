@@ -622,19 +622,26 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = MAX_HAMMING,
     share the fingerprint scan with the audit.
     """
     assert max_hamming < SIM_CHUNKS
-    from pyspark.sql import Window
-
     if chunks is None:
-        chunks = simhash_chunks(docs)
-    w = Window.partitionBy("ci", "ch")
-    # eager localCheckpoint: both self-join sides read this, released
-    # when unreferenced (persist would pin a CacheManager entry)
-    ex = (
-        chunks.withColumn("bsz", F.count("*").over(w))
-        .filter(F.col("bsz") <= max_bucket)
-        .drop("bsz")
-        .localCheckpoint(eager=True)
+        # eager localCheckpoint: the over-cap agg and both self-join
+        # sides read this one scan, released when unreferenced
+        # (persist would pin a CacheManager entry)
+        chunks = simhash_chunks(docs).localCheckpoint(eager=True)
+    # The cap as an ANTI-JOIN against the over-cap key set rather
+    # than a count window: the window would shuffle the full exploded
+    # table a second time just to annotate it, while the groupBy
+    # shuffles only map-side-combined keys. The key space is BOUNDED
+    # by construction (SIM_CHUNKS * 2^15 = 131,072 possible (ci, ch)
+    # values), so the over-cap set qualifies for a known-small
+    # broadcast hint and the cap filter stays map-side on both join
+    # sides.
+    over = (
+        chunks.groupBy("ci", "ch")
+        .agg(F.count("*").alias("bsz"))
+        .filter(F.col("bsz") > max_bucket)
+        .select("ci", "ch")
     )
+    ex = chunks.join(F.broadcast(over), ["ci", "ch"], "left_anti")
     x = ex.select(
         F.col("doc_id").alias("doc_a"), F.col("fp").alias("fa"), "ci", "ch"
     )
