@@ -279,6 +279,21 @@ def test_docid_assignment_never_moves_the_corpus(spark):
     assert list(pdf["doc_id"]) == list(range(len(pdf)))
 
 
+def test_simhash_cap_is_broadcast_antijoin(spark):
+    """The simhash bucket cap must stay a broadcast LeftAnti join
+    against the over-cap key set — the key space is bounded by
+    construction (SIM_CHUNKS x 2^15 values), so the cap filter is
+    map-side on both self-join sides. A count-window form here would
+    re-shuffle the full exploded chunk table just to annotate it."""
+    from pisa_spark.datapipe.dedup import simhash_pairs
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan_str(simhash_pairs(docs))
+    assert "Window" not in plan, plan
+    anti = [ln for ln in plan.splitlines() if "LeftAnti" in ln]
+    assert anti and all("Broadcast" in ln for ln in anti), plan
+
+
 def test_build_scale_growth(tmp_path):
     """Two-size build probe (scripts/scale_probe.py, fresh sessions):
     shuffle bytes must grow ~linearly with the corpus while the
