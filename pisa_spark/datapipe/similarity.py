@@ -164,13 +164,23 @@ def embedding_dup_pairs(emb: DataFrame, tau_micro: int = COS_TAU_MICRO,
         .withColumn("n2", F.expr(_n2_expr()))
     )
     if assign is None:
-        assign = _cell_assignments(emb, n_centroids, n_probe)
-    wc = Window.partitionBy("cell")
-    capped = (
-        assign.withColumn("csz", F.count("*").over(wc))
-        .filter(F.col("csz") <= max_cell)
-        .drop("csz")
+        # eager localCheckpoint: the over-cap agg and both self-join
+        # sides read one assignment job (callers that share pass a
+        # pre-materialized ``assign`` per the docstring)
+        assign = _cell_assignments(emb, n_centroids, n_probe) \
+            .localCheckpoint(eager=True)
+    # Cell cap as a broadcast LeftAnti join (the dedup.simhash_pairs
+    # shape): cell ids are bounded by ``n_centroids``, so the
+    # over-cap set is provably known-small and the cap filter stays
+    # map-side — a count window would re-shuffle the full assignment
+    # table just to annotate it.
+    over = (
+        assign.groupBy("cell")
+        .agg(F.count("*").alias("csz"))
+        .filter(F.col("csz") > max_cell)
+        .select("cell")
     )
+    capped = assign.join(F.broadcast(over), "cell", "left_anti")
     x = capped.select(F.col("vec_id").alias("vec_a"), "cell")
     y = capped.select(F.col("vec_id").alias("vec_b"), "cell")
     cand = (

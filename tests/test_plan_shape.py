@@ -294,6 +294,19 @@ def test_simhash_cap_is_broadcast_antijoin(spark):
     assert anti and all("Broadcast" in ln for ln in anti), plan
 
 
+def test_embedding_cell_cap_is_broadcast_antijoin(spark):
+    """Same contract as the simhash cap: the IVF cell cap in
+    embedding_dup_pairs is a broadcast LeftAnti join (cell ids are
+    bounded by n_centroids, so the over-cap set is provably small),
+    never a count window over the full assignment table."""
+    from pisa_spark.datapipe.similarity import embedding_dup_pairs
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = _plan_str(embedding_dup_pairs(emb))
+    anti = [ln for ln in plan.splitlines() if "LeftAnti" in ln]
+    assert anti and all("Broadcast" in ln for ln in anti), plan
+
+
 def test_build_scale_growth(tmp_path):
     """Two-size build probe (scripts/scale_probe.py, fresh sessions):
     shuffle bytes must grow ~linearly with the corpus while the
