@@ -33,9 +33,13 @@ a 4096-entry lookup approximation; we use exact log2 — same algorithm,
 slightly different tie decisions).
 
 Everything is DataFrame-native: degrees = one groupBy, gains = one
-join + aggregation, swaps = two windows. No driver-side state, no
-Python in the loop; per level the working set re-materializes via an
-eager localCheckpoint to keep the plan flat. Cost: O(depth *
+join + aggregation, swaps = a distributed in-group rank
+(_grouped_ranks — at level 0 a node side is HALF THE CORPUS, so
+every rank that a naive window would compute in one task instead
+range-partitions on (group, key) and only windows within a Spark
+partition) plus one bounded 2-row-pair window. No driver-side state,
+no Python in the loop; per level the working set re-materializes via
+an eager localCheckpoint to keep the plan flat. Cost: O(depth *
 iterations) shuffles over the forward index — BP is an expensive
 offline job in the reference too (hours on large corpora).
 """
@@ -43,6 +47,51 @@ offline job in the reference too (hours on large corpora).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
+
+
+def _grouped_ranks(d: DataFrame, group_cols: list[str],
+                   order_cols: list, rank_col: str) -> DataFrame:
+    """row_number() OVER (PARTITION BY group_cols ORDER BY order_cols)
+    without ever holding a whole group in one task — the
+    assign_global_ids range-partition pattern generalized to groups:
+    range-partition on (group, order) so every group is a contiguous
+    run of partitions, count rows per (partition, group) — a
+    combine-shrunk aggregate — and turn the counts into per-group
+    offsets with a window whose partitions hold at most one row per
+    Spark partition. The only per-row window runs inside one Spark
+    partition. BP nodes at shallow levels hold up to the whole corpus
+    (label 0 IS the corpus), so a plain per-label window here would be
+    a single-task sort of everything.
+
+    The eager localCheckpoint pins the sampled range boundaries
+    (spark_partition_id is only stable within one evaluation — the
+    ids.py rule)."""
+    spark = d.sparkSession
+    parts = max(4, spark.sparkContext.defaultParallelism)
+    ranged = (
+        d.repartitionByRange(parts, *[F.col(c) for c in group_cols],
+                             *order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    cnt = ranged.groupBy("__pid", *group_cols).agg(F.count("*").alias("__n"))
+    wo = (
+        Window.partitionBy(*group_cols).orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+        if group_cols
+        else Window.orderBy("__pid").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+    )
+    offs = cnt.withColumn(
+        "__off", F.coalesce(F.sum("__n").over(wo), F.lit(0))
+    ).drop("__n")
+    wp = Window.partitionBy("__pid", *group_cols).orderBy(*order_cols)
+    return (
+        ranged.join(offs, ["__pid", *group_cols])
+        .withColumn(rank_col, F.col("__off") + F.row_number().over(wp))
+        .drop("__pid", "__off")
+    )
 
 
 def _expb(l1: str, l2: str, d1: str, d2: str) -> str:
@@ -97,16 +146,19 @@ def _swap_rounds(d: DataFrame, iterations: int) -> DataFrame:
         # non-increasing, so "swap while sum > 0" == filter on the
         # pair's gain sum — computed with ONE window over
         # (label, r) (the pair has exactly 2 rows) instead of a
-        # split + self-join, so the gains plan evaluates once
-        wg = Window.partitionBy("label", "side").orderBy(
-            F.col("gain").desc(), F.col("doc_id").asc()
-        )
+        # split + self-join, so the gains plan evaluates once.
+        # The rank itself is distributed (_grouped_ranks): at level 0
+        # a side holds HALF THE CORPUS, which a per-(label, side)
+        # window would sort in one task.
         wp = Window.partitionBy("label", "r")
         flip = (F.col("pair_cnt") == 2) & (F.col("pair_sum") > 0)
         if per_node:
             flip = flip & (F.col("n_iters") > F.lit(_it))
         d = (
-            d.withColumn("r", F.row_number().over(wg))
+            _grouped_ranks(
+                d, ["label", "side"],
+                [F.col("gain").desc(), F.col("doc_id").asc()], "r",
+            )
             .withColumn("pair_sum", F.sum("gain").over(wp))
             .withColumn("pair_cnt", F.count("*").over(wp))
             .withColumn(
@@ -139,11 +191,12 @@ def recursive_graph_bisection(
         "label", F.lit(0).cast("long")
     )
     for _level in range(depth):
-        # split each node at the median of docID order (split())
-        w = Window.partitionBy("label").orderBy("doc_id")
+        # split each node at the median of docID order (split());
+        # distributed rank — label 0 IS the whole corpus, so a plain
+        # per-label window would sort everything in one task
         sizes = d.groupBy("label").agg(F.count("*").alias("n_node"))
         d = (
-            d.withColumn("rn", F.row_number().over(w))
+            _grouped_ranks(d, ["label"], [F.col("doc_id").asc()], "rn")
             .join(sizes, "label")
             .withColumn(
                 "side",
@@ -163,24 +216,17 @@ def recursive_graph_bisection(
         ).drop("side")
 
     # final ordering: leaves in label order, docID order inside a leaf
-    # (the reference sorts leaf ranges back to identifier order)
-    sizes = d.groupBy("label").agg(F.count("*").alias("cnt"))
-    # distributed dense rank over (label, doc_id) without a global
-    # single-partition window: offsets per label (labels are tiny:
-    # 2^depth rows), broadcast back
-    offs = sizes.withColumn(
-        "off",
-        F.sum("cnt").over(
-            Window.orderBy("label").rowsBetween(
-                Window.unboundedPreceding, -1
-            )
-        ),
-    ).fillna(0, ["off"]).select("label", "off")
-    wl = Window.partitionBy("label").orderBy("doc_id")
-    return (
-        d.join(F.broadcast(offs), "label")
-        .withColumn("new_doc_id", F.col("off") + F.row_number().over(wl) - 1)
-        .select("doc_id", "new_doc_id")
+    # (the reference sorts leaf ranges back to identifier order) —
+    # one global distributed dense rank over (label, doc_id). The
+    # previous two-window form was only bounded when depth tracked
+    # log2(n): at 10^12 docs the label-offset table itself is
+    # corpus-scale (n/leaf rows) and its global cumulative window was
+    # a single task.
+    ranked = _grouped_ranks(
+        d, [], [F.col("label").asc(), F.col("doc_id").asc()], "rn"
+    )
+    return ranked.select(
+        "doc_id", (F.col("rn") - 1).alias("new_doc_id")
     )
 
 
@@ -285,16 +331,18 @@ def recursive_graph_bisection_from_config(
         )
         # side 0 docs fill [lf,ll), side 1 fill [rf,rl), stable by
         # incoming position; swap rounds preserve per-side counts
-        # (every flip exchanges one doc of each side)
-        ws = Window.partitionBy("label", "side").orderBy("pos")
-        claimed = claimed.select(
+        # (every flip exchanges one doc of each side). Distributed
+        # rank — a root node's side is half the corpus.
+        claimed = _grouped_ranks(
+            claimed, ["label", "side"], [F.col("pos").asc()], "__r"
+        ).select(
             "doc_id",
             "terms",
             (
                 F.when(F.col("side") == 0, F.col("lf")).otherwise(
                     F.col("rf")
                 )
-                + F.row_number().over(ws)
+                + F.col("__r")
                 - 1
             ).alias("pos"),
         )

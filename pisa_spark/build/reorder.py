@@ -43,14 +43,39 @@ def reorder_postings(postings: DataFrame, mapping: DataFrame) -> DataFrame:
     )
 
 
-def log_gap_cost(postings: DataFrame) -> DataFrame:
+def log_gap_cost(postings: DataFrame,
+                 bucket_docs: int = 1 << 16) -> DataFrame:
     """(cost_micro, n_gaps): Σ log2(gap) over docID-sorted posting
-    lists, micro-quantized per gap (evaluate_collection_ordering)."""
-    w = Window.partitionBy("term_id").orderBy("doc_id")
-    gaps = postings.select(
+    lists, micro-quantized per gap (evaluate_collection_ordering).
+
+    The lag runs over (term_id, docID-bucket) windows — a bare
+    per-term window would hold a Zipf-head term's ENTIRE posting list
+    in one task (the segments salt-bucket rule applied to the
+    evaluation metric). Cross-bucket gaps are recovered exactly from
+    per-bucket (min, max) boundaries: one consecutive-nonempty-bucket
+    lag per term over at most n_docs/bucket_docs tiny rows. The two
+    gap sets partition the full consecutive-pair set, so the result
+    is identical to the single-window form for any bucket_docs."""
+    wb = Window.partitionBy("term_id", "__b").orderBy("doc_id")
+    bucketed = postings.select(
+        "term_id", "doc_id",
+        (F.col("doc_id") - (F.col("doc_id") % bucket_docs)).alias("__b"),
+    )
+    in_gaps = bucketed.select(
         "term_id",
-        (F.col("doc_id") - F.lag("doc_id").over(w)).alias("gap"),
-    ).filter(F.col("gap").isNotNull() & (F.col("gap") > 0))
+        (F.col("doc_id") - F.lag("doc_id").over(wb)).alias("gap"),
+    )
+    bounds = bucketed.groupBy("term_id", "__b").agg(
+        F.min("doc_id").alias("__lo"), F.max("doc_id").alias("__hi")
+    )
+    wt = Window.partitionBy("term_id").orderBy("__b")
+    cross_gaps = bounds.select(
+        "term_id",
+        (F.col("__lo") - F.lag("__hi").over(wt)).alias("gap"),
+    )
+    gaps = in_gaps.unionByName(cross_gaps).filter(
+        F.col("gap").isNotNull() & (F.col("gap") > 0)
+    )
     per_gap = F.expr(
         "CAST(FLOOR(LOG2(CAST(gap AS DOUBLE)) * CAST(1000000.0 AS DOUBLE)"
         " + CAST(0.5 AS DOUBLE)) AS BIGINT)"
