@@ -119,16 +119,20 @@ def _workload_micro_postings(index: InvertedIndex, parsed: DataFrame,
 
 
 def _top_n_per_group(df: DataFrame, keys: list[str], n: int,
-                     value_col: str) -> DataFrame:
+                     value_col: str, salts: int = 64) -> DataFrame:
     """Rows ranked <= ``n`` per ``keys`` group under (value DESC,
     doc_id ASC), rank exposed as ``rn`` — the two-phase salted
     window shared by every estimator cache: a per-(group, salt)
     partial top-n first (any salt's top-n superset-contains the
-    group-global top-n members that landed in it), then the exact
-    window over the <= 64n survivors, so no single window partition
-    ever spans a posting-list-sized group (at 10^12 docs a head term
-    has ~10^11 postings — one partition would be a straggler)."""
-    salted = df.withColumn("salt", F.col("doc_id") % 64)
+    group-global top-n members that landed in it, for ANY salt
+    count), then the exact window over the <= salts*n survivors, so
+    no single window partition ever spans a posting-list-sized group
+    (at 10^12 docs a head term has ~10^11 postings — one partition
+    would be a straggler). ``salts`` is the SCALE KNOB: size it so
+    head_list_len / salts fits one task (the default 64 suits the
+    test corpora; a 10^12-doc deployment wants ~2^16+); the output is
+    identical for every value."""
+    salted = df.withColumn("salt", F.col("doc_id") % salts)
     w1 = Window.partitionBy(*keys, "salt").orderBy(
         F.col(value_col).desc(), F.col("doc_id").asc()
     )
