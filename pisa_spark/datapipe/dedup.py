@@ -36,9 +36,12 @@ Scale notes (100 TB):
   (instead of n_bands sequential self-joins of the signature table) —
   and buckets larger than MAX_BUCKET (boilerplate/near-identical
   text would otherwise go quadratic) are dropped before pair
-  generation; ``minhash_dropped_buckets`` reports exactly what was
-  excluded so a pipeline can surface it. Verification joins only
-  candidate pairs.
+  generation via a LeftAnti join against the map-side-combined
+  over-cap key set (no count window: the dominant bucket — the exact
+  degenerate case the cap exists for — would sit in ONE window task;
+  the anti join's skewed stream side is AQE-splittable);
+  ``minhash_dropped_buckets`` reports exactly what was excluded so a
+  pipeline can surface it. Verification joins only candidate pairs.
 - SimHash: fingerprint = 60 conditional sums (one shuffle, partial
   aggs); candidates via 4x 15-bit-chunk equi-joins (pigeonhole: any
   pair with Hamming <= 3 shares at least one chunk) — no cross join
@@ -428,6 +431,29 @@ def minhash_bands(docs: DataFrame, k: int = 3, num_perm: int = NUM_PERM,
     return _banded(docs, k, num_perm, band_rows, shd=shd)
 
 
+def _cap_bands(bands: DataFrame, max_bucket: int) -> DataFrame:
+    """Band rows minus members of over-cap buckets, as a LeftAnti
+    join against the over-cap key set (the simhash/embedding cap
+    shape) — WITHOUT a broadcast hint: unlike those caps'
+    by-construction-bounded key spaces, band_key is an md5, so the
+    over-cap set is only bounded by n_rows/max_bucket and the
+    known-small rule forbids the hint. The anti join still strictly
+    beats a count window at scale: the groupBy is map-side combined
+    (partial counts, no bucket ever assembled in one place), and AQE
+    can SPLIT a skewed stream-side partition against the
+    <=1-row-per-key build side, whereas a count window must hold the
+    dominant bucket — the exact degenerate bucket the cap exists
+    for — in ONE task. Plan pinned by
+    test_minhash_cap_is_antijoin_not_window."""
+    over = (
+        bands.groupBy("band_id", "band_key")
+        .agg(F.count("*").alias("bsz"))
+        .filter(F.col("bsz") > max_bucket)
+        .select("band_id", "band_key")
+    )
+    return bands.join(over, ["band_id", "band_key"], "left_anti")
+
+
 def minhash_lsh_pairs(docs: DataFrame, k: int = 3, num_perm: int = NUM_PERM,
                       band_rows: int = BAND_ROWS,
                       max_bucket: int = MAX_BUCKET,
@@ -439,8 +465,6 @@ def minhash_lsh_pairs(docs: DataFrame, k: int = 3, num_perm: int = NUM_PERM,
     ``minhash_dropped_buckets``). ``shd``/``bands`` optionally supply
     pre-materialized shingle / banded-signature tables so callers
     that also run the audit share one scan (minhash_bands)."""
-    from pyspark.sql import Window
-
     # Shingles feed BOTH the signature aggregation and the exact
     # verification joins: materialize the tokenize+explode scan once
     # (eager localCheckpoint — executor-local, released when
@@ -448,12 +472,12 @@ def minhash_lsh_pairs(docs: DataFrame, k: int = 3, num_perm: int = NUM_PERM,
     if shd is None:
         shd = shingles_df(docs, k).localCheckpoint(eager=True)
     if bands is None:
-        bands = _banded(docs, k, num_perm, band_rows, shd=shd)
-    w = Window.partitionBy("band_id", "band_key")
+        # materialized once: the over-cap aggregate AND the cap
+        # filter both read the banded table
+        bands = _banded(docs, k, num_perm, band_rows, shd=shd) \
+            .localCheckpoint(eager=True)
     capped = (
-        bands.withColumn("bsz", F.count("*").over(w))
-        .filter(F.col("bsz") <= max_bucket)
-        .drop("bsz")
+        _cap_bands(bands, max_bucket)
         # materialize once: both sides of the self-join read this
         # (eager localCheckpoint, released when unreferenced)
         .localCheckpoint(eager=True)

@@ -294,6 +294,35 @@ def test_simhash_cap_is_broadcast_antijoin(spark):
     assert anti and all("Broadcast" in ln for ln in anti), plan
 
 
+def test_minhash_cap_is_antijoin_not_window(spark):
+    """The minhash band-bucket cap must be a LeftAnti join against
+    the groupBy'd over-cap key set, never a count window: a window
+    partitioned on (band_id, band_key) holds the dominant bucket —
+    the exact degenerate bucket the cap exists for — in ONE task,
+    while the groupBy is map-side combined and a skewed LeftAnti
+    stream side is AQE-splittable. Unlike the simhash/embedding caps
+    the key space (md5) is NOT bounded by construction, so no
+    broadcast hint (the known-small rule); the join may still
+    RESOLVE to broadcast via AQE on tiny inputs, so only the
+    window's absence and the LeftAnti's presence are pinned. The
+    pin targets the lazy _cap_bands subtree: inside
+    minhash_lsh_pairs it sits behind an eager localCheckpoint whose
+    LogicalRDD hides it from the end-to-end plan."""
+    from pisa_spark.datapipe.dedup import _cap_bands, minhash_bands
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan_str(_cap_bands(minhash_bands(docs), 64))
+    # The shingle builder's per-doc lead() window (bounded by one
+    # doc) is fine; what must not exist is any window over the band
+    # key — that partition is the unbounded bucket.
+    band_windows = [
+        ln for ln in plan.splitlines()
+        if "Window" in ln and "band_key" in ln
+    ]
+    assert not band_windows, band_windows
+    assert "LeftAnti" in plan, plan
+
+
 def test_embedding_cell_cap_is_broadcast_antijoin(spark):
     """Same contract as the simhash cap: the IVF cell cap in
     embedding_dup_pairs is a broadcast LeftAnti join (cell ids are
