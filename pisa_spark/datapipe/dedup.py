@@ -514,11 +514,18 @@ def minhash_dropped_buckets(docs: DataFrame, k: int = 3,
 
 def minhash_lsh_oracle(k: int = 3, num_perm: int = NUM_PERM,
                        band_rows: int = BAND_ROWS,
-                       max_bucket: int = MAX_BUCKET) -> str:
+                       max_bucket: int = MAX_BUCKET,
+                       audit: bool = False) -> str:
     """Same algorithm in DuckDB: explode to (band_id, band_key) rows,
     window-count buckets, cap, self-join on the key — band_key is
     md5 of the band's values joined by '_' (identical text in both
-    engines)."""
+    engines). With ``audit`` the statement returns the tagged union
+    the gate entry uses — 'pair' rows plus 'dropped_bucket' audit
+    rows (minhash_dropped_buckets parity; band_key carried as its
+    hash60 so the frame stays all-BIGINT) in one (kind, a, b, v)
+    frame."""
+    from pisa_spark.datapipe.hashing import hash60_sql
+
     a, b = minhash_coeffs(num_perm)
     sig_cols = ",\n         ".join(
         f"MIN(({a[j]} * sh + {b[j]}) % {M31}) AS s{j}" for j in range(num_perm)
@@ -557,9 +564,7 @@ inter0 AS (
     GROUP BY a.doc_id, b.doc_id
   ) i0 JOIN cand c ON c.doc_a = i0.doc_a AND c.doc_b = i0.doc_b
 )"""
-    return f"""WITH {shingle_cte(k)}{cand_cte},
-cnt AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY doc_id)
-SELECT i.doc_a, i.doc_b,
+    final_select = f"""SELECT i.doc_a, i.doc_b,
        CAST(FLOOR(CAST(i.i AS DOUBLE) * {dlit(1e6)} / (ca.n + cb.n - i.i)
                   + {dlit(0.5)}) AS BIGINT) AS jaccard_micro
 FROM inter0 i
@@ -567,6 +572,23 @@ JOIN cnt ca ON ca.doc_id = i.doc_a
 JOIN cnt cb ON cb.doc_id = i.doc_b
 WHERE CAST(FLOOR(CAST(i.i AS DOUBLE) * {dlit(1e6)} / (ca.n + cb.n - i.i)
                  + {dlit(0.5)}) AS BIGINT) >= {TAU_MICRO}"""
+    if audit:
+        tail = f""",
+final AS (
+{final_select}
+)
+SELECT 'pair' AS kind, doc_a AS a, doc_b AS b, jaccard_micro AS v
+FROM final
+UNION ALL
+SELECT 'dropped_bucket' AS kind, CAST(band_id AS BIGINT) AS a,
+       {hash60_sql('band_key', 'duckdb')} AS b, CAST(bsz AS BIGINT) AS v
+FROM (SELECT band_id, band_key, COUNT(*) AS bsz
+      FROM bands GROUP BY band_id, band_key) db
+WHERE bsz > {max_bucket}"""
+    else:
+        tail = f"\n{final_select}"
+    return f"""WITH {shingle_cte(k)}{cand_cte},
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY doc_id){tail}"""
 
 
 # ------------------------------------------------------------------ SimHash
@@ -701,11 +723,15 @@ def simhash_dropped_chunks(docs: DataFrame, max_bucket: int = MAX_BUCKET,
 
 
 def simhash_oracle(max_hamming: int = MAX_HAMMING,
-                   max_bucket: int = MAX_BUCKET) -> str:
+                   max_bucket: int = MAX_BUCKET,
+                   audit: bool = False) -> str:
     """Same algorithm in DuckDB: explode fingerprints to (ci, ch)
     chunk rows, window-count buckets, cap, self-join on the chunk
     key — mirroring simhash_pairs' guarded candidate generation
-    (the minhash_lsh_oracle structure)."""
+    (the minhash_lsh_oracle structure). With ``audit`` the statement
+    returns the gate entry's tagged union — 'pair' rows plus
+    'dropped_chunk' audit rows (simhash_dropped_chunks parity) in
+    one (kind, a, b, v) frame."""
     from pisa_spark.datapipe.hashing import hash60_sql
     from pisa_spark.datapipe.tokens import TOK_CTE
 
@@ -724,6 +750,21 @@ def simhash_oracle(max_hamming: int = MAX_HAMMING,
         " FROM fps"
         for ci in range(SIM_CHUNKS)
     )
+    if audit:
+        tail = f""",
+final AS (
+  SELECT doc_a, doc_b, CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming
+  FROM cand WHERE bit_count(xor(fa, fb)) <= {max_hamming})
+SELECT 'pair' AS kind, doc_a AS a, doc_b AS b, hamming AS v FROM final
+UNION ALL
+SELECT 'dropped_chunk' AS kind, CAST(ci AS BIGINT) AS a,
+       CAST(ch AS BIGINT) AS b, CAST(bsz AS BIGINT) AS v
+FROM (SELECT ci, ch, COUNT(*) AS bsz FROM chunks GROUP BY ci, ch) dc
+WHERE bsz > {max_bucket}"""
+    else:
+        tail = f"""
+SELECT doc_a, doc_b, CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(fa, fb)) <= {max_hamming}"""
     return f"""WITH {TOK_CTE},
 tokh AS (SELECT doc_id, {hash60_sql('term', 'duckdb')} AS h FROM tok),
 sums AS (SELECT doc_id, {sums} FROM tokh GROUP BY doc_id),
@@ -737,9 +778,7 @@ cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
                   a.fp AS fa, b.fp AS fb
   FROM capped a JOIN capped b
-    ON a.ci = b.ci AND a.ch = b.ch AND a.doc_id < b.doc_id)
-SELECT doc_a, doc_b, CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming
-FROM cand WHERE bit_count(xor(fa, fb)) <= {max_hamming}"""
+    ON a.ci = b.ci AND a.ch = b.ch AND a.doc_id < b.doc_id){tail}"""
 
 
 # ------------------------------------------------- clusters / representatives

@@ -40,6 +40,75 @@ def _pages(spark: SparkSession, sf_dir: str) -> DataFrame:
 # MAX_CELL=4096 never engages at gate scale).
 GATE_EMB_MAX_CELL = 130
 
+# Gate-scale bucket caps for the minhash/simhash entries: sf0.01's
+# largest minhash band bucket holds 3 docs and its largest simhash
+# chunk bucket 30, so caps of 2 / 16 engage the quadratic-bucket
+# guards AND their dropped-bucket audits cross-engine on every driver
+# run (the production MAX_BUCKET=64 never engages at gate scale) —
+# the GATE_EMB_MAX_CELL pattern.
+GATE_MH_MAX_BUCKET = 2
+GATE_SH_MAX_BUCKET = 16
+
+
+def _minhash_union(s: SparkSession, d: str) -> DataFrame:
+    """Tagged union: LSH near-dup pairs + the dropped-bucket audit
+    (dedup.minhash_dropped_buckets), one (kind, a, b, v) all-BIGINT
+    row shape — band_key (an md5 string) is carried as its hash60.
+    ONE shingle scan and ONE banded-signature job feed both paths
+    (the minhash_bands sharing contract)."""
+    from pyspark.sql import functions as F
+
+    from pisa_spark.datapipe.hashing import hash60_sql
+
+    docs = _docs(s, d)
+    shd = dedup.shingles_df(docs, 3).localCheckpoint(eager=True)
+    bands = dedup.minhash_bands(docs, shd=shd).localCheckpoint(eager=True)
+    pairs = dedup.minhash_lsh_pairs(
+        docs, max_bucket=GATE_MH_MAX_BUCKET, shd=shd, bands=bands
+    ).select(
+        F.lit("pair").alias("kind"),
+        F.col("doc_a").cast("long").alias("a"),
+        F.col("doc_b").cast("long").alias("b"),
+        F.col("jaccard_micro").cast("long").alias("v"),
+    )
+    dropped = dedup.minhash_dropped_buckets(
+        docs, max_bucket=GATE_MH_MAX_BUCKET, bands=bands
+    ).select(
+        F.lit("dropped_bucket").alias("kind"),
+        F.col("band_id").cast("long").alias("a"),
+        F.expr(hash60_sql("band_key", "spark")).alias("b"),
+        F.col("bucket_size").cast("long").alias("v"),
+    )
+    return pairs.unionByName(dropped)
+
+
+def _simhash_union(s: SparkSession, d: str) -> DataFrame:
+    """Tagged union: Hamming near-dup pairs + the dropped-chunk audit
+    (dedup.simhash_dropped_chunks), one (kind, a, b, v) row shape;
+    ONE fingerprint/explode scan feeds both paths (the simhash_chunks
+    sharing contract)."""
+    from pyspark.sql import functions as F
+
+    docs = _docs(s, d)
+    chunks = dedup.simhash_chunks(docs).localCheckpoint(eager=True)
+    pairs = dedup.simhash_pairs(
+        docs, max_bucket=GATE_SH_MAX_BUCKET, chunks=chunks
+    ).select(
+        F.lit("pair").alias("kind"),
+        F.col("doc_a").cast("long").alias("a"),
+        F.col("doc_b").cast("long").alias("b"),
+        F.col("hamming").cast("long").alias("v"),
+    )
+    dropped = dedup.simhash_dropped_chunks(
+        docs, max_bucket=GATE_SH_MAX_BUCKET, chunks=chunks
+    ).select(
+        F.lit("dropped_chunk").alias("kind"),
+        F.col("ci").cast("long").alias("a"),
+        F.col("ch").cast("long").alias("b"),
+        F.col("bucket_size").cast("long").alias("v"),
+    )
+    return pairs.unionByName(dropped)
+
 
 def _embedding_cosine_union(s: SparkSession, d: str) -> DataFrame:
     """Tagged union: near-dup pairs + the dropped-cell audit frame
@@ -364,9 +433,9 @@ def datapipe_queries():
     return {
         "dedup_exact": _exact_dedup_union,
         "dedup_ngram_jaccard": lambda s, d: dedup.ngram_jaccard_pairs(_docs(s, d)),
-        "dedup_minhash_lsh": lambda s, d: dedup.minhash_lsh_pairs(_docs(s, d)),
+        "dedup_minhash_lsh": _minhash_union,
         "dedup_clusters": lambda s, d: dedup.dedup_clusters(_docs(s, d)),
-        "dedup_simhash": lambda s, d: dedup.simhash_pairs(_docs(s, d)),
+        "dedup_simhash": _simhash_union,
         "dedup_embedding_cosine": _embedding_cosine_union,
         "ann_topk": _ann_union,
         "lang_id": lambda s, d: textstats.lang_id(_docs(s, d)),
@@ -385,9 +454,13 @@ def datapipe_oracle_sql():
     return {
         "dedup_exact": dedup.exact_dedup_union_oracle(),
         "dedup_ngram_jaccard": dedup.ngram_jaccard_oracle(),
-        "dedup_minhash_lsh": dedup.minhash_lsh_oracle(),
+        "dedup_minhash_lsh": dedup.minhash_lsh_oracle(
+            max_bucket=GATE_MH_MAX_BUCKET, audit=True
+        ),
         "dedup_clusters": dedup.dedup_clusters_oracle(),
-        "dedup_simhash": dedup.simhash_oracle(),
+        "dedup_simhash": dedup.simhash_oracle(
+            max_bucket=GATE_SH_MAX_BUCKET, audit=True
+        ),
         "dedup_embedding_cosine": similarity.embedding_dup_oracle(
             max_cell=GATE_EMB_MAX_CELL, audit=True
         ),
