@@ -431,40 +431,39 @@ def minhash_bands(docs: DataFrame, k: int = 3, num_perm: int = NUM_PERM,
     return _banded(docs, k, num_perm, band_rows, shd=shd)
 
 
-def _cap_bands(bands: DataFrame, max_bucket: int) -> DataFrame:
-    """Band rows minus members of over-cap buckets, as a LeftAnti
-    join against the over-cap key set (the simhash/embedding cap
-    shape) — WITHOUT a broadcast hint: unlike those caps'
-    by-construction-bounded key spaces, band_key is an md5, so the
+def _cap_bands(bands: DataFrame, max_bucket: int,
+               over: DataFrame | None = None) -> DataFrame:
+    """Band rows minus members of over-cap buckets (the shared
+    caps.py guard) — UNHINTED, unlike the simhash/embedding caps'
+    by-construction-bounded key spaces: band_key is an md5, so the
     over-cap set is only bounded by n_rows/max_bucket and the
-    known-small rule forbids the hint. The anti join still strictly
-    beats a count window at scale: the groupBy is map-side combined
-    (partial counts, no bucket ever assembled in one place), and AQE
-    can SPLIT a skewed stream-side partition against the
-    <=1-row-per-key build side, whereas a count window must hold the
-    dominant bucket — the exact degenerate bucket the cap exists
-    for — in ONE task. Plan pinned by
-    test_minhash_cap_is_antijoin_not_window."""
-    over = (
-        bands.groupBy("band_id", "band_key")
-        .agg(F.count("*").alias("bsz"))
-        .filter(F.col("bsz") > max_bucket)
-        .select("band_id", "band_key")
-    )
-    return bands.join(over, ["band_id", "band_key"], "left_anti")
+    known-small rule forbids the hint (caps.py has the full
+    rationale). ``over``: pass a minhash_dropped_buckets frame to
+    share ONE over-cap aggregation between the cap and the audit.
+    Plan pinned by test_minhash_cap_is_antijoin_not_window."""
+    from pisa_spark.datapipe.caps import drop_overcap, overcap_keys
+
+    if over is None:
+        over = overcap_keys(bands, ["band_id", "band_key"], max_bucket)
+    return drop_overcap(bands, ["band_id", "band_key"], over,
+                        hint_broadcast=False)
 
 
 def minhash_lsh_pairs(docs: DataFrame, k: int = 3, num_perm: int = NUM_PERM,
                       band_rows: int = BAND_ROWS,
                       max_bucket: int = MAX_BUCKET,
                       shd: DataFrame | None = None,
-                      bands: DataFrame | None = None) -> DataFrame:
+                      bands: DataFrame | None = None,
+                      dropped: DataFrame | None = None) -> DataFrame:
     """Banded-LSH candidates, then exact-Jaccard verification: output
     equals ngram_jaccard_pairs restricted to LSH-recalled pairs
     (minus members of over-cap buckets — see MAX_BUCKET and
     ``minhash_dropped_buckets``). ``shd``/``bands`` optionally supply
     pre-materialized shingle / banded-signature tables so callers
-    that also run the audit share one scan (minhash_bands)."""
+    that also run the audit share one scan (minhash_bands);
+    ``dropped`` optionally supplies a pre-materialized
+    minhash_dropped_buckets frame so the over-cap aggregation runs
+    ONCE for the cap and the audit."""
     # Shingles feed BOTH the signature aggregation and the exact
     # verification joins: materialize the tokenize+explode scan once
     # (eager localCheckpoint — executor-local, released when
@@ -477,7 +476,7 @@ def minhash_lsh_pairs(docs: DataFrame, k: int = 3, num_perm: int = NUM_PERM,
         bands = _banded(docs, k, num_perm, band_rows, shd=shd) \
             .localCheckpoint(eager=True)
     capped = (
-        _cap_bands(bands, max_bucket)
+        _cap_bands(bands, max_bucket, over=dropped)
         # materialize once: both sides of the self-join read this
         # (eager localCheckpoint, released when unreferenced)
         .localCheckpoint(eager=True)
@@ -503,13 +502,11 @@ def minhash_dropped_buckets(docs: DataFrame, k: int = 3,
     pipeline should alert on rows here rather than silently treating
     dropped docs as unique). ``bands``: pass minhash_bands(...) to
     share the signature scan with the pair job."""
+    from pisa_spark.datapipe.caps import overcap_keys
+
     if bands is None:
         bands = _banded(docs, k, num_perm, band_rows)
-    return (
-        bands.groupBy("band_id", "band_key")
-        .agg(F.count("*").alias("bucket_size"))
-        .filter(F.col("bucket_size") > max_bucket)
-    )
+    return overcap_keys(bands, ["band_id", "band_key"], max_bucket)
 
 
 def minhash_lsh_oracle(k: int = 3, num_perm: int = NUM_PERM,
@@ -647,7 +644,8 @@ def simhash_chunks(docs: DataFrame) -> DataFrame:
 
 def simhash_pairs(docs: DataFrame, max_hamming: int = MAX_HAMMING,
                   max_bucket: int = MAX_BUCKET,
-                  chunks: DataFrame | None = None) -> DataFrame:
+                  chunks: DataFrame | None = None,
+                  dropped: DataFrame | None = None) -> DataFrame:
     """(doc_a, doc_b, hamming <= max_hamming).
 
     Candidates come from {SIM_CHUNKS} 15-bit chunks by pigeonhole:
@@ -665,29 +663,26 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = MAX_HAMMING,
     otherwise go quadratic) and reported by ``simhash_dropped_chunks``;
     recall is exact for pairs whose shared chunks include one
     under-cap bucket. ``chunks``: pass ``simhash_chunks(docs)`` to
-    share the fingerprint scan with the audit.
+    share the fingerprint scan with the audit; ``dropped``: pass a
+    pre-materialized ``simhash_dropped_chunks`` frame so the over-cap
+    aggregation runs ONCE for the cap and the audit.
     """
+    from pisa_spark.datapipe.caps import drop_overcap, overcap_keys
+
     assert max_hamming < SIM_CHUNKS
     if chunks is None:
         # eager localCheckpoint: the over-cap agg and both self-join
         # sides read this one scan, released when unreferenced
         # (persist would pin a CacheManager entry)
         chunks = simhash_chunks(docs).localCheckpoint(eager=True)
-    # The cap as an ANTI-JOIN against the over-cap key set rather
-    # than a count window: the window would shuffle the full exploded
-    # table a second time just to annotate it, while the groupBy
-    # shuffles only map-side-combined keys. The key space is BOUNDED
-    # by construction (SIM_CHUNKS * 2^15 = 131,072 possible (ci, ch)
+    # The shared caps.py guard, HINTED: the key space is bounded by
+    # construction (SIM_CHUNKS * 2^15 = 131,072 possible (ci, ch)
     # values), so the over-cap set qualifies for a known-small
     # broadcast hint and the cap filter stays map-side on both join
     # sides.
-    over = (
-        chunks.groupBy("ci", "ch")
-        .agg(F.count("*").alias("bsz"))
-        .filter(F.col("bsz") > max_bucket)
-        .select("ci", "ch")
-    )
-    ex = chunks.join(F.broadcast(over), ["ci", "ch"], "left_anti")
+    if dropped is None:
+        dropped = overcap_keys(chunks, ["ci", "ch"], max_bucket)
+    ex = drop_overcap(chunks, ["ci", "ch"], dropped, hint_broadcast=True)
     x = ex.select(
         F.col("doc_id").alias("doc_a"), F.col("fp").alias("fa"), "ci", "ch"
     )
@@ -713,13 +708,11 @@ def simhash_dropped_chunks(docs: DataFrame, max_bucket: int = MAX_BUCKET,
     the audit trail for simhash_pairs' coverage (alert on rows here
     rather than silently treating dropped docs as unique; the
     minhash_dropped_buckets twin)."""
+    from pisa_spark.datapipe.caps import overcap_keys
+
     if chunks is None:
         chunks = simhash_chunks(docs)
-    return (
-        chunks.groupBy("ci", "ch")
-        .agg(F.count("*").alias("bucket_size"))
-        .filter(F.col("bucket_size") > max_bucket)
-    )
+    return overcap_keys(chunks, ["ci", "ch"], max_bucket)
 
 
 def simhash_oracle(max_hamming: int = MAX_HAMMING,

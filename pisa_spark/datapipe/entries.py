@@ -54,92 +54,107 @@ def _minhash_union(s: SparkSession, d: str) -> DataFrame:
     """Tagged union: LSH near-dup pairs + the dropped-bucket audit
     (dedup.minhash_dropped_buckets), one (kind, a, b, v) all-BIGINT
     row shape — band_key (an md5 string) is carried as its hash60.
-    ONE shingle scan and ONE banded-signature job feed both paths
-    (the minhash_bands sharing contract)."""
+    ONE shingle scan, ONE banded-signature job, and ONE over-cap
+    aggregation feed both paths (the shd/bands/dropped sharing
+    contract)."""
     from pyspark.sql import functions as F
 
     from pisa_spark.datapipe.hashing import hash60_sql
+    from pisa_spark.gated.entries import tagged_union
 
     docs = _docs(s, d)
     shd = dedup.shingles_df(docs, 3).localCheckpoint(eager=True)
     bands = dedup.minhash_bands(docs, shd=shd).localCheckpoint(eager=True)
+    dropped = dedup.minhash_dropped_buckets(
+        docs, max_bucket=GATE_MH_MAX_BUCKET, bands=bands
+    ).localCheckpoint(eager=True)
     pairs = dedup.minhash_lsh_pairs(
-        docs, max_bucket=GATE_MH_MAX_BUCKET, shd=shd, bands=bands
+        docs, max_bucket=GATE_MH_MAX_BUCKET, shd=shd, bands=bands,
+        dropped=dropped,
     ).select(
-        F.lit("pair").alias("kind"),
         F.col("doc_a").cast("long").alias("a"),
         F.col("doc_b").cast("long").alias("b"),
         F.col("jaccard_micro").cast("long").alias("v"),
     )
-    dropped = dedup.minhash_dropped_buckets(
-        docs, max_bucket=GATE_MH_MAX_BUCKET, bands=bands
-    ).select(
-        F.lit("dropped_bucket").alias("kind"),
+    audit = dropped.select(
         F.col("band_id").cast("long").alias("a"),
         F.expr(hash60_sql("band_key", "spark")).alias("b"),
         F.col("bucket_size").cast("long").alias("v"),
     )
-    return pairs.unionByName(dropped)
+    return tagged_union(
+        "kind", [("pair", pairs), ("dropped_bucket", audit)],
+        ["a", "b", "v"],
+    )
 
 
 def _simhash_union(s: SparkSession, d: str) -> DataFrame:
     """Tagged union: Hamming near-dup pairs + the dropped-chunk audit
     (dedup.simhash_dropped_chunks), one (kind, a, b, v) row shape;
-    ONE fingerprint/explode scan feeds both paths (the simhash_chunks
-    sharing contract)."""
+    ONE fingerprint/explode scan and ONE over-cap aggregation feed
+    both paths (the chunks/dropped sharing contract)."""
     from pyspark.sql import functions as F
+
+    from pisa_spark.gated.entries import tagged_union
 
     docs = _docs(s, d)
     chunks = dedup.simhash_chunks(docs).localCheckpoint(eager=True)
-    pairs = dedup.simhash_pairs(
+    dropped = dedup.simhash_dropped_chunks(
         docs, max_bucket=GATE_SH_MAX_BUCKET, chunks=chunks
+    ).localCheckpoint(eager=True)
+    pairs = dedup.simhash_pairs(
+        docs, max_bucket=GATE_SH_MAX_BUCKET, chunks=chunks,
+        dropped=dropped,
     ).select(
-        F.lit("pair").alias("kind"),
         F.col("doc_a").cast("long").alias("a"),
         F.col("doc_b").cast("long").alias("b"),
         F.col("hamming").cast("long").alias("v"),
     )
-    dropped = dedup.simhash_dropped_chunks(
-        docs, max_bucket=GATE_SH_MAX_BUCKET, chunks=chunks
-    ).select(
-        F.lit("dropped_chunk").alias("kind"),
+    audit = dropped.select(
         F.col("ci").cast("long").alias("a"),
         F.col("ch").cast("long").alias("b"),
         F.col("bucket_size").cast("long").alias("v"),
     )
-    return pairs.unionByName(dropped)
+    return tagged_union(
+        "kind", [("pair", pairs), ("dropped_chunk", audit)],
+        ["a", "b", "v"],
+    )
 
 
 def _embedding_cosine_union(s: SparkSession, d: str) -> DataFrame:
     """Tagged union: near-dup pairs + the dropped-cell audit frame
     (similarity.embedding_dropped_cells), one (kind, a, b, v) row
-    shape — same consolidation pattern as boolean_docs/range_topk."""
+    shape — same consolidation pattern as boolean_docs/range_topk.
+    ONE assignment job and ONE over-cap aggregation feed both paths
+    (the assign/dropped sharing contract)."""
     from pyspark.sql import functions as F
 
+    from pisa_spark.gated.entries import tagged_union
+
     emb = _emb(s, d)
-    # ONE assignment job shared by the pair path and the audit path
-    # (eager localCheckpoint per the repo rule: released by the
-    # ContextCleaner, unlike persist()'s CacheManager entry).
+    # eager localCheckpoint per the repo rule: released by the
+    # ContextCleaner, unlike persist()'s CacheManager entry.
     assign = similarity._cell_assignments(
         emb, similarity.N_CENTROIDS, similarity.N_PROBE
     ).localCheckpoint(eager=True)
-    pairs = similarity.embedding_dup_pairs(
+    dropped = similarity.embedding_dropped_cells(
         emb, max_cell=GATE_EMB_MAX_CELL, assign=assign
+    ).localCheckpoint(eager=True)
+    pairs = similarity.embedding_dup_pairs(
+        emb, max_cell=GATE_EMB_MAX_CELL, assign=assign, dropped=dropped
     ).select(
-        F.lit("pair").alias("kind"),
         F.col("vec_a").cast("long").alias("a"),
         F.col("vec_b").cast("long").alias("b"),
         F.col("cos_micro").cast("long").alias("v"),
     )
-    dropped = similarity.embedding_dropped_cells(
-        emb, max_cell=GATE_EMB_MAX_CELL, assign=assign
-    ).select(
-        F.lit("dropped_cell").alias("kind"),
+    audit = dropped.select(
         F.col("cell").cast("long").alias("a"),
         F.col("cell_size").cast("long").alias("b"),
         F.lit(0).cast("long").alias("v"),
     )
-    return pairs.unionByName(dropped)
+    return tagged_union(
+        "kind", [("pair", pairs), ("dropped_cell", audit)],
+        ["a", "b", "v"],
+    )
 
 
 def _ann_union(s: SparkSession, d: str) -> DataFrame:

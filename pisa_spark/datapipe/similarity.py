@@ -136,7 +136,8 @@ def embedding_dup_pairs(emb: DataFrame, tau_micro: int = COS_TAU_MICRO,
                         n_centroids: int = N_CENTROIDS,
                         n_probe: int = N_PROBE,
                         max_cell: int = MAX_CELL,
-                        assign: DataFrame | None = None) -> DataFrame:
+                        assign: DataFrame | None = None,
+                        dropped: DataFrame | None = None) -> DataFrame:
     """(vec_a, vec_b, cos_micro >= tau): quantized-cosine near-dups
     via an IVF-cell prefilter — the 100 TB shape.
 
@@ -169,18 +170,16 @@ def embedding_dup_pairs(emb: DataFrame, tau_micro: int = COS_TAU_MICRO,
         # pre-materialized ``assign`` per the docstring)
         assign = _cell_assignments(emb, n_centroids, n_probe) \
             .localCheckpoint(eager=True)
-    # Cell cap as a broadcast LeftAnti join (the dedup.simhash_pairs
-    # shape): cell ids are bounded by ``n_centroids``, so the
-    # over-cap set is provably known-small and the cap filter stays
-    # map-side — a count window would re-shuffle the full assignment
-    # table just to annotate it.
-    over = (
-        assign.groupBy("cell")
-        .agg(F.count("*").alias("csz"))
-        .filter(F.col("csz") > max_cell)
-        .select("cell")
-    )
-    capped = assign.join(F.broadcast(over), "cell", "left_anti")
+    # The shared caps.py guard, HINTED: cell ids are bounded by
+    # ``n_centroids``, so the over-cap set is provably known-small
+    # and the cap filter stays map-side. ``dropped``: pass a
+    # pre-materialized embedding_dropped_cells frame so the over-cap
+    # aggregation runs ONCE for the cap and the audit.
+    from pisa_spark.datapipe.caps import drop_overcap, overcap_keys
+
+    if dropped is None:
+        dropped = overcap_keys(assign, ["cell"], max_cell)
+    capped = drop_overcap(assign, ["cell"], dropped, hint_broadcast=True)
     x = capped.select(F.col("vec_id").alias("vec_a"), "cell")
     y = capped.select(F.col("vec_id").alias("vec_b"), "cell")
     cand = (
@@ -215,14 +214,11 @@ def embedding_dropped_cells(emb: DataFrame, n_centroids: int = N_CENTROIDS,
     audit trail for embedding_dup_pairs' coverage, mirroring
     dedup.minhash_dropped_buckets. ``assign`` as in
     embedding_dup_pairs."""
+    from pisa_spark.datapipe.caps import overcap_keys
+
     if assign is None:
         assign = _cell_assignments(emb, n_centroids, n_probe)
-    return (
-        assign
-        .groupBy("cell")
-        .agg(F.count("*").alias("cell_size"))
-        .filter(F.col("cell_size") > max_cell)
-    )
+    return overcap_keys(assign, ["cell"], max_cell, size_col="cell_size")
 
 
 def ivf_train_centroids(emb: DataFrame, n_centroids: int = N_CENTROIDS,

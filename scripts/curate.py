@@ -104,16 +104,17 @@ def curate(spark, docs, mix=None, bench=None,
     shd = dedup.shingles_df(exact_kept).localCheckpoint(eager=True)
     bands = dedup.minhash_bands(exact_kept, shd=shd) \
         .localCheckpoint(eager=True)
-    pairs = dedup.minhash_lsh_pairs(exact_kept, shd=shd, bands=bands)
+    dropped = dedup.minhash_dropped_buckets(exact_kept, bands=bands) \
+        .localCheckpoint(eager=True)
+    pairs = dedup.minhash_lsh_pairs(exact_kept, shd=shd, bands=bands,
+                                    dropped=dropped)
     clusters = dedup.dedup_clusters(exact_kept, pairs=pairs)
     dupes = clusters.filter(F.col("doc_id") != F.col("rep_doc_id")) \
         .select("doc_id")
     deduped = exact_kept.join(dupes, "doc_id", "left_anti") \
         .localCheckpoint(eager=True)
     lineage["after_dedup"] = deduped.count()
-    lineage["minhash_dropped_buckets"] = dedup.minhash_dropped_buckets(
-        exact_kept, bands=bands
-    ).count()
+    lineage["minhash_dropped_buckets"] = dropped.count()
 
     # 4. decontamination: drop contaminated training docs (raw text
     # on both sides — redaction happens after, so it can never mask
