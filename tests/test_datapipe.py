@@ -211,6 +211,46 @@ def test_minhash_bucket_cap_drops_boilerplate(spark):
     assert len(pairs2) == 28
 
 
+def test_cap_helpers_and_shared_dropped_frame(spark):
+    """datapipe.caps: overcap_keys doubles as the audit frame, and
+    passing it back via dropped= must not change the pair output —
+    the one-aggregation sharing contract the gate unions and
+    scripts/curate.py rely on. Also pins the helpers' semantics on a
+    tiny frame, hinted and unhinted."""
+    from pisa_spark.datapipe.caps import drop_overcap, overcap_keys
+    from pisa_spark.datapipe.dedup import (
+        minhash_bands, minhash_dropped_buckets, minhash_lsh_pairs,
+        shingles_df,
+    )
+
+    one = spark.read.parquet(f"{SF}/documents.parquet").limit(1)
+    clones = one
+    for i in range(1, 8):
+        clones = clones.unionByName(
+            one.withColumn("doc_id", F.col("doc_id") + 1000 * i)
+        )
+    shd = shingles_df(clones, 3).localCheckpoint(eager=True)
+    bands = minhash_bands(clones, shd=shd).localCheckpoint(eager=True)
+    dropped = minhash_dropped_buckets(clones, max_bucket=4, bands=bands) \
+        .localCheckpoint(eager=True)
+    assert dropped.count() > 0  # the cap actually engages here
+    base = minhash_lsh_pairs(clones, max_bucket=4, shd=shd, bands=bands) \
+        .toPandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    shared = minhash_lsh_pairs(
+        clones, max_bucket=4, shd=shd, bands=bands, dropped=dropped
+    ).toPandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    assert base.equals(shared)
+
+    df = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (3, "x"), (4, "y")], "id int, k string"
+    )
+    over = overcap_keys(df, ["k"], 2)
+    assert [(r["k"], r["bucket_size"]) for r in over.collect()] == [("x", 3)]
+    for hint in (True, False):
+        kept = drop_overcap(df, ["k"], over, hint_broadcast=hint)
+        assert sorted(r["id"] for r in kept.collect()) == [4]
+
+
 def test_connected_components_chain_converges_logarithmically(spark):
     """A 64-node duplicate CHAIN (worst case for min-label
     propagation, which needs O(diameter)=63 rounds) must resolve to
