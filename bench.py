@@ -194,8 +194,13 @@ def main() -> None:
     from pisa_spark.corpus import pages_from_documents
     from pisa_spark.index import build_index
 
-    repeats = int(os.environ.get("SPARK_GRAFT_REPEATS", "3"))
-    build_repeats = int(os.environ.get("SPARK_GRAFT_BUILD_REPEATS", "2"))
+    # Defaults raised 3->5 / 2->3 in the round-5 continuation session:
+    # that session's windows showed steal arriving in sub-minute
+    # bursts (BENCH.md "Continuation-session note"), so more best-of
+    # samples per job materially improve the recorded number's odds
+    # of catching a quiet micro-window at ~+1 min total cost.
+    repeats = int(os.environ.get("SPARK_GRAFT_REPEATS", "5"))
+    build_repeats = int(os.environ.get("SPARK_GRAFT_BUILD_REPEATS", "3"))
 
     pages = pages_from_documents(spark, sf_dir)
     n_docs = pages.count()  # warms the session + pins the input size
